@@ -1,0 +1,748 @@
+"""UDAF library — the aggregate surface of the reference, Spark-first.
+
+Each aggregate is an :class:`AggSpec` with up to three lowering strategies:
+
+- ``native(fields, ws)``   -> Column evaluated with Spark's WindowExec
+  (whole-stage-codegen'd JVM path; used whenever the window has no special
+  attribute like MAXSIZE / EXCLUDE CURRENT_TIME).
+- ``array(elems, f)``      -> Column reducing a pre-collected
+  ``array<struct>`` of frame rows via higher-order functions
+  (``filter`` / ``transform`` / ``aggregate`` — still JVM-side, no Python).
+  Used for window attributes Spark frames can't express, and for the
+  dialect-specific UDAFs (``*_cate``, ``top``, ``ew_avg``, ``drawdown`` ...).
+- ``group(fields)``        -> Column for ``df.groupBy(...).agg(...)``;
+  order-insensitive aggregates only.
+
+Semantics pinned from the reference (cited per aggregate):
+
+- ``hybridse/src/udf/default_udf_library.cc:2708-3110`` (core UDAFs)
+- ``hybridse/src/udf/default_defs/sum_by_category_def.cc:220-340``
+  (``*_cate`` families: "K:V" joined by ",", keys ascending)
+- ``hybridse/src/udf/default_defs/feature_zero_def.cc:390-560``
+  (``top1_ratio``, ``topn_frequency``: count desc, tie -> smaller key first)
+- ``hybridse/src/udf/default_defs/aggregate_def.cc:110-130`` (Shannon
+  entropy, log2, nulls skipped, empty -> NULL)
+- ``hybridse/src/udf/default_defs/window_functions_def.cc:207-360``
+  (``lag``/``at``, ``first_value``, ``last_value``, ``nth_value_where``)
+
+Null behavior: value nulls are skipped by sum/min/max/count/avg/median/etc.;
+empty input gives NULL (except ``count`` -> 0, ``top1_ratio`` -> 0.0).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, WindowSpec
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def _c(x: ColumnOrName) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def _nn(arr: Column) -> Column:
+    """Drop null elements."""
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def _empty_null(arr: Column, out: Column) -> Column:
+    """NULL when no non-null input (reference UDAF convention)."""
+    return F.when(F.size(arr) > 0, out)
+
+
+def _arr_sum(arr: Column) -> Column:
+    # zero = first_elem * 0 preserves the element's numeric type (long sums
+    # stay long, double sums stay double) so the array path agrees with the
+    # caller-declared type rather than silently widening.
+    nn = _nn(arr)
+    return _empty_null(
+        nn, F.aggregate(nn, F.element_at(nn, 1) * 0, lambda a, x: a + x)
+    )
+
+
+def _arr_count(arr: Column) -> Column:
+    return F.size(_nn(arr))
+
+
+def _arr_avg(arr: Column) -> Column:
+    nn = _nn(arr)
+    return _empty_null(
+        nn,
+        F.aggregate(nn, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(nn),
+    )
+
+
+def _arr_min(arr: Column) -> Column:
+    return F.array_min(arr)
+
+
+def _arr_max(arr: Column) -> Column:
+    return F.array_max(arr)
+
+
+@dataclass
+class AggSpec:
+    """One aggregate call, abstract over the three lowering strategies.
+
+    ``fields`` are per-row expressions the aggregate consumes; the window /
+    group machinery materializes them as temp columns (so conditions and
+    category keys are evaluated *per input row*, before any collection).
+    """
+
+    name: str
+    fields: dict[str, Column]
+    #: (resolved_fields, WindowSpec) -> Column. None => needs array path.
+    native: Optional[Callable[[dict[str, Column], WindowSpec], Column]] = None
+    #: (elems array<struct>, field getter) -> Column. Always present.
+    array: Optional[Callable[[Column, Callable], Column]] = None
+    #: resolved_fields -> Column for groupBy().agg(). None => window-only.
+    group: Optional[Callable[[dict[str, Column]], Column]] = None
+    #: order-sensitive aggregates (ew_avg, drawdown, lag, ...) need sorted frames
+    order_sensitive: bool = dc_field(default=False)
+
+    def with_name(self, out: str) -> tuple[str, "AggSpec"]:
+        return out, self
+
+
+# ---------------------------------------------------------------------------
+# plain aggregates (native Spark window/group functions + array fallback)
+# ---------------------------------------------------------------------------
+
+
+def sum_(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "sum",
+        {"v": _c(value)},
+        native=lambda f, ws: F.sum(f["v"]).over(ws),
+        array=lambda e, f: _arr_sum(F.transform(e, f("v"))),
+        group=lambda f: F.sum(f["v"]),
+    )
+
+
+def min_(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "min",
+        {"v": _c(value)},
+        native=lambda f, ws: F.min(f["v"]).over(ws),
+        array=lambda e, f: _arr_min(F.transform(e, f("v"))),
+        group=lambda f: F.min(f["v"]),
+    )
+
+
+def max_(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "max",
+        {"v": _c(value)},
+        native=lambda f, ws: F.max(f["v"]).over(ws),
+        array=lambda e, f: _arr_max(F.transform(e, f("v"))),
+        group=lambda f: F.max(f["v"]),
+    )
+
+
+def count_(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "count",
+        {"v": _c(value)},
+        native=lambda f, ws: F.count(f["v"]).over(ws),
+        array=lambda e, f: _arr_count(F.transform(e, f("v"))).cast("long"),
+        group=lambda f: F.count(f["v"]),
+    )
+
+
+def count_all() -> AggSpec:
+    """COUNT(*) — counts rows, nulls included."""
+    return AggSpec(
+        "count_all",
+        {"v": F.lit(1)},
+        native=lambda f, ws: F.count(F.lit(1)).over(ws),
+        array=lambda e, f: F.size(e).cast("long"),
+        group=lambda f: F.count(F.lit(1)),
+    )
+
+
+def avg_(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "avg",
+        {"v": _c(value).cast("double")},
+        native=lambda f, ws: F.avg(f["v"]).over(ws),
+        array=lambda e, f: _arr_avg(F.transform(e, f("v"))),
+        group=lambda f: F.avg(f["v"]),
+    )
+
+
+def _moment_array(e: Column, f: Callable, kind: str) -> Column:
+    vals = _nn(F.transform(e, f("v")))
+    n = F.size(vals)
+    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    mean = s / n
+    ss = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean))
+    if kind in ("var_samp", "stddev_samp"):
+        out = F.when(n > 1, ss / (n - 1))
+    else:
+        out = F.when(n > 0, ss / n)
+    if kind.startswith("stddev"):
+        out = F.sqrt(out)
+    return out
+
+
+def stddev_(value: ColumnOrName) -> AggSpec:
+    """stddev / std / stddev_samp — sample standard deviation."""
+    return AggSpec(
+        "stddev",
+        {"v": _c(value).cast("double")},
+        native=lambda f, ws: F.stddev_samp(f["v"]).over(ws),
+        array=lambda e, f: _moment_array(e, f, "stddev_samp"),
+        group=lambda f: F.stddev_samp(f["v"]),
+    )
+
+
+def stddev_pop(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "stddev_pop",
+        {"v": _c(value).cast("double")},
+        native=lambda f, ws: F.stddev_pop(f["v"]).over(ws),
+        array=lambda e, f: _moment_array(e, f, "stddev_pop"),
+        group=lambda f: F.stddev_pop(f["v"]),
+    )
+
+
+def var_samp(value: ColumnOrName) -> AggSpec:
+    """var_samp / variance."""
+    return AggSpec(
+        "var_samp",
+        {"v": _c(value).cast("double")},
+        native=lambda f, ws: F.var_samp(f["v"]).over(ws),
+        array=lambda e, f: _moment_array(e, f, "var_samp"),
+        group=lambda f: F.var_samp(f["v"]),
+    )
+
+
+def var_pop(value: ColumnOrName) -> AggSpec:
+    return AggSpec(
+        "var_pop",
+        {"v": _c(value).cast("double")},
+        native=lambda f, ws: F.var_pop(f["v"]).over(ws),
+        array=lambda e, f: _moment_array(e, f, "var_pop"),
+        group=lambda f: F.var_pop(f["v"]),
+    )
+
+
+def distinct_count(value: ColumnOrName) -> AggSpec:
+    """distinct_count — COUNT(DISTINCT v) incl. window form (via collect_set)."""
+    return AggSpec(
+        "distinct_count",
+        {"v": _c(value)},
+        native=lambda f, ws: F.size(F.collect_set(f["v"]).over(ws)).cast("long"),
+        array=lambda e, f: F.size(F.array_distinct(_nn(F.transform(e, f("v"))))).cast("long"),
+        group=lambda f: F.count_distinct(f["v"]),
+    )
+
+
+def median_(value: ColumnOrName) -> AggSpec:
+    """median — interpolated for even counts (ref: default_udf_library.cc:3052)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        vals = F.array_sort(_nn(F.transform(e, f("v"))))
+        n = F.size(vals)
+        odd = F.element_at(vals, (n + 1) / F.lit(2).cast("int"))
+        even = (F.element_at(vals, n / 2) + F.element_at(vals, n / 2 + 1)) / 2.0
+        return F.when(n == 0, F.lit(None).cast("double")).when(
+            n % 2 == 1, odd.cast("double")
+        ).otherwise(even)
+
+    return AggSpec(
+        "median",
+        {"v": _c(value).cast("double")},
+        native=None,  # exact median has no native window form
+        array=arr,
+        group=lambda f: F.median(f["v"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# conditional family: *_where (ref: default_udf_library.cc:2904-3025)
+# ---------------------------------------------------------------------------
+
+
+def _where_spec(name: str, value: ColumnOrName, cond: Column, native_fn, arr_fn) -> AggSpec:
+    gated = F.when(cond, _c(value))
+    return AggSpec(
+        name,
+        {"v": gated},
+        native=lambda f, ws: native_fn(f["v"]).over(ws),
+        array=lambda e, f: arr_fn(F.transform(e, f("v"))),
+        group=lambda f: native_fn(f["v"]),
+    )
+
+
+def sum_where(value: ColumnOrName, cond: Column) -> AggSpec:
+    return _where_spec("sum_where", value, cond, F.sum, _arr_sum)
+
+
+def count_where(value: ColumnOrName, cond: Column) -> AggSpec:
+    return _where_spec("count_where", value, cond, F.count, lambda a: _arr_count(a).cast("long"))
+
+
+def avg_where(value: ColumnOrName, cond: Column) -> AggSpec:
+    s = _where_spec("avg_where", _c(value).cast("double"), cond, F.avg, _arr_avg)
+    return s
+
+
+def min_where(value: ColumnOrName, cond: Column) -> AggSpec:
+    return _where_spec("min_where", value, cond, F.min, _arr_min)
+
+
+def max_where(value: ColumnOrName, cond: Column) -> AggSpec:
+    return _where_spec("max_where", value, cond, F.max, _arr_max)
+
+
+# ---------------------------------------------------------------------------
+# top / frequency family
+# ---------------------------------------------------------------------------
+
+
+def top(value: ColumnOrName, k: int) -> AggSpec:
+    """top(value, k): top-k values desc, comma-joined string
+    (ref: default_udf_library.cc:3026)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        vals = _nn(F.transform(e, f("v")))
+        topk = F.slice(F.reverse(F.array_sort(vals)), 1, k)
+        return F.array_join(F.transform(topk, lambda x: x.cast("string")), ",")
+
+    return AggSpec(
+        "top",
+        {"v": _c(value)},
+        native=None,
+        array=arr,
+        group=lambda f: F.array_join(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(F.collect_list(f["v"]))), 1, k),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ),
+    )
+
+
+def _key_counts(keys: Column) -> Column:
+    """array<struct<k, cnt>> of distinct non-null keys with counts."""
+    nn = _nn(keys)
+    ks = F.array_distinct(nn)
+    return F.transform(
+        ks, lambda k: F.struct(k.alias("k"), F.size(F.filter(nn, lambda x: x == k)).alias("cnt"))
+    )
+
+
+def top1_ratio(key: ColumnOrName) -> AggSpec:
+    """freq of the most frequent non-null key / total non-null count; 0.0 if empty
+    (ref: feature_zero_def.cc:425-470)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        keys = _nn(F.transform(e, f("v")))
+        counts = _key_counts(keys)
+        mx = F.array_max(F.transform(counts, lambda s: s["cnt"]))
+        return F.when(F.size(keys) == 0, F.lit(0.0)).otherwise(
+            mx.cast("double") / F.size(keys)
+        )
+
+    return AggSpec(
+        "top1_ratio",
+        {"v": _c(key)},
+        native=None,
+        array=arr,
+        group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+def topn_frequency(key: ColumnOrName, n: int) -> AggSpec:
+    """top-n keys by frequency desc (tie: smaller key first), comma-joined
+    (ref: feature_zero_def.cc:475-560)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        counts = _key_counts(F.transform(e, f("v")))
+        ordered = F.array_sort(
+            counts,
+            lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
+            .when(a["cnt"] < b["cnt"], 1)
+            .when(a["k"] < b["k"], -1)
+            .when(a["k"] > b["k"], 1)
+            .otherwise(0),
+        )
+        topn = F.slice(ordered, 1, n)
+        return F.array_join(F.transform(topn, lambda s: s["k"].cast("string")), ",")
+
+    return AggSpec(
+        "topn_frequency",
+        {"v": _c(key)},
+        native=None,
+        array=arr,
+        group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+# ---------------------------------------------------------------------------
+# order-sensitive window aggregates
+# ---------------------------------------------------------------------------
+
+
+def ew_avg(value: ColumnOrName, alpha: float) -> AggSpec:
+    """Exponentially-weighted average, pandas ewm(adjust=True, ignore_na=True)
+    (ref: default_udf_library.cc:2876-2902). Weight (1-alpha)^i on the i-th
+    most recent non-null value. alpha NULL/0 falls back to plain avg."""
+
+    if not alpha:
+        return avg_(value)
+
+    def arr(e: Column, f: Callable) -> Column:
+        # elems are frame rows in ts-ascending order; most recent last.
+        vals = F.reverse(_nn(F.transform(e, f("v"))))
+        acc0 = F.struct(
+            F.lit(0.0).alias("num"), F.lit(0.0).alias("den"), F.lit(1.0).alias("w")
+        )
+        res = F.aggregate(
+            vals,
+            acc0,
+            lambda a, x: F.struct(
+                (a["num"] + a["w"] * x).alias("num"),
+                (a["den"] + a["w"]).alias("den"),
+                (a["w"] * F.lit(1.0 - alpha)).alias("w"),
+            ),
+            lambda a: F.when(a["den"] > 0, a["num"] / a["den"]),
+        )
+        return res
+
+    return AggSpec(
+        "ew_avg",
+        {"v": _c(value).cast("double")},
+        native=None,
+        array=arr,
+        group=None,
+        order_sensitive=True,
+    )
+
+
+def drawdown(value: ColumnOrName) -> AggSpec:
+    """Max decline ratio from a peak to a subsequent value within the frame;
+    negative values ignored (ref: default_udf_library.cc:3074-3105)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        vals = F.filter(
+            F.transform(e, f("v")), lambda x: x.isNotNull() & (x >= 0)
+        )
+        acc0 = F.struct(F.lit(0.0).alias("peak"), F.lit(0.0).alias("dd"))
+        res = F.aggregate(
+            vals,
+            acc0,
+            lambda a, x: F.struct(
+                F.greatest(a["peak"], x).alias("peak"),
+                F.when(
+                    (a["peak"] > 0) & ((a["peak"] - x) / a["peak"] > a["dd"]),
+                    (a["peak"] - x) / a["peak"],
+                )
+                .otherwise(a["dd"])
+                .alias("dd"),
+            ),
+            lambda a: a["dd"],
+        )
+        return _empty_null(vals, res)
+
+    return AggSpec(
+        "drawdown",
+        {"v": _c(value).cast("double")},
+        native=None,
+        array=arr,
+        group=None,
+        order_sensitive=True,
+    )
+
+
+def entropy(value: ColumnOrName) -> AggSpec:
+    """Shannon entropy, log2, nulls skipped, empty -> NULL
+    (ref: aggregate_def.cc:110-130, registered :386)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        keys = _nn(F.transform(e, f("v")))
+        total = F.size(keys)
+        counts = _key_counts(keys)
+        h = F.aggregate(
+            counts,
+            F.lit(0.0),
+            lambda a, s: a
+            - (s["cnt"] / total) * F.log2(s["cnt"].cast("double") / total),
+        )
+        return F.when(total > 0, h)
+
+    return AggSpec(
+        "entropy",
+        {"v": _c(value)},
+        native=None,
+        array=arr,
+        group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+def _group_via_collect(arr_fn: Callable, f: dict[str, Column]) -> Column:
+    """Reuse an array reduction in groupBy().agg() via collect_list."""
+    elems = F.collect_list(F.struct(*[v.alias(k) for k, v in f.items()]))
+    return arr_fn(elems, lambda name: (lambda s: s[name]))
+
+
+def lag(value: ColumnOrName, offset: int) -> AggSpec:
+    """lag/at: value `offset` rows before the current row in the partition
+    (ref: window_functions_def.cc:207-273). Out-of-range -> NULL."""
+    return AggSpec(
+        "lag",
+        {"v": _c(value)},
+        native=lambda f, ws: F.lag(f["v"], offset).over(ws),
+        # within a frame: current row is the last element; out-of-range -> NULL
+        array=lambda e, f: F.when(
+            F.size(e) > offset, F.element_at(F.transform(e, f("v")), F.size(e) - offset)
+        ),
+        group=None,
+        order_sensitive=True,
+    )
+
+
+def first_value(value: ColumnOrName, ignore_nulls: bool = False) -> AggSpec:
+    """Value from the first row of the window frame (ts-ascending; ref:
+    window_functions_def.cc:290)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        vals = F.transform(e, f("v"))
+        if ignore_nulls:
+            vals = _nn(vals)
+        return F.element_at(vals, 1)
+
+    return AggSpec(
+        "first_value",
+        {"v": _c(value)},
+        native=lambda f, ws: F.first(f["v"], ignorenulls=ignore_nulls).over(ws),
+        array=arr,
+        group=None,
+        order_sensitive=True,
+    )
+
+
+def last_value(value: ColumnOrName, ignore_nulls: bool = False) -> AggSpec:
+    """Value from the last row of the window frame (ref:
+    window_functions_def.cc:325)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        vals = F.transform(e, f("v"))
+        if ignore_nulls:
+            vals = _nn(vals)
+        return F.element_at(vals, F.size(vals))
+
+    return AggSpec(
+        "last_value",
+        {"v": _c(value)},
+        native=lambda f, ws: F.last(f["v"], ignorenulls=ignore_nulls).over(ws),
+        array=arr,
+        group=None,
+        order_sensitive=True,
+    )
+
+
+def nth_value_where(value: ColumnOrName, idx: int, cond: Column) -> AggSpec:
+    """Value of the idx-th frame row matching cond; idx from 1 (frame start)
+    or -1 (frame end) (ref: window_functions_def.cc:344)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        matching = F.filter(e, lambda s: F.coalesce(f("c")(s), F.lit(False)))
+        vals = F.transform(matching, f("v"))
+        pos = F.lit(idx) if idx > 0 else F.size(vals) + 1 + idx
+        return F.when((pos >= 1) & (pos <= F.size(vals)), F.element_at(vals, pos))
+
+    return AggSpec(
+        "nth_value_where",
+        {"v": _c(value), "c": cond},
+        native=None,
+        array=arr,
+        group=None,
+        order_sensitive=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# category family: *_cate (ref: default_defs/{sum,avg,min,max,count}_by_category_def.cc)
+# ---------------------------------------------------------------------------
+
+_CATE_AGGS: dict[str, Callable[[Column], Column]] = {
+    "sum": _arr_sum,
+    "count": lambda a: _arr_count(a).cast("long"),
+    "avg": _arr_avg,
+    "min": _arr_min,
+    "max": _arr_max,
+}
+
+
+def _fmt_num(x: Column) -> Column:
+    """Format an aggregate value the way the reference prints it: integral
+    values without a trailing '.0' even when computed as double (avg of ints
+    prints e.g. '2.000000' in the reference; we pin '2' for ints and plain
+    repr for fractional — golden-tested)."""
+    return x.cast("string")
+
+
+def _cate_arr(
+    agg: str,
+    n: Optional[int] = None,
+    order: str = "key_asc",
+) -> Callable[[Column, Callable], Column]:
+    """Build the array reduction for a *_cate family member.
+
+    ``order``: key_asc (plain cate), key_desc (top_n_key_*), value_desc
+    (top_n_value_*). Rows with NULL category key are skipped; rows whose
+    condition field is false/null are skipped (cond pre-gated into 'v').
+    """
+    agg_fn = _CATE_AGGS[agg]
+
+    def arr(e: Column, f: Callable) -> Column:
+        eligible = F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull())
+        ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
+        groups = F.transform(
+            ks,
+            lambda k: F.struct(
+                k.alias("k"),
+                agg_fn(
+                    F.transform(F.filter(eligible, lambda s: f("k")(s) == k), f("v"))
+                ).alias("v"),
+            ),
+        )
+        if order == "key_desc":
+            groups = F.reverse(groups)
+        elif order == "value_desc":
+            groups = F.array_sort(
+                groups,
+                lambda a, b: F.when(a["v"] > b["v"], -1)
+                .when(a["v"] < b["v"], 1)
+                .when(a["k"] < b["k"], -1)
+                .when(a["k"] > b["k"], 1)
+                .otherwise(0),
+            )
+        if n is not None:
+            groups = F.slice(groups, 1, n)
+        return F.array_join(
+            F.transform(
+                groups,
+                lambda s: F.concat(s["k"].cast("string"), F.lit(":"), _fmt_num(s["v"])),
+            ),
+            ",",
+        )
+
+    return arr
+
+
+def _cate_spec(
+    name: str,
+    agg: str,
+    value: ColumnOrName,
+    cat: ColumnOrName,
+    cond: Optional[Column] = None,
+    n: Optional[int] = None,
+    order: str = "key_asc",
+) -> AggSpec:
+    v = _c(value)
+    if agg == "avg":
+        v = v.cast("double")
+    if cond is not None:
+        v = F.when(cond, v)
+    fields = {"v": v, "k": _c(cat)}
+    arr = _cate_arr(agg, n=n, order=order)
+    return AggSpec(
+        name,
+        fields,
+        native=None,
+        array=arr,
+        group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+def sum_cate(value: ColumnOrName, cat: ColumnOrName) -> AggSpec:
+    """'k1:v1,k2:v2' sorted by key asc (ref: sum_by_category_def.cc:223-246)."""
+    return _cate_spec("sum_cate", "sum", value, cat)
+
+
+def count_cate(value: ColumnOrName, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("count_cate", "count", value, cat)
+
+
+def avg_cate(value: ColumnOrName, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("avg_cate", "avg", value, cat)
+
+
+def min_cate(value: ColumnOrName, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("min_cate", "min", value, cat)
+
+
+def max_cate(value: ColumnOrName, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("max_cate", "max", value, cat)
+
+
+def sum_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName) -> AggSpec:
+    """(ref: sum_by_category_def.cc:248-274)"""
+    return _cate_spec("sum_cate_where", "sum", value, cat, cond=cond)
+
+
+def count_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("count_cate_where", "count", value, cat, cond=cond)
+
+
+def avg_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("avg_cate_where", "avg", value, cat, cond=cond)
+
+
+def min_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("min_cate_where", "min", value, cat, cond=cond)
+
+
+def max_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName) -> AggSpec:
+    return _cate_spec("max_cate_where", "max", value, cat, cond=cond)
+
+
+def top_n_key_sum_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    """Top-n category keys in key-descending order
+    (ref: sum_by_category_def.cc:276-306)."""
+    return _cate_spec("top_n_key_sum_cate_where", "sum", value, cat, cond=cond, n=n, order="key_desc")
+
+
+def top_n_key_count_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_key_count_cate_where", "count", value, cat, cond=cond, n=n, order="key_desc")
+
+
+def top_n_key_avg_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_key_avg_cate_where", "avg", value, cat, cond=cond, n=n, order="key_desc")
+
+
+def top_n_key_min_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_key_min_cate_where", "min", value, cat, cond=cond, n=n, order="key_desc")
+
+
+def top_n_key_max_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_key_max_cate_where", "max", value, cat, cond=cond, n=n, order="key_desc")
+
+
+def top_n_value_sum_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    """Top-n groups by aggregate value desc (ref: sum_by_category_def.cc:308-338)."""
+    return _cate_spec("top_n_value_sum_cate_where", "sum", value, cat, cond=cond, n=n, order="value_desc")
+
+
+def top_n_value_count_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_value_count_cate_where", "count", value, cat, cond=cond, n=n, order="value_desc")
+
+
+def top_n_value_avg_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_value_avg_cate_where", "avg", value, cat, cond=cond, n=n, order="value_desc")
+
+
+def top_n_value_min_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_value_min_cate_where", "min", value, cat, cond=cond, n=n, order="value_desc")
+
+
+def top_n_value_max_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    return _cate_spec("top_n_value_max_cate_where", "max", value, cat, cond=cond, n=n, order="value_desc")

@@ -1,0 +1,119 @@
+"""LAST JOIN — the dialect's as-of-style join: for each left row, among right
+rows matching the equi-keys (+ optional extra condition), keep exactly the one
+with the greatest ORDER BY value; left rows always survive (NULL fill).
+
+Reference semantics: ``docs/en/openmldb_sql/dql/JOIN_CLAUSE.md:5-66``;
+physical op ``PhysicalJoinNode`` ``hybridse/include/vm/physical_op.h:1213-1329``.
+The unsorted variant ("last stored row") is storage-order-defined in the
+reference; a shuffled engine has no storage order, so we require a
+deterministic ``tiebreak`` column and document the divergence (the
+reference's own Spark lowering does the same with dropDuplicates,
+``JoinPlan.scala:200-205``).
+
+Two Spark-first lowerings:
+
+- **dedupe-right** (used when the join condition is keys-only): reduce the
+  right side to one row per key via ``row_number() == 1`` *before* the join,
+  then a plain left join. The heavy table never fans out; the deduped right
+  is usually small enough for AQE to broadcast. This is the 100 TB path:
+  shuffle(right) by keys -> shrink to |distinct keys| -> broadcast/SMJ.
+- **post-filter** (extra non-equi condition): left join, then keep the
+  max-order row per left row id. Costs a fan-out proportional to match
+  multiplicity; only used when semantics demand it.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+_LID = "__omsk_left_id"
+
+
+def last_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Union[str, Sequence[str], Sequence[tuple[str, str]]],
+    order_by: Optional[str] = None,
+    *,
+    condition: Optional[Column] = None,
+    tiebreak: Optional[str] = None,
+    right_prefix: Optional[str] = None,
+) -> DataFrame:
+    """LAST JOIN ``left`` to ``right``.
+
+    on         : equi-key column name(s), or (left_col, right_col) pairs.
+    order_by   : right-side ordering column (ts); max wins. None = unsorted
+                 LAST JOIN -> requires ``tiebreak``.
+    condition  : extra join predicate referencing both sides (forces the
+                 post-filter plan).
+    tiebreak   : right-side column breaking order ties deterministically
+                 (mandatory for unsorted; recommended when ts can tie).
+    right_prefix: optionally rename right columns (prefix) to avoid clashes.
+    """
+    if isinstance(on, str):
+        pairs = [(on, on)]
+    elif on and isinstance(on[0], str):
+        pairs = [(c, c) for c in on]
+    else:
+        pairs = list(on)
+
+    if order_by is None and tiebreak is None:
+        raise ValueError(
+            "unsorted LAST JOIN needs a deterministic tiebreak column "
+            "(reference picks storage order — undefined after a shuffle)"
+        )
+
+    order_cols: list[Column] = []
+    if order_by is not None:
+        order_cols.append(F.col(order_by).desc_nulls_last())
+    if tiebreak is not None:
+        order_cols.append(F.col(tiebreak).desc_nulls_last())
+
+    if right_prefix:
+        renames = {c: f"{right_prefix}{c}" for c in right.columns}
+    else:
+        renames = {}
+
+    if condition is None:
+        # dedupe-right plan: one row per key before the join
+        w = Window.partitionBy(*[r for _, r in pairs]).orderBy(*order_cols)
+        deduped = (
+            right.withColumn("__omsk_rn", F.row_number().over(w))
+            .filter(F.col("__omsk_rn") == 1)
+            .drop("__omsk_rn")
+        )
+        for old, new in renames.items():
+            deduped = deduped.withColumnRenamed(old, new)
+        cond = None
+        for lc, rc in pairs:
+            c = left[lc] == deduped[renames.get(rc, rc)]
+            cond = c if cond is None else (cond & c)
+        return left.join(deduped, cond, "left")
+
+    # post-filter plan: join then keep max-order match per left row
+    lid = left.withColumn(_LID, F.monotonically_increasing_id())
+    r = right
+    for old, new in renames.items():
+        r = r.withColumnRenamed(old, new)
+    cond = condition
+    for lc, rc in pairs:
+        rcol = renames.get(rc, rc)
+        cond = cond & (lid[lc] == r[rcol])
+    joined = lid.join(r, cond, "left")
+    order_cols = []
+    if order_by is not None:
+        order_cols.append(F.col(renames.get(order_by, order_by)).desc_nulls_last())
+    if tiebreak is not None:
+        order_cols.append(F.col(renames.get(tiebreak, tiebreak)).desc_nulls_last())
+    w = Window.partitionBy(_LID).orderBy(*order_cols)
+    out = (
+        joined.withColumn("__omsk_rn", F.row_number().over(w))
+        .filter(F.col("__omsk_rn") == 1)
+        .drop("__omsk_rn", _LID)
+    )
+    return out

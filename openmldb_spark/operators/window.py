@@ -1,0 +1,268 @@
+"""Window aggregation engine — ROWS / ROWS_RANGE frames with the reference
+dialect's frame attributes.
+
+Semantics pinned from the reference:
+
+- frame grammar + attributes: ``docs/en/openmldb_sql/dql/WINDOW_CLAUSE.md``,
+  ``hybridse/include/vm/physical_op.h:1134-1211`` (window_, window_unions_,
+  instance_not_in_window_, exclude_current_time_),
+  ``hybridse/include/node/node_enum.h:248-266`` (bound types incl.
+  kOpenPreceding, kExcludeCurrentTime).
+- Only PRECEDING..CURRENT frames exist; ORDER BY is a single int/timestamp
+  column (``WINDOW_CLAUSE.md:178-186``).
+
+Lowering strategy (Spark-first):
+
+- **Native path** (default): ``Window.partitionBy(keys).orderBy(ord)`` with
+  ``rowsBetween`` / ``rangeBetween`` — whole-stage-codegen'd WindowExec,
+  one shuffle per distinct partitioning, multiple aggregates share one sort.
+- **Array path** (only when the frame has attributes Spark frames cannot
+  express — MAXSIZE, EXCLUDE CURRENT_TIME, INSTANCE_NOT_IN_WINDOW — or the
+  aggregate has no native form, e.g. ``ew_avg``, ``*_cate``): collect the
+  frame rows once as ``array<struct>`` via ``collect_list`` over a *bounded*
+  frame, then reduce with higher-order functions. Everything stays JVM-side;
+  the collected array is bounded by the frame size (rows frames, MAXSIZE) so
+  per-row state is O(frame), never O(partition).
+
+Scale notes: both paths shuffle once on the partition keys and sort within
+partitions — the same data movement the reference's offline engine performs
+(repartition + sortWithinPartitions, ``WindowAggPlan.scala``). Skewed keys
+are handled by AQE; for pathological hot keys use the documented salting
+recipe in ``window_union.py``.
+
+Tie-breaking: rows that share the same ORDER BY value are ordered by a
+deterministic secondary sort on ``__omsk_rid`` (a per-row unique id). The
+reference iterates storage insertion order, which a shuffled engine cannot
+reproduce; we pin (ts, rid) and document the divergence. For RANGE frames
+the native path follows SQL-standard peer semantics (rows *after* the
+current row with equal ts are in-frame) — identical to every SQL oracle,
+slightly wider than the reference's stored-prefix view.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions.aggregates import AggSpec
+
+ColumnOrName = Union[Column, str]
+
+_RID = "__omsk_rid"
+_ORD = "__omsk_ord"
+_FLAG = "__omsk_flag"
+
+_INTERVAL_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+
+
+def parse_interval_ms(v: Union[int, str]) -> int:
+    """'10s' / '2m' / '1h' / '30d' / '250ms' / plain int -> milliseconds.
+
+    Interval literal units per ``node_enum.h:190-196`` (kHour/kMinute/
+    kSecond/kDay) plus bare ms.
+    """
+    if isinstance(v, int):
+        return v
+    s = v.strip().lower()
+    for suffix in ("ms", "s", "m", "h", "d"):
+        if s.endswith(suffix):
+            return int(s[: -len(suffix)]) * _INTERVAL_MS[suffix]
+    return int(s)
+
+
+@dataclass
+class WindowDef:
+    """A named window from the dialect's WINDOW clause.
+
+    Exactly one of ``rows`` / ``rows_range`` / ``unbounded`` describes the
+    lower bound; the upper bound is always CURRENT ROW (the dialect has no
+    FOLLOWING).
+    """
+
+    partition_by: Sequence[ColumnOrName]
+    order_by: ColumnOrName
+    rows: Optional[int] = None                    # ROWS n PRECEDING
+    rows_range: Optional[Union[int, str]] = None  # ROWS_RANGE interval PRECEDING
+    unbounded: bool = False                       # UNBOUNDED PRECEDING
+    open_preceding: bool = False                  # OPEN <bound> PRECEDING
+    exclude_current_row: bool = False
+    exclude_current_time: bool = False
+    maxsize: Optional[int] = None                 # ROWS_RANGE ... MAXSIZE k
+    #: bounded lookback used when EXCLUDE CURRENT_TIME forces a rows-frame
+    #: over-collect (same-ts runs longer than this are truncated; documented)
+    lookback_slack: int = 256
+
+    def __post_init__(self) -> None:
+        n_bounds = sum(x is not None for x in (self.rows, self.rows_range)) + int(self.unbounded)
+        if n_bounds != 1:
+            raise ValueError("exactly one of rows / rows_range / unbounded required")
+        if self.maxsize is not None and self.rows_range is None:
+            raise ValueError("MAXSIZE is only valid for ROWS_RANGE windows (WINDOW_CLAUSE.md:313)")
+
+    @property
+    def range_ms(self) -> Optional[int]:
+        return None if self.rows_range is None else parse_interval_ms(self.rows_range)
+
+    def needs_array_eval(self) -> bool:
+        """Frame attributes Spark's native frames cannot express."""
+        if self.maxsize is not None or self.exclude_current_time:
+            return True
+        # EXCLUDE CURRENT_ROW on a RANGE frame must drop exactly one row while
+        # keeping its ts-peers — not expressible as a Spark frame bound.
+        if self.exclude_current_row and self.rows_range is not None:
+            return True
+        return False
+
+
+def _ord_long(df: DataFrame, order_by: ColumnOrName) -> Column:
+    """Normalize the ORDER BY column to epoch-ms (or plain long) so RANGE
+    bounds are millisecond arithmetic, matching the reference's ts model."""
+    col = F.col(order_by) if isinstance(order_by, str) else order_by
+    name = order_by if isinstance(order_by, str) else None
+    dtype = dict(df.dtypes).get(name, "") if name else ""
+    if dtype == "timestamp_ntz":
+        # NTZ wall-clock == UTC instant under our pinned UTC session tz
+        return F.unix_millis(col.cast("timestamp"))
+    if dtype == "timestamp":
+        return F.unix_millis(col)
+    if dtype == "date":
+        return F.unix_millis(col.cast("timestamp"))
+    return col.cast("long")
+
+
+def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec, WindowSpec]:
+    """Attach normalized order/rid cols; build framed + unframed WindowSpecs."""
+    parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
+    df = df.withColumn(_ORD, _ord_long(df, wdef.order_by))
+    if _RID not in df.columns:
+        df = df.withColumn(_RID, F.monotonically_increasing_id())
+    base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+    if wdef.unbounded:
+        framed = base.rowsBetween(Window.unboundedPreceding, -1 if wdef.exclude_current_row else 0)
+    elif wdef.rows is not None:
+        n = wdef.rows - (1 if wdef.open_preceding else 0)
+        framed = base.rowsBetween(-n, -1 if wdef.exclude_current_row else 0)
+    else:
+        r = wdef.range_ms - (1 if wdef.open_preceding else 0)
+        # RANGE frames order by the value only (peers share the frame)
+        framed = (
+            Window.partitionBy(*parts).orderBy(F.col(_ORD).asc()).rangeBetween(-r, 0)
+        )
+    return df, framed, base
+
+
+def _collect_window(wdef: WindowDef, parts: list[Column]) -> WindowSpec:
+    """The bounded frame the array path collects over (superset of the real
+    frame; element filters narrow it down)."""
+    base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+    slack = wdef.lookback_slack if wdef.exclude_current_time else 0
+    if wdef.maxsize is not None:
+        return base.rowsBetween(-(wdef.maxsize + slack + 1), 0)
+    if wdef.rows is not None:
+        return base.rowsBetween(-(wdef.rows + slack), 0)
+    if wdef.unbounded:
+        return base.rowsBetween(Window.unboundedPreceding, 0)
+    r = wdef.range_ms - (1 if wdef.open_preceding else 0)
+    return Window.partitionBy(*parts).orderBy(F.col(_ORD).asc()).rangeBetween(-r, 0)
+
+
+def _take_last(arr: Column, k: Column) -> Column:
+    """Last k elements of arr (most recent; arr is ts-ascending)."""
+    n = F.size(arr)
+    return F.slice(arr, F.greatest(n - k + 1, F.lit(1)), k)
+
+
+def window_agg(
+    df: DataFrame,
+    wdef: WindowDef,
+    aggs: dict[str, AggSpec],
+    *,
+    instance_not_in_window: bool = False,
+    keep_flag: bool = False,
+) -> DataFrame:
+    """Append one output column per (name -> AggSpec) computed over ``wdef``.
+
+    ``instance_not_in_window`` (ref: physical_op.h:1166-1168): frame rows are
+    drawn only from UNION-side rows (``_FLAG == 0``) plus the current row;
+    only meaningful when ``df`` carries the union flag column (see
+    window_union.py).
+    """
+    out_cols = [c for c in df.columns if not c.startswith("__omsk")]
+    df, framed_ws, plain_ws = _specs_window(df, wdef)
+    parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
+
+    array_specs: dict[str, AggSpec] = {}
+    native_cols: dict[str, Column] = {}
+    needs_array_frame = wdef.needs_array_eval() or instance_not_in_window
+    for name, spec in aggs.items():
+        if spec.native is not None and not needs_array_frame:
+            fields = {k: v for k, v in spec.fields.items()}
+            ws = plain_ws if spec.name == "lag" else framed_ws
+            native_cols[name] = spec.native(fields, ws)
+        elif spec.array is not None:
+            array_specs[name] = spec
+        else:
+            raise ValueError(f"aggregate {spec.name} has no lowering for this window")
+
+    if array_specs:
+        # one collect_list shared by every array-path aggregate
+        struct_fields: list[Column] = [F.col(_ORD).alias("o"), F.col(_RID).alias("r")]
+        if instance_not_in_window:
+            struct_fields.append(F.col(_FLAG).alias("g"))
+        for i, (name, spec) in enumerate(array_specs.items()):
+            for fk, fexpr in spec.fields.items():
+                struct_fields.append(fexpr.alias(f"f{i}_{fk}"))
+        elems = F.collect_list(F.struct(*struct_fields)).over(_collect_window(wdef, parts))
+        # pin (ord, rid) element order — RANGE-frame collects otherwise leave
+        # same-ts peers in shuffle order (nondeterministic across runs)
+        elems = F.array_sort(
+            elems,
+            lambda a, b: F.when(a["o"] < b["o"], -1)
+            .when(a["o"] > b["o"], 1)
+            .when(a["r"] < b["r"], -1)
+            .when(a["r"] > b["r"], 1)
+            .otherwise(0),
+        )
+
+        cur_ord, cur_rid = F.col(_ORD), F.col(_RID)
+        conds = []
+        if wdef.exclude_current_time:
+            conds.append(lambda e: (e["o"] < cur_ord) | (e["r"] == cur_rid))
+        if instance_not_in_window:
+            conds.append(lambda e: (e["g"] == F.lit(0)) | (e["r"] == cur_rid))
+        if wdef.maxsize is not None or wdef.rows is not None:
+            # rows-count frames re-check the range bound after filtering
+            if wdef.rows_range is not None:
+                r = wdef.range_ms - (1 if wdef.open_preceding else 0)
+                conds.append(lambda e: e["o"] >= cur_ord - F.lit(r))
+        if conds:
+            elems = F.filter(elems, lambda e: _and_all(c(e) for c in conds))
+        # rows frames: keep exactly the last (n+1) eligible rows (incl current)
+        if wdef.rows is not None:
+            n = wdef.rows - (1 if wdef.open_preceding else 0)
+            elems = _take_last(elems, F.lit(n + 1))
+        if wdef.maxsize is not None:
+            k = wdef.maxsize + (1 if wdef.exclude_current_row else 0)
+            elems = _take_last(elems, F.lit(k))
+        if wdef.exclude_current_row:
+            elems = F.filter(elems, lambda e: e["r"] != cur_rid)
+        if wdef.maxsize is not None and wdef.exclude_current_row:
+            elems = _take_last(elems, F.lit(wdef.maxsize))
+
+        for i, (name, spec) in enumerate(array_specs.items()):
+            getter = lambda fk, i=i: (lambda s: s[f"f{i}_{fk}"])
+            native_cols[name] = spec.array(elems, getter)
+
+    result = df.select(*out_cols, *( [F.col(_FLAG)] if keep_flag and _FLAG in df.columns else [] ),
+                       *[c.alias(n) for n, c in native_cols.items()])
+    return result
+
+
+def _and_all(conds) -> Column:
+    out = None
+    for c in conds:
+        out = c if out is None else (out & c)
+    return out

@@ -1,0 +1,53 @@
+"""WINDOW ... UNION — window frames drawn from main ∪ side tables, output
+rows only for main-table rows.
+
+Reference semantics: ``docs/en/openmldb_sql/dql/WINDOW_CLAUSE.md:219-260``;
+the reference's own Spark lowering uses exactly this flag-column pattern
+(``WindowAggPlanUtil.windowUnionTables``, ``WindowAggPlanUtil.scala:50-155``:
+literal 1 for main rows, 0 for union rows, unionByName, window, filter).
+
+``INSTANCE_NOT_IN_WINDOW`` (``physical_op.h:1166-1168``): main-table rows
+other than the current row are excluded from every frame — frames see union
+rows + the current row only.
+
+Scale: the union is a narrow transform (no shuffle); the single shuffle is
+the window's partitioning, shared across all aggregates. Side tables are
+projected to the window's needed columns before the union (column pruning
+keeps the shuffle payload minimal).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions.aggregates import AggSpec
+from openmldb_spark.operators.window import _FLAG, WindowDef, window_agg
+
+
+def window_union(
+    main: DataFrame,
+    unions: Sequence[DataFrame],
+    wdef: WindowDef,
+    aggs: dict[str, AggSpec],
+    *,
+    instance_not_in_window: bool = False,
+) -> DataFrame:
+    """Compute ``aggs`` over windows spanning main ∪ union rows; emit only
+    main rows (with their original columns + aggregate columns)."""
+    # prune side tables to the columns the window actually consumes: the
+    # aggregates' inputs are arbitrary exprs over the schema, so side tables
+    # must share the main schema (reference requires matching schemas)
+    flagged = main.withColumn(_FLAG, F.lit(1))
+    for u in unions:
+        flagged = flagged.unionByName(u.select(*main.columns).withColumn(_FLAG, F.lit(0)))
+    out = window_agg(
+        flagged,
+        wdef,
+        aggs,
+        instance_not_in_window=instance_not_in_window,
+        keep_flag=True,
+    )
+    return out.filter(F.col(_FLAG) == 1).drop(_FLAG)
