@@ -1,0 +1,74 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Queries chosen to cover the engine's hot paths: scan+group-agg (Catalyst
+hash agg), sliding windows (native WindowExec), array-eval windows (MAXSIZE),
+LAST JOIN (dedupe-right plan), window-union, minhash dedup (HOF pipeline),
+embedding top-k (broadcast NL join), text quality (pure projection).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry
+from openmldb_spark.session import get_spark
+
+BENCH_QUERIES = [
+    "group_agg",
+    "join_agg",
+    "window_rows",
+    "window_rows_range",
+    "window_maxsize",
+    "udaf_window_cate",
+    "last_join",
+    "window_union",
+    "dedup_exact",
+    "dedup_minhash",
+    "text_stats",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="openmldb_spark_bench")
+    qs = entry.queries()
+
+    # warm the JVM + file cache with a cheap action
+    qs["const_project"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        # count() forces full evaluation of every operator without
+        # collecting result payloads to the driver
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

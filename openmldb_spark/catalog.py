@@ -1,0 +1,114 @@
+"""Table / index / TTL metadata — the data-model surface of the reference.
+
+Reference model (SURVEY §1): a table has typed columns plus one or more
+indexes ``INDEX(KEY=..., TS=..., TTL=..., TTL_TYPE=...)``
+(``src/proto/common.proto:73-81``; DDL doc
+``docs/en/openmldb_sql/ddl/CREATE_TABLE_STATEMENT.md:223-244``). An index is
+a physical access path (rows hashed by key, time-ordered within key); TTL
+bounds retained history per key.
+
+Spark-first translation: an index is a *layout hint*, not semantics —
+``repartition(keys).sortWithinPartitions(ts)`` before heavy window chains, or
+bucketed parquet for repeated co-located joins. TTL becomes a load-time
+filter:
+
+- ``absolute`` (kAbsoluteTime): keep rows with ts newer than now - ttl
+- ``latest``  (kLatestTime):   keep the newest N rows per key
+- ``absandlat`` / ``absorlat``: conjunction / disjunction of the two
+  (``src/proto/type.proto:50-56``; GC impl ``src/storage/segment.h:95-99``)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from openmldb_spark.operators.window import parse_interval_ms
+
+
+@dataclass
+class IndexDef:
+    name: str
+    keys: Sequence[str]
+    ts_col: Optional[str] = None
+    ttl: Optional[str] = None        # e.g. '30d' (absolute) or '100' (latest N)
+    ttl_type: str = "absolute"       # absolute | latest | absandlat | absorlat
+
+
+@dataclass
+class TableDef:
+    name: str
+    schema_ddl: str                   # Spark DDL string, e.g. 'id int, ts timestamp'
+    indexes: list[IndexDef] = field(default_factory=list)
+
+    def primary_index(self) -> Optional[IndexDef]:
+        return self.indexes[0] if self.indexes else None
+
+
+def apply_ttl(
+    df: DataFrame,
+    index: IndexDef,
+    *,
+    now_ms: Optional[int] = None,
+) -> DataFrame:
+    """Enforce an index's TTL as a filter (batch equivalent of online GC).
+
+    ``now_ms`` pins "now" for determinism; defaults to the max ts in the data
+    (the only reproducible choice for a batch engine).
+    """
+    if index.ttl is None or index.ts_col is None:
+        return df
+    ts_ms = F.unix_millis(F.col(index.ts_col).cast("timestamp"))
+
+    def abs_filter(d: DataFrame) -> DataFrame:
+        ttl_ms = parse_interval_ms(index.ttl)
+        if now_ms is None:
+            bound = d.agg(F.max(ts_ms).alias("m")).collect()[0]["m"] - ttl_ms
+        else:
+            bound = now_ms - ttl_ms
+        return d.filter(ts_ms > F.lit(bound))
+
+    def lat_filter(d: DataFrame) -> DataFrame:
+        n = int(index.ttl)
+        w = Window.partitionBy(*index.keys).orderBy(ts_ms.desc())
+        return (
+            d.withColumn("__omsk_ttl_rn", F.row_number().over(w))
+            .filter(F.col("__omsk_ttl_rn") <= n)
+            .drop("__omsk_ttl_rn")
+        )
+
+    t = index.ttl_type.lower()
+    if t == "absolute":
+        return abs_filter(df)
+    if t == "latest":
+        return lat_filter(df)
+    if t == "absandlat":
+        # evicted only when BOTH expired -> kept if either keeps it
+        ttl_parts = [p.strip() for p in index.ttl.split("&&")]
+        abs_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[0], "absolute")
+        kept_abs = apply_ttl(df, abs_idx, now_ms=now_ms)
+        lat_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[1], "latest")
+        kept_lat = apply_ttl(df, lat_idx, now_ms=now_ms)
+        return kept_abs.unionByName(kept_lat).distinct()
+    if t == "absorlat":
+        # evicted when EITHER expired -> kept only if both keep it
+        ttl_parts = [p.strip() for p in index.ttl.split("||")]
+        abs_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[0], "absolute")
+        lat_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[1], "latest")
+        kept = apply_ttl(apply_ttl(df, abs_idx, now_ms=now_ms), lat_idx, now_ms=now_ms)
+        return kept
+    raise ValueError(f"unknown ttl_type {index.ttl_type!r}")
+
+
+def layout_for_index(df: DataFrame, index: IndexDef, num_partitions: Optional[int] = None) -> DataFrame:
+    """Physically co-locate data per the index (performance hint only):
+    hash-partition by key, time-sort within partitions — the layout every
+    window chain over this index wants, paid once."""
+    parts = [F.col(k) for k in index.keys]
+    out = df.repartition(*([num_partitions] if num_partitions else []), *parts)
+    if index.ts_col:
+        out = out.sortWithinPartitions(*index.keys, index.ts_col)
+    return out

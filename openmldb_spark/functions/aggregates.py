@@ -107,6 +107,12 @@ class AggSpec:
     def with_name(self, out: str) -> tuple[str, "AggSpec"]:
         return out, self
 
+    def as_group(self) -> Column:
+        """This aggregate as a groupBy().agg() column."""
+        if self.group is None:
+            raise ValueError(f"{self.name} is window-only (order-sensitive)")
+        return self.group(self.fields)
+
 
 # ---------------------------------------------------------------------------
 # plain aggregates (native Spark window/group functions + array fallback)
@@ -248,8 +254,9 @@ def median_(value: ColumnOrName) -> AggSpec:
     def arr(e: Column, f: Callable) -> Column:
         vals = F.array_sort(_nn(F.transform(e, f("v"))))
         n = F.size(vals)
-        odd = F.element_at(vals, (n + 1) / F.lit(2).cast("int"))
-        even = (F.element_at(vals, n / 2) + F.element_at(vals, n / 2 + 1)) / 2.0
+        half = F.floor(n / 2).cast("int")
+        odd = F.element_at(vals, half + 1)
+        even = (F.element_at(vals, half) + F.element_at(vals, half + 1)) / 2.0
         return F.when(n == 0, F.lit(None).cast("double")).when(
             n % 2 == 1, odd.cast("double")
         ).otherwise(even)

@@ -41,7 +41,7 @@ def last_join(
     order_by: Optional[str] = None,
     *,
     condition: Optional[Column] = None,
-    tiebreak: Optional[str] = None,
+    tiebreak: Optional[Union[str, Sequence[str]]] = None,
     right_prefix: Optional[str] = None,
 ) -> DataFrame:
     """LAST JOIN ``left`` to ``right``.
@@ -51,7 +51,7 @@ def last_join(
                  LAST JOIN -> requires ``tiebreak``.
     condition  : extra join predicate referencing both sides (forces the
                  post-filter plan).
-    tiebreak   : right-side column breaking order ties deterministically
+    tiebreak   : right-side column(s) breaking order ties deterministically
                  (mandatory for unsorted; recommended when ts can tie).
     right_prefix: optionally rename right columns (prefix) to avoid clashes.
     """
@@ -67,12 +67,12 @@ def last_join(
             "unsorted LAST JOIN needs a deterministic tiebreak column "
             "(reference picks storage order — undefined after a shuffle)"
         )
+    tiebreaks = [tiebreak] if isinstance(tiebreak, str) else list(tiebreak or [])
 
     order_cols: list[Column] = []
     if order_by is not None:
         order_cols.append(F.col(order_by).desc_nulls_last())
-    if tiebreak is not None:
-        order_cols.append(F.col(tiebreak).desc_nulls_last())
+    order_cols.extend(F.col(t).desc_nulls_last() for t in tiebreaks)
 
     if right_prefix:
         renames = {c: f"{right_prefix}{c}" for c in right.columns}
@@ -95,25 +95,23 @@ def last_join(
             cond = c if cond is None else (cond & c)
         return left.join(deduped, cond, "left")
 
-    # post-filter plan: join then keep max-order match per left row
+    # post-filter plan: join then keep max-order match per left row.
+    # The user's condition references *original* right column names, so the
+    # prefix rename happens in the final projection, after join + filter.
     lid = left.withColumn(_LID, F.monotonically_increasing_id())
-    r = right
-    for old, new in renames.items():
-        r = r.withColumnRenamed(old, new)
     cond = condition
     for lc, rc in pairs:
-        rcol = renames.get(rc, rc)
-        cond = cond & (lid[lc] == r[rcol])
-    joined = lid.join(r, cond, "left")
+        cond = cond & (lid[lc] == right[rc])
+    joined = lid.join(right, cond, "left")
     order_cols = []
     if order_by is not None:
-        order_cols.append(F.col(renames.get(order_by, order_by)).desc_nulls_last())
-    if tiebreak is not None:
-        order_cols.append(F.col(renames.get(tiebreak, tiebreak)).desc_nulls_last())
+        order_cols.append(right[order_by].desc_nulls_last())
+    order_cols.extend(right[t].desc_nulls_last() for t in tiebreaks)
     w = Window.partitionBy(_LID).orderBy(*order_cols)
-    out = (
-        joined.withColumn("__omsk_rn", F.row_number().over(w))
-        .filter(F.col("__omsk_rn") == 1)
-        .drop("__omsk_rn", _LID)
+    out = joined.withColumn("__omsk_rn", F.row_number().over(w)).filter(
+        F.col("__omsk_rn") == 1
     )
-    return out
+    return out.select(
+        *[lid[c] for c in left.columns],
+        *[right[c].alias(renames.get(c, c)) for c in right.columns],
+    )

@@ -1,0 +1,13 @@
+"""LLM training-data pipeline operators (beyond-reference surface).
+
+Designed for 100 TB corpora: every operator is a shuffle-bounded DataFrame
+transform — no driver-side loops, no per-row Python in hot paths.
+
+- :mod:`openmldb_spark.pipeline.dedup`      exact / MinHash-LSH / SimHash /
+  n-gram-Jaccard / embedding near-dup
+- :mod:`openmldb_spark.pipeline.similarity` brute-force + LSH-bucketed ANN
+- :mod:`openmldb_spark.pipeline.text`       language-ID, quality scoring,
+  token counting, fingerprinting
+- :mod:`openmldb_spark.pipeline.multimodal` binary-column plumbing with
+  stubbed decoders
+"""

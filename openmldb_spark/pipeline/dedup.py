@@ -1,0 +1,335 @@
+"""Deduplication operators for large text corpora.
+
+All operators are deterministic (fixed hash seeds — reproducible across
+runs and cluster sizes) and shuffle-bounded:
+
+- :func:`exact_dedup`        — hash-groupBy; one shuffle on the dedup key.
+- :func:`minhash_signatures` — shingle → k minhashes, all inside
+  higher-order functions (JVM, no Python row loop).
+- :func:`minhash_lsh_pairs`  — band → bucket → within-bucket candidate
+  pairs; the classic MinHash-LSH join. Shuffles on (band, bucket-hash);
+  bucket sizes are the only fan-out, controlled by band/row geometry.
+- :func:`minhash_dedup`      — pairs → cluster reps (min doc id) → filter.
+- :func:`simhash`            — 64-bit SimHash via bit-bucketed token hash
+  sums (JVM-side; no Python).
+- :func:`ngram_jaccard_pairs`— exact Jaccard verification on candidate
+  pairs (re-shingles both sides of each candidate pair only).
+- :func:`embedding_dedup`    — cosine near-dup via random-hyperplane LSH
+  buckets + in-bucket verification.
+
+Scale notes: at 100 TB the only dangerous operation is the self-join on LSH
+buckets; a hot bucket (e.g. boilerplate shingles) explodes quadratically.
+``max_bucket`` caps it (buckets above the cap are dropped and logged — the
+standard production mitigation), and AQE skew-join splits handle the rest.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    id_col: str,
+) -> DataFrame:
+    """Keep one row per distinct ``cols`` value — the one with min ``id_col``
+    (deterministic). One shuffle on the dedup key."""
+    w = Window.partitionBy(*cols).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__dd_rn", F.row_number().over(w))
+        .filter(F.col("__dd_rn") == 1)
+        .drop("__dd_rn")
+    )
+
+
+def shingles(text: Column, n: int = 5, *, words: bool = True) -> Column:
+    """n-gram shingle set of a text column (word or character shingles),
+    as array<string>. Empty/short docs yield their whole text as the one
+    shingle so they can still bucket together."""
+    if words:
+        toks = F.filter(F.split(F.lower(text), r"\s+"), lambda x: x != "")
+        k = F.size(toks) - (n - 1)
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array(F.array_join(toks, " ")))
+    else:
+        t = F.lower(text)
+        k = F.length(t) - (n - 1)
+        grams = F.when(
+            k >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+                lambda i: F.substring(t, i, n),
+            ),
+        ).otherwise(F.array(t))
+    return F.array_distinct(grams)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+    words: bool = True,
+    out_col: str = "minhash",
+) -> DataFrame:
+    """Append ``out_col``: array<bigint> of ``num_hashes`` minhash values.
+
+    Each hash i is min over shingles of xxhash64(i-salted shingle) —
+    deterministic, seedable, entirely in whole-stage codegen.
+    """
+    sh = shingles(F.col(text_col), shingle_n, words=words)
+    df = df.withColumn("__dd_sh", sh)
+
+    # closure factory: `i=i` in the lambda would raise its arity to 2 and make
+    # pyspark bind the transform *index* lambda-variable to `i`, collapsing
+    # all num_hashes salts to one value
+    def _salted(i: int):
+        return lambda s: F.xxhash64(F.concat(F.lit(f"{i}|"), s))
+
+    sig = F.array(
+        *[F.array_min(F.transform(F.col("__dd_sh"), _salted(i))) for i in range(num_hashes)]
+    )
+    return df.withColumn(out_col, sig).drop("__dd_sh")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    sig_col: str = "minhash",
+    bands: int = 8,
+    max_bucket: int = 1000,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) from banded LSH over minhash
+    signatures; estimated Jaccard = fraction of matching signature slots.
+
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard) —
+    at scale a degenerate bucket means a degenerate shingle, not a real
+    duplicate cluster.
+    """
+    sig = F.col(sig_col)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        sig.alias("__sig"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    sig,
+                                    (b * (F.size(sig) / bands)).cast("int") + 1,
+                                    (F.size(sig) / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        )
+                    ).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("__id", "__sig", F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"))
+
+    # boilerplate guard: drop degenerate buckets
+    sized = banded.withColumn(
+        "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__band", "__bucket"))
+    ).filter(F.col("__bsize") <= max_bucket)
+
+    a = sized.select(
+        F.col("__band"), F.col("__bucket"), F.col("__id").alias("a"), F.col("__sig").alias("sa")
+    )
+    b = sized.select(
+        F.col("__band"), F.col("__bucket"), F.col("__id").alias("b"), F.col("__sig").alias("sb")
+    )
+    pairs = (
+        a.join(b, ["__band", "__bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                )
+                / F.size(F.col("sa"))
+            ).alias("jaccard_est"),
+        )
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .dropDuplicates(["a", "b"])
+    )
+    return pairs
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 5,
+    threshold: float = 0.8,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Remove near-duplicates: keep the min-id representative of each
+    near-dup group (single-hop clustering: a row is dropped if it pairs with
+    any smaller id at >= threshold estimated Jaccard).
+
+    Single-hop (not full connected components) is the standard large-scale
+    simplification: transitive chains longer than one hop survive one extra
+    round; run iteratively if full closure is needed.
+    """
+    sigs = minhash_signatures(
+        df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
+    )
+    pairs = minhash_lsh_pairs(
+        sigs, id_col, bands=bands, max_bucket=max_bucket, min_jaccard_est=threshold
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str,
+    *,
+    bits: int = 64,
+    out_col: str = "simhash",
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
+    token-hash bit contributions. All JVM-side higher-order functions."""
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # closure factory: a `j=j` default would raise the lambda's arity to 3
+    # and make pyspark pass a lambda-variable Column as `j`
+    def _merge(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_cols = []
+    for j in range(bits):
+        # contribution of bit j: +1 if set else -1, summed over tokens
+        s = F.aggregate(hashes, F.lit(0), _merge(j))
+        weight = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit of int64
+        bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(weight).cast("long"))
+    fingerprint = bit_cols[0]
+    for c in bit_cols[1:]:
+        fingerprint = fingerprint + c
+    return df.withColumn(out_col, F.when(F.size(toks) > 0, fingerprint).otherwise(F.lit(0)))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit fingerprints."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    candidates: Optional[DataFrame] = None,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity on candidate pairs.
+
+    Candidates default to MinHash-LSH output (never all-pairs — quadratic).
+    Returns (a, b, jaccard) with exact set Jaccard over n-gram shingles.
+    """
+    if candidates is None:
+        sigs = minhash_signatures(df, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
+        candidates = minhash_lsh_pairs(sigs, id_col, bands=bands).select("a", "b")
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    out = (
+        candidates.select("a", "b")
+        .join(sh.withColumnRenamed("__id", "a").withColumnRenamed("__sh", "sha"), "a")
+        .join(sh.withColumnRenamed("__id", "b").withColumnRenamed("__sh", "shb"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+def embedding_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    threshold: float = 0.95,
+    planes: int = 12,
+    seed: int = 42,
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Cosine near-duplicate removal: random-hyperplane LSH bucket, verify
+    cosine within buckets, drop the larger id of each pair >= threshold.
+
+    Hyperplanes are derived deterministically from ``seed`` via xxhash64 of
+    (seed, plane, dim) — no RNG state, reproducible on any cluster.
+    """
+    from openmldb_spark.pipeline.similarity import cosine, l2_norm
+
+    dim = len(df.select(vec_col).first()[0])
+    v = F.col("__v")  # bucket expression runs over the renamed projection below
+
+    def plane_coeff(p: int, d: int) -> Column:
+        # uniform in [-1, 1) from a hash — deterministic pseudo-random plane
+        h = F.xxhash64(F.lit(f"{seed}|{p}|{d}"))
+        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        dot = None
+        for d in range(dim):
+            term = F.element_at(v, d + 1).cast("double") * plane_coeff(p, d)
+            dot = term if dot is None else dot + term
+        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit * F.lit(1 << p).cast("long")
+
+    withb = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
+        "__bucket", bucket
+    )
+    sized = withb.withColumn(
+        "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+    ).filter(F.col("__bsize") <= max_bucket)
+    a = sized.select(F.col("__bucket"), F.col("__id").alias("a"), F.col("__v").alias("va"))
+    b = sized.select(F.col("__bucket"), F.col("__id").alias("b"), F.col("__v").alias("vb"))
+    pairs = (
+        a.join(b, "__bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")

@@ -89,9 +89,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANO_TS_COLUMNS.get(name, ()):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer division: float division loses ms precision at ~1.7e18 ns
             df = df.withColumn(
                 col,
-                F.timestamp_micros((F.col(col) / 1000).cast("long")).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"{col} div 1000")).cast("timestamp_ntz"),
             )
     return df
 

@@ -1,0 +1,151 @@
+"""Pipeline operators: dedup, similarity, text analysis, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.pipeline import dedup as D
+from openmldb_spark.pipeline import similarity as S
+from openmldb_spark.pipeline import text as T
+from openmldb_spark.pipeline import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again tonight"),  # near-dup of 1
+        (3, "completely different text about spark engines and distributed shuffles"),
+        (4, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (5, "der hund läuft und das ist nicht ein problem mit auf sich"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    out = D.exact_dedup(docs, ["text"], id_col="doc_id")
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 4 not in ids and 1 in ids and len(ids) == 4
+
+
+def test_minhash_signature_deterministic(spark, docs):
+    s1 = D.minhash_signatures(docs, "text", num_hashes=16).collect()
+    s2 = D.minhash_signatures(docs, "text", num_hashes=16).collect()
+    m1 = {r["doc_id"]: r["minhash"] for r in s1}
+    m2 = {r["doc_id"]: r["minhash"] for r in s2}
+    assert m1 == m2
+    assert m1[1] == m1[4]  # identical text -> identical signature
+    assert len(m1[1]) == 16
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = D.minhash_signatures(docs, "text", num_hashes=32, shingle_n=3)
+    pairs = D.minhash_lsh_pairs(sigs, "doc_id", bands=16).collect()
+    found = {(r["a"], r["b"]) for r in pairs}
+    assert (1, 4) in found            # exact dup always caught
+    assert (1, 2) in found or (2, 4) in found  # near-dup caught
+    assert all(p[0] < p[1] for p in found)
+
+
+def test_minhash_dedup_drops_duplicates(spark, docs):
+    out = D.minhash_dedup(docs, "doc_id", "text", num_hashes=32, bands=16,
+                          shingle_n=3, threshold=0.9)
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 1 in ids and 4 not in ids  # min-id representative survives
+    assert 3 in ids and 5 in ids      # distinct docs untouched
+
+
+def test_simhash_near_dups_close(spark, docs):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "text").collect()}
+    assert out[1] == out[4]
+    d_near = bin(out[1] ^ out[2]).count("1")
+    d_far = bin(out[1] ^ out[3]).count("1")
+    assert d_near < d_far
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    cands = spark.createDataFrame([(1, 4), (1, 3)], "a long, b long")
+    out = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, candidates=cands, threshold=0.0
+    ).collect()
+    j = {(r["a"], r["b"]): r["jaccard"] for r in out}
+    assert j[(1, 4)] == 1.0
+    assert j[(1, 3)] < 0.1
+
+
+def test_brute_force_topk(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    out = S.brute_force_topk(
+        df, df.where(F.col("vec_id") == 1),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v", k=2,
+    ).collect()
+    assert [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])] == [2, 3]
+
+
+def test_lsh_topk_recall_on_identical(spark):
+    import math
+    vecs = [(i, [math.cos(i * 0.1), math.sin(i * 0.1), 0.5]) for i in range(50)]
+    vecs.append((100, vecs[0][1]))  # identical to vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    out = S.lsh_topk(
+        df, df.where(F.col("vec_id") == 0),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v",
+        k=3, planes=6,
+    ).collect()
+    assert any(r["neighbor_id"] == 100 and r["rank"] == 1 for r in out)
+
+
+def test_embedding_dedup(spark):
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),    # duplicate of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    out = D.embedding_dedup(df, "vec_id", "v", threshold=0.99, planes=4)
+    ids = {r["vec_id"] for r in out.collect()}
+    assert ids == {1, 3}
+
+
+def test_text_quality_features(spark, docs):
+    out = T.quality_features(docs).collect()
+    r1 = next(r for r in out if r["doc_id"] == 1)
+    assert r1["n_tokens"] == 13
+    assert r1["stopword_ratio"] > 0.1
+    assert 0.0 <= r1["quality_score"] <= 1.0
+
+
+def test_lang_id(spark, docs):
+    out = {r["doc_id"]: r["g"] for r in docs.select("doc_id", T.lang_id(F.col("text")).alias("g")).collect()}
+    assert out[1] == "en"
+    assert out[5] == "de"
+
+
+def test_fingerprint_stable(spark, docs):
+    out = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).collect()
+    fps = {r["doc_id"]: r["fp"] for r in out}
+    assert fps[1] == fps[4]
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_plumbing(spark):
+    rows = [("m1", "image", "image/png", bytearray(b"fakepayload1"), None, None, None),
+            ("m2", "image", "image/png", bytearray(b""), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in M.extract_image_features(df).collect()}
+    assert out["m1"]["n_bytes"] == 12
+    assert out["m1"]["width"] is not None and len(out["m1"]["feat"]) == 8
+    assert out["m2"]["width"] is None  # stub raises -> nulls, row survives
+
+
+def test_frame_sample_plan(spark):
+    rows = [("v1", "video", "video/mp4", None, None, None, 5500)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.frame_sample_plan(df, every_ms=1000).collect()
+    assert len(out) == 5
+    assert {r["frame_ts_ms"] for r in out} == {0, 1000, 2000, 3000, 4000}

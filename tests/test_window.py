@@ -1,0 +1,154 @@
+"""Window engine semantics — golden cases mirroring the reference's YAML
+corpus shapes (cases/query/window_query.yaml, cases/function/window/*)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions import aggregates as A
+from openmldb_spark.operators.window import WindowDef, window_agg, parse_interval_ms
+from openmldb_spark.operators.window_union import window_union
+
+
+@pytest.fixture(scope="module")
+def t1(spark):
+    # FIXTURES.md F2 shape: pk1 in {A,B}, ts stepping 10s
+    rows = [
+        (1, "A", 1, 1590115420000),
+        (2, "A", 2, 1590115430000),
+        (3, "A", 3, 1590115440000),
+        (4, "A", 4, 1590115450000),
+        (5, "A", 5, 1590115460000),
+        (6, "B", 6, 1590115420000),
+        (7, "B", 7, 1590115430000),
+        (8, "B", 8, 1590115440000),
+        (9, "B", 9, 1590115450000),
+    ]
+    return spark.createDataFrame(rows, "id int, pk1 string, col1 long, ts long")
+
+
+def _col(out, name="s"):
+    return {r["id"]: r[name] for r in out.collect()}
+
+
+def test_rows_frame(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows=2)
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: 1, 2: 3, 3: 6, 4: 9, 5: 12, 6: 6, 7: 13, 8: 21, 9: 24}
+
+
+def test_rows_range_frame(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows_range="20s")
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: 1, 2: 3, 3: 6, 4: 9, 5: 12, 6: 6, 7: 13, 8: 21, 9: 24}
+
+
+def test_open_preceding(spark, t1):
+    # OPEN 20s PRECEDING excludes the row exactly 20s back
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows_range="20s", open_preceding=True)
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: 1, 2: 3, 3: 5, 4: 7, 5: 9, 6: 6, 7: 13, 8: 15, 9: 17}
+
+
+def test_exclude_current_row_rows(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows=2, exclude_current_row=True)
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: None, 2: 1, 3: 3, 4: 5, 5: 7, 6: None, 7: 6, 8: 13, 9: 15}
+
+
+def test_exclude_current_row_range(spark, t1):
+    wd = WindowDef(
+        partition_by=["pk1"], order_by="ts", rows_range="20s", exclude_current_row=True
+    )
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: None, 2: 1, 3: 3, 4: 5, 5: 7, 6: None, 7: 6, 8: 13, 9: 15}
+
+
+def test_exclude_current_time(spark):
+    # duplicate-ts rows: same-ts peers leave the frame, current row stays
+    rows = [
+        (1, "A", 1, 1000),
+        (2, "A", 2, 2000),
+        (3, "A", 4, 2000),  # peer of id=2
+        (4, "A", 8, 3000),
+    ]
+    df = spark.createDataFrame(rows, "id int, pk1 string, col1 long, ts long")
+    wd = WindowDef(
+        partition_by=["pk1"], order_by="ts", rows_range=10_000, exclude_current_time=True
+    )
+    out = window_agg(df, wd, {"s": A.sum_("col1")})
+    # id2: frame {1, itself} = 3; id3: frame {1, itself} = 5; id4: all = 15
+    assert _col(out) == {1: 1, 2: 3, 3: 5, 4: 15}
+
+
+def test_maxsize(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows_range="40s", maxsize=2)
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    # 40s range holds up to 5 rows but MAXSIZE caps at the 2 most recent
+    assert _col(out) == {1: 1, 2: 3, 3: 5, 4: 7, 5: 9, 6: 6, 7: 13, 8: 15, 9: 17}
+
+
+def test_unbounded(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", unbounded=True)
+    out = window_agg(t1, wd, {"s": A.sum_("col1")})
+    assert _col(out) == {1: 1, 2: 3, 3: 6, 4: 10, 5: 15, 6: 6, 7: 13, 8: 21, 9: 30}
+
+
+def test_multiple_aggs_one_window(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows=2)
+    out = window_agg(
+        t1,
+        wd,
+        {
+            "s": A.sum_("col1"),
+            "mn": A.min_("col1"),
+            "mx": A.max_("col1"),
+            "c": A.count_("col1"),
+            "a": A.avg_("col1"),
+        },
+    )
+    r = {x["id"]: x for x in out.collect()}
+    assert r[3]["s"] == 6 and r[3]["mn"] == 1 and r[3]["mx"] == 3
+    assert r[3]["c"] == 3 and abs(r[3]["a"] - 2.0) < 1e-9
+
+
+def test_window_union(spark, t1):
+    # union rows fall inside main rows' frames; output rows = main only
+    main = t1.where(F.col("id").isin(2, 4))
+    side = t1.where(~F.col("id").isin(2, 4))
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows_range="20s")
+    out = window_union(main, [side], wd, {"s": A.sum_("col1")})
+    assert out.count() == 2
+    assert _col(out) == {2: 3, 4: 9}
+
+
+def test_window_union_instance_not_in_window(spark, t1):
+    main = t1.where(F.col("id").isin(2, 4))
+    side = t1.where(F.col("id") == 3)
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows_range="30s")
+    out = window_union(
+        main, [side], wd, {"s": A.sum_("col1")}, instance_not_in_window=True
+    )
+    # id=2: union row id3 (ts later) not in frame; only itself -> 2
+    # id=4: union row id3 in frame + itself -> 7 (id2 main row excluded)
+    assert _col(out) == {2: 2, 4: 7}
+
+
+def test_lag_first_last(spark, t1):
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows=2)
+    out = window_agg(
+        t1,
+        wd,
+        {"l1": A.lag("col1", 1), "fv": A.first_value("col1"), "lv": A.last_value("col1")},
+    )
+    r = {x["id"]: x for x in out.collect()}
+    assert r[1]["l1"] is None and r[3]["l1"] == 2
+    assert r[4]["fv"] == 2 and r[4]["lv"] == 4
+
+
+def test_parse_interval():
+    assert parse_interval_ms("10s") == 10_000
+    assert parse_interval_ms("2m") == 120_000
+    assert parse_interval_ms("1h") == 3_600_000
+    assert parse_interval_ms("2d") == 172_800_000
+    assert parse_interval_ms("250ms") == 250
+    assert parse_interval_ms(99) == 99
