@@ -31,6 +31,25 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _perm_consts(n: int = 256) -> tuple[list[int], list[int]]:
+    """Deterministic odd multipliers / offsets for universal-hash minhash
+    permutations (derived from md5 of the slot index — no RNG state)."""
+    import hashlib
+
+    a = [
+        (int.from_bytes(hashlib.md5(f"mh_a{i}".encode()).digest()[:8], "big") | 1) % (2**61)
+        for i in range(n)
+    ]
+    b = [
+        int.from_bytes(hashlib.md5(f"mh_b{i}".encode()).digest()[:8], "big") % (2**61)
+        for i in range(n)
+    ]
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_consts()
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Sequence[str],
@@ -78,6 +97,7 @@ def minhash_signatures(
     df: DataFrame,
     text_col: str,
     *,
+    id_col: Optional[str] = None,
     num_hashes: int = 32,
     shingle_n: int = 5,
     words: bool = True,
@@ -86,9 +106,45 @@ def minhash_signatures(
     """Append ``out_col``: array<bigint> of ``num_hashes`` minhash values.
 
     Each hash i is min over shingles of xxhash64(i-salted shingle) —
-    deterministic, seedable, entirely in whole-stage codegen.
+    deterministic, seedable, entirely JVM-side.
+
+    With ``id_col`` (the scale path — REQUIRED by the LSH pipeline):
+    explode shingles, hash each shingle ONCE (xxhash64), derive the
+    ``num_hashes`` permutations arithmetically (``a_i*h + b_i`` universal
+    hashing — pure codegen'd long math), and groupBy-min per slot. The
+    aggregation's shuffle boundary *materializes* the signature, so the
+    shingle pipeline runs exactly once no matter how many downstream
+    expressions (bands, join sides) reference it — without it Catalyst
+    inlines the whole hashing expression into every use and recomputes it
+    O(bands) times.
+    Without ``id_col``: pure-projection form (no shuffle) for one-shot use.
     """
     sh = shingles(F.col(text_col), shingle_n, words=words)
+
+    if id_col is not None:
+        # spread the (interpreted, CPU-bound) shingling across all cores —
+        # a small parquet file otherwise arrives as one partition / one task
+        n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+        exploded = (
+            df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
+            .repartition(n_part)
+            .select("__dd_id", F.explode(sh).alias("__dd_sh"))
+            .select("__dd_id", F.xxhash64("__dd_sh").alias("__dd_h"))
+        )
+        mins = [
+            F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__dd_h{i}")
+            for i in range(num_hashes)
+        ]
+        sig_df = (
+            exploded.groupBy("__dd_id")
+            .agg(*mins)
+            .select(
+                "__dd_id",
+                F.array(*[F.col(f"__dd_h{i}") for i in range(num_hashes)]).alias(out_col),
+            )
+        )
+        return df.join(sig_df, df[id_col] == sig_df["__dd_id"]).drop("__dd_id")
+
     df = df.withColumn("__dd_sh", sh)
 
     # closure factory: `i=i` in the lambda would raise its arity to 2 and make
@@ -199,13 +255,17 @@ def minhash_dedup(
     round; run iteratively if full closure is needed.
     """
     sigs = minhash_signatures(
-        df, text_col, num_hashes=num_hashes, shingle_n=shingle_n
-    )
+        df, text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(id_col, "minhash")
+    # signatures feed both sides of the LSH self-join — persist so the
+    # shingle+hash pipeline runs once (at real scale: checkpoint to storage)
+    sigs = sigs.persist()
     pairs = minhash_lsh_pairs(
         sigs, id_col, bands=bands, max_bucket=max_bucket, min_jaccard_est=threshold
     )
     losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    out = df.join(losers, id_col, "left_anti")
+    return out
 
 
 def simhash(
@@ -260,7 +320,9 @@ def ngram_jaccard_pairs(
     Returns (a, b, jaccard) with exact set Jaccard over n-gram shingles.
     """
     if candidates is None:
-        sigs = minhash_signatures(df, text_col, num_hashes=num_hashes, shingle_n=shingle_n)
+        sigs = minhash_signatures(
+            df, text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+        )
         candidates = minhash_lsh_pairs(sigs, id_col, bands=bands).select("a", "b")
     sh = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), shingle_n).alias("__sh")
