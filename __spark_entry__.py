@@ -586,6 +586,109 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# SQL front end (SURVEY §3.1): the same constructs entered as dialect SQL
+# text — parse -> rewrite -> lower onto the operators above
+# ===========================================================================
+
+
+def q_sql_scalars(spark: SparkSession, sf: str) -> DataFrame:
+    """Text path: dialect scalar names (lcase/strcmp/if_null/truncate)
+    rewritten to Spark SQL and executed by Catalyst."""
+    from openmldb_spark.sql import sql as osql
+
+    return osql(
+        spark,
+        """
+        SELECT c_custkey, lcase(c_name) AS lname,
+               strcmp(c_mktsegment, 'BUILDING') AS cmp,
+               if_null(c_name, 'x') AS nn,
+               substr(c_name, 2, 6) AS mid,
+               truncate(c_acctbal) AS tb
+        FROM customer WHERE c_acctbal > 0
+        """,
+        {"customer": load_table(spark, sf, "customer")},
+    )
+
+
+def q_sql_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Text path: GROUP BY + HAVING + count_where rewrite."""
+    from openmldb_spark.sql import sql as osql
+
+    return osql(
+        spark,
+        """
+        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sv,
+               count_where(value, value > 100) AS big
+        FROM events GROUP BY event_type HAVING count(*) > 10
+        """,
+        {"events": load_table(spark, sf, "events")},
+    )
+
+
+def q_sql_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path: named window, ROWS_RANGE frame, via SQL text."""
+    from openmldb_spark.sql import sql as osql
+
+    out = osql(
+        spark,
+        """
+        SELECT event_id, user_id, sum(value) OVER w1 AS sv,
+               count(value) OVER w1 AS cnt
+        FROM events WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+            ROWS_RANGE BETWEEN 1h PRECEDING AND CURRENT ROW)
+        """,
+        {"events": load_table(spark, sf, "events")},
+    )
+    return out.select("event_id", "user_id", F.round("sv", 4).alias("sv"), "cnt")
+
+
+def q_sql_window_union(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path: WINDOW ... UNION via SQL text (disjoint main/side)."""
+    from openmldb_spark.sql import sql as osql
+
+    e = load_table(spark, sf, "events")
+    out = osql(
+        spark,
+        """
+        SELECT event_id, user_id, sum(value) OVER w1 AS sv,
+               count(value) OVER w1 AS cnt
+        FROM clicks WINDOW w1 AS (UNION views PARTITION BY user_id ORDER BY ts
+            ROWS_RANGE BETWEEN 30m PRECEDING AND CURRENT ROW)
+        """,
+        {
+            "clicks": e.where(F.col("event_type") == "click"),
+            "views": e.where(F.col("event_type") == "view"),
+        },
+    )
+    return out.select("event_id", "user_id", F.round("sv", 4).alias("sv"), "cnt")
+
+
+def q_sql_last_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path: LAST JOIN via SQL text; ORDER BY takes tiebreak
+    columns (dialect superset) so the pick is deterministic and
+    oracle-reproducible even with duplicate (ship_ms, linenumber) rows."""
+    from openmldb_spark.sql import sql as osql
+
+    li = load_table(spark, sf, "lineitem").withColumn("ship_ms", _ts_ms("l_shipdate"))
+    out = osql(
+        spark,
+        """
+        SELECT t1.o_orderkey, t1.o_totalprice, t2.l_partkey, t2.l_quantity
+        FROM orders t1 LAST JOIN li t2
+        ORDER BY t2.ship_ms, t2.l_linenumber, t2.l_partkey, t2.l_quantity
+        ON t1.o_orderkey = t2.l_orderkey
+        """,
+        {"orders": load_table(spark, sf, "orders"), "li": li},
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "l_partkey",
+        F.round("l_quantity", 2).alias("qty"),
+    )
+
+
+# ===========================================================================
 # driver contract
 # ===========================================================================
 
@@ -632,6 +735,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
         "udaf_window_exotic": q_udaf_window_exotic,
+        # SQL front end
+        "sql_scalars": q_sql_scalars,
+        "sql_group": q_sql_group,
+        "sql_window": q_sql_window,
+        "sql_window_union": q_sql_window_union,
+        "sql_last_join": q_sql_last_join,
         # catalog
         "ttl_latest": q_ttl_latest,
         # pipeline
@@ -953,6 +1062,56 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "sql_scalars": """
+            SELECT c_custkey, lower(c_name) AS lname,
+                   CASE WHEN c_mktsegment < 'BUILDING' THEN -1
+                        WHEN c_mktsegment > 'BUILDING' THEN 1
+                        WHEN c_mktsegment = 'BUILDING' THEN 0 END AS cmp,
+                   coalesce(c_name, 'x') AS nn,
+                   substr(c_name, 2, 6) AS mid,
+                   CAST(trunc(c_acctbal) AS DOUBLE) AS tb
+            FROM customer WHERE c_acctbal > 0
+        """,
+        "sql_group": """
+            SELECT event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 4) AS sv,
+                   count(CASE WHEN value > 100 THEN value END) AS big
+            FROM events GROUP BY event_type HAVING count(*) > 10
+        """,
+        "sql_window": """
+            SELECT event_id, user_id, round(sum(value) OVER w, 4) AS sv,
+                   count(value) OVER w AS cnt
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                         RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+        """,
+        "sql_window_union": """
+            WITH u AS (
+              SELECT *, 1 AS flag FROM events WHERE event_type = 'click'
+              UNION ALL
+              SELECT *, 0 AS flag FROM events WHERE event_type = 'view'
+            ), w AS (
+              SELECT event_id, user_id, flag,
+                     sum(value) OVER win AS sv,
+                     count(value) OVER win AS cnt
+              FROM u
+              WINDOW win AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                             RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, round(sv, 4) AS sv, cnt
+            FROM w WHERE flag = 1
+        """,
+        "sql_last_join": """
+            WITH latest AS (
+              SELECT l_orderkey, l_partkey, l_quantity
+              FROM lineitem
+              QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY epoch_ms(l_shipdate) DESC, l_linenumber DESC,
+                                l_partkey DESC, l_quantity DESC) = 1
+            )
+            SELECT o_orderkey, round(o_totalprice, 2) AS total,
+                   l_partkey, round(l_quantity, 2) AS qty
+            FROM orders LEFT JOIN latest ON o_orderkey = l_orderkey
         """,
         "ttl_latest": """
             WITH kept AS (

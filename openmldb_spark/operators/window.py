@@ -190,7 +190,6 @@ def window_agg(
     only meaningful when ``df`` carries the union flag column (see
     window_union.py).
     """
-    out_cols = [c for c in df.columns if not c.startswith("__omsk")]
     df, framed_ws, plain_ws = _specs_window(df, wdef)
     parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
 
@@ -256,9 +255,10 @@ def window_agg(
             getter = lambda fk, i=i: (lambda s: s[f"f{i}_{fk}"])
             native_cols[name] = spec.array(elems, getter)
 
-    result = df.select(*out_cols, *( [F.col(_FLAG)] if keep_flag and _FLAG in df.columns else [] ),
-                       *[c.alias(n) for n, c in native_cols.items()])
-    return result
+    # select("*") (not a by-name re-projection) so joined inputs keep their
+    # alias qualifiers and duplicate column names survive untouched
+    drops = [_ORD, _RID] + ([] if keep_flag else [_FLAG])
+    return df.select("*", *[c.alias(n) for n, c in native_cols.items()]).drop(*drops)
 
 
 def _and_all(conds) -> Column:

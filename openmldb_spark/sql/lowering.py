@@ -1,0 +1,487 @@
+"""Lower the parsed dialect AST onto PySpark DataFrame operators.
+
+Strategy (SURVEY §3.1): the reference compiles SQL via ZetaSQL + HybridSE to
+LLVM row functions; we instead split every SELECT into
+
+- **text path** — statements made only of standard-SQL constructs
+  (project/filter/group/having/set-ops/limit) are re-rendered as Spark SQL
+  (dialect functions rewritten by :mod:`.rewrite`) and handed to
+  ``spark.sql`` — Catalyst parses, optimizes and codegens them natively;
+- **structural path** — statements using dialect-only constructs
+  (``WINDOW`` with ROWS/ROWS_RANGE frames + attributes, ``WINDOW ... UNION``,
+  ``LAST JOIN``) are lowered explicitly onto
+  :mod:`openmldb_spark.operators.window` / ``window_union`` / the as-of
+  join plans, with scalar sub-expressions still going through ``F.expr``
+  (so they stay inside whole-stage codegen).
+
+No Python UDFs on either path.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions import aggregates as A
+from openmldb_spark.operators.window import WindowDef, window_agg
+from openmldb_spark.operators.window_union import window_union
+from openmldb_spark.sql import parser as P
+from openmldb_spark.sql.parser import (
+    Join,
+    OverCall,
+    Query,
+    Select,
+    SelectItem,
+    SetOp,
+    TableRef,
+    Tok,
+    WindowClause,
+    render,
+)
+from openmldb_spark.sql.rewrite import rewrite_expr
+
+_RID = "__omsql_rid"
+_RN = "__omsql_rn"
+
+# ---------------------------------------------------------------------------
+# aggregate registry: dialect name -> (AggSpec builder, arg kinds)
+#   c = column expression, i = int literal, f = float literal
+# (function list: SURVEY §2.7; ref udf/default_udf_library.cc:2708-3110,
+#  default_defs/window_functions_def.cc, default_defs/*_by_category_def.cc)
+# ---------------------------------------------------------------------------
+
+_AGGS: dict[str, tuple[object, str]] = {
+    "sum": (A.sum_, "c"),
+    "min": (A.min_, "c"),
+    "max": (A.max_, "c"),
+    "avg": (A.avg_, "c"),
+    "count": (A.count_, "c"),
+    "distinct_count": (A.distinct_count, "c"),
+    "median": (A.median_, "c"),
+    "stddev": (A.stddev_, "c"),
+    "std": (A.stddev_, "c"),
+    "stddev_samp": (A.stddev_, "c"),
+    "stddev_pop": (A.stddev_pop, "c"),
+    "var_samp": (A.var_samp, "c"),
+    "variance": (A.var_samp, "c"),
+    "var_pop": (A.var_pop, "c"),
+    "sum_where": (A.sum_where, "cc"),
+    "count_where": (A.count_where, "cc"),
+    "avg_where": (A.avg_where, "cc"),
+    "min_where": (A.min_where, "cc"),
+    "max_where": (A.max_where, "cc"),
+    "top": (A.top, "ci"),
+    "top1_ratio": (A.top1_ratio, "c"),
+    "topn_frequency": (A.topn_frequency, "ci"),
+    "ew_avg": (A.ew_avg, "cf"),
+    "drawdown": (A.drawdown, "c"),
+    "entropy": (A.entropy, "c"),
+    "lag": (A.lag, "ci"),
+    "at": (A.lag, "ci"),
+    "first_value": (A.first_value, "c"),
+    "last_value": (A.last_value, "c"),
+    "nth_value_where": (A.nth_value_where, "cic"),
+    "sum_cate": (A.sum_cate, "cc"),
+    "count_cate": (A.count_cate, "cc"),
+    "avg_cate": (A.avg_cate, "cc"),
+    "min_cate": (A.min_cate, "cc"),
+    "max_cate": (A.max_cate, "cc"),
+    "sum_cate_where": (A.sum_cate_where, "ccc"),
+    "count_cate_where": (A.count_cate_where, "ccc"),
+    "avg_cate_where": (A.avg_cate_where, "ccc"),
+    "min_cate_where": (A.min_cate_where, "ccc"),
+    "max_cate_where": (A.max_cate_where, "ccc"),
+    "top_n_key_sum_cate_where": (A.top_n_key_sum_cate_where, "ccci"),
+    "top_n_key_count_cate_where": (A.top_n_key_count_cate_where, "ccci"),
+    "top_n_key_avg_cate_where": (A.top_n_key_avg_cate_where, "ccci"),
+    "top_n_key_min_cate_where": (A.top_n_key_min_cate_where, "ccci"),
+    "top_n_key_max_cate_where": (A.top_n_key_max_cate_where, "ccci"),
+    "top_n_value_sum_cate_where": (A.top_n_value_sum_cate_where, "ccci"),
+    "top_n_value_count_cate_where": (A.top_n_value_count_cate_where, "ccci"),
+    "top_n_value_avg_cate_where": (A.top_n_value_avg_cate_where, "ccci"),
+    "top_n_value_min_cate_where": (A.top_n_value_min_cate_where, "ccci"),
+    "top_n_value_max_cate_where": (A.top_n_value_max_cate_where, "ccci"),
+}
+
+
+def _build_agg(call: OverCall) -> "A.AggSpec":
+    if call.func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
+        return A.count_all()
+    try:
+        builder, kinds = _AGGS[call.func]
+    except KeyError:
+        raise ValueError(
+            f"aggregate {call.func!r} is not a window function of the dialect"
+        ) from None
+    if len(call.args) != len(kinds):
+        raise ValueError(
+            f"{call.func} expects {len(kinds)} args, got {len(call.args)}"
+        )
+    py_args = []
+    for kind, toks in zip(kinds, call.args):
+        if kind == "c":
+            py_args.append(F.expr(rewrite_expr(toks)))
+        elif kind == "i":
+            py_args.append(int(render(toks)))
+        elif kind == "f":
+            py_args.append(float(render(toks)))
+    return builder(*py_args)  # type: ignore[operator]
+
+
+# ---------------------------------------------------------------------------
+# lowering
+# ---------------------------------------------------------------------------
+
+_view_counter = itertools.count()
+
+
+class Lowerer:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: Optional[dict[str, DataFrame]] = None,
+    ):
+        self.spark = spark
+        self.tables = dict(tables or {})
+
+    # -- name resolution ----------------------------------------------------
+    def resolve(self, name: str, env: dict[str, DataFrame]) -> DataFrame:
+        if name in env:
+            return env[name]
+        if name in self.tables:
+            return self.tables[name]
+        return self.spark.table(name)
+
+    def table_ref(self, ref: TableRef, env: dict[str, DataFrame]) -> DataFrame:
+        if ref.subquery is not None:
+            df = self.query(ref.subquery, env)
+        else:
+            df = self.resolve(ref.name, env)
+        bind = ref.bind_name
+        return df.alias(bind) if bind else df
+
+    # -- query / set ops ----------------------------------------------------
+    def query(self, q: Query, env: dict[str, DataFrame]) -> DataFrame:
+        env = dict(env)
+        for name, cq in q.ctes:
+            env[name] = self.query(cq, env)
+        df = self.body(q.body, env)
+        if q.limit is not None:
+            df = df.limit(q.limit)
+        return df
+
+    def body(self, b: object, env: dict[str, DataFrame]) -> DataFrame:
+        if isinstance(b, SetOp):
+            left = self.query(b.left, env)
+            right = self.query(b.right, env)
+            out = left.union(right)  # positional, like SQL UNION
+            return out if b.all else out.distinct()
+        assert isinstance(b, Select)
+        return self.select(b, env)
+
+    # -- SELECT dispatch ----------------------------------------------------
+    def select(self, sel: Select, env: dict[str, DataFrame]) -> DataFrame:
+        structural = bool(sel.windows) or any(j.kind == "last" for j in sel.joins)
+        if structural:
+            return self._select_structural(sel, env)
+        return self._select_text(sel, env)
+
+    # -- text path: re-render standard SQL, let Catalyst do everything ------
+    def _view(self, df: DataFrame) -> str:
+        name = f"__omsql_v{next(_view_counter)}"
+        df.createOrReplaceTempView(name)
+        return name
+
+    def _select_text(self, sel: Select, env: dict[str, DataFrame]) -> DataFrame:
+        parts: list[str] = ["SELECT"]
+        if sel.distinct:
+            parts.append("DISTINCT")
+        items = []
+        for it in sel.items:
+            if it.star:
+                items.append(f"{it.star_qualifier}.*" if it.star_qualifier else "*")
+                continue
+            txt = rewrite_expr(it.expr)
+            if it.alias:
+                txt += f" AS `{it.alias}`"
+            items.append(txt)
+        parts.append(", ".join(items))
+        if sel.from_ is not None:
+            parts.append("FROM " + self._from_sql(sel.from_, env))
+            for j in sel.joins:
+                kw = {"left": "LEFT JOIN", "inner": "JOIN"}[j.kind]
+                parts.append(f"{kw} {self._from_sql(j.table, env)}")
+                if j.on is not None:
+                    parts.append("ON " + rewrite_expr(j.on))
+        if sel.where is not None:
+            parts.append("WHERE " + rewrite_expr(sel.where))
+        if sel.group_by:
+            parts.append("GROUP BY " + ", ".join(rewrite_expr(g) for g in sel.group_by))
+        if sel.having is not None:
+            parts.append("HAVING " + rewrite_expr(sel.having))
+        if sel.limit is not None:
+            parts.append(f"LIMIT {sel.limit}")
+        return self.spark.sql("\n".join(parts))
+
+    def _from_sql(self, ref: TableRef, env: dict[str, DataFrame]) -> str:
+        """Render a FROM/JOIN operand, registering the resolved DataFrame as
+        a temp view so the re-rendered SQL can name it."""
+        if ref.subquery is not None:
+            view = self._view(self.query(ref.subquery, env))
+            bind = ref.alias or view
+            return f"{view} AS `{bind}`"
+        view = self._view(self.resolve(ref.name, env))
+        return f"{view} AS `{ref.bind_name}`"
+
+    # -- structural path ----------------------------------------------------
+    def _select_structural(self, sel: Select, env: dict[str, DataFrame]) -> DataFrame:
+        if sel.from_ is None:
+            raise ValueError("structural SELECT requires a FROM table")
+        if sel.group_by:
+            raise NotImplementedError(
+                "GROUP BY cannot be combined with WINDOW/LAST JOIN in one "
+                "SELECT — wrap one of them in a subquery"
+            )
+        df = self.table_ref(sel.from_, env)
+        for j in sel.joins:
+            df = self._join(df, j, env)
+        if sel.where is not None:
+            df = df.filter(F.expr(rewrite_expr(sel.where)))
+
+        base_cols = list(df.columns)
+
+        # group over-calls per window, apply window ops one window at a time
+        gen = itertools.count()
+        out_names: dict[int, str] = {}  # select-item index -> appended col
+        per_window: dict[str, dict[str, "A.AggSpec"]] = {}
+        for idx, it in enumerate(sel.items):
+            if it.over is None:
+                continue
+            if it.over.window not in sel.windows:
+                raise ValueError(f"unknown window {it.over.window!r}")
+            name = f"__omsqlw_{next(gen)}"
+            out_names[idx] = name
+            per_window.setdefault(it.over.window, {})[name] = _build_agg(it.over)
+
+        for wname, aggs in per_window.items():
+            w = sel.windows[wname]
+            wdef = self._window_def(df, w)
+            if w.union_tables:
+                unions = [self.table_ref(u, env) for u in w.union_tables]
+                df = window_union(
+                    df, unions, wdef, aggs,
+                    instance_not_in_window=w.instance_not_in_window,
+                )
+            else:
+                if w.instance_not_in_window:
+                    raise ValueError("INSTANCE_NOT_IN_WINDOW requires UNION tables")
+                df = window_agg(df, wdef, aggs)
+
+        # final projection
+        cols: list[Column] = []
+        for idx, it in enumerate(sel.items):
+            if it.star:
+                if it.star_qualifier:
+                    cols.append(F.col(f"{it.star_qualifier}.*"))
+                else:
+                    cols.extend(F.col(c) for c in base_cols)
+                continue
+            pretty = it.alias or _derived_name(it.expr)
+            if idx in out_names:
+                cols.append(F.col(out_names[idx]).alias(pretty))
+            else:
+                cols.append(F.expr(rewrite_expr(it.expr)).alias(pretty))
+        df = df.select(*cols)
+
+        if sel.having is not None:
+            df = df.filter(F.expr(rewrite_expr(sel.having)))
+        if sel.distinct:
+            df = df.distinct()
+        if sel.limit is not None:
+            df = df.limit(sel.limit)
+        return df
+
+    # -- window def ---------------------------------------------------------
+    def _window_def(self, df: DataFrame, w: WindowClause) -> WindowDef:
+        if w.order_by is None:
+            raise ValueError(f"window {w.name}: ORDER BY is required")
+        parts = [F.expr(rewrite_expr(p)) for p in w.partition_by]
+        ord_sql = rewrite_expr(w.order_by)
+        dtype = df.select(F.expr(ord_sql).alias("__t")).dtypes[0][1]
+        ord_col = F.expr(ord_sql)
+        if dtype in ("timestamp", "timestamp_ntz"):
+            ord_col = F.unix_millis(ord_col.cast("timestamp"))
+        elif dtype == "date":
+            ord_col = F.unix_millis(ord_col.cast("timestamp"))
+        else:
+            ord_col = ord_col.cast("long")
+
+        kw: dict[str, object] = {}
+        kind, val = w.lower
+        if kind == "unbounded":
+            kw["unbounded"] = True
+        elif w.frame_kind == "rows":
+            kw["rows"] = int(val)
+        else:
+            kw["rows_range"] = val  # '10s' / '86400000' — parse_interval_ms
+        return WindowDef(
+            partition_by=parts,
+            order_by=ord_col,
+            open_preceding=w.open_preceding,
+            exclude_current_row=w.exclude_current_row,
+            exclude_current_time=w.exclude_current_time,
+            maxsize=w.maxsize,
+            **kw,
+        )
+
+    # -- joins ---------------------------------------------------------------
+    def _join(self, left: DataFrame, j: Join, env: dict[str, DataFrame]) -> DataFrame:
+        right = self.table_ref(j.table, env)
+        if j.kind in ("left", "inner"):
+            cond = F.expr(rewrite_expr(j.on)) if j.on is not None else F.lit(True)
+            return left.join(right, cond, j.kind)
+        assert j.kind == "last"
+        return self._last_join(left, right, j)
+
+    def _last_join(self, left: DataFrame, right: DataFrame, j: Join) -> DataFrame:
+        """LAST JOIN (ref semantics: JOIN_CLAUSE.md:5-11 — per left row keep
+        the right match with max ORDER BY; unsorted variant uses a
+        deterministic hash tiebreak in place of the reference's storage
+        order, which is undefined after any shuffle)."""
+        if j.on is None:
+            raise ValueError("LAST JOIN requires an ON condition")
+        ralias = j.table.bind_name
+        if not ralias:
+            raise ValueError("LAST JOIN right side needs a name or alias")
+        rcols = list(right.columns)
+        tiebreak = F.xxhash64(*[F.col(f"{ralias}.{c}") for c in rcols])
+        order_cols: list[Column] = []
+        for ob in j.order_by or []:
+            order_cols.append(F.expr(rewrite_expr(ob)).desc_nulls_last())
+        order_cols.append(tiebreak.asc())
+
+        equi = self._equi_right_keys(j.on, ralias)
+        if equi is not None:
+            # scale plan: dedupe right to one row per key, then plain left
+            # join — no per-left-row shuffle, broadcast-able by AQE
+            w = Window.partitionBy(*[F.col(f"{ralias}.{c}") for c in equi]).orderBy(
+                *order_cols
+            )
+            dd = (
+                right.withColumn(_RN, F.row_number().over(w))
+                .filter(F.col(_RN) == 1)
+                .drop(_RN)
+                .alias(ralias)
+            )
+            return left.join(dd, F.expr(rewrite_expr(j.on)), "left")
+
+        # generic plan: left row-id, join, keep max-order match per row
+        lid = left.withColumn(_RID, F.monotonically_increasing_id())
+        joined = lid.join(right, F.expr(rewrite_expr(j.on)), "left")
+        w = Window.partitionBy(F.col(_RID)).orderBy(*order_cols)
+        return (
+            joined.withColumn(_RN, F.row_number().over(w))
+            .filter(F.col(_RN) == 1)
+            .drop(_RID, _RN)
+        )
+
+    @staticmethod
+    def _equi_right_keys(on: list[Tok], ralias: str) -> Optional[list[str]]:
+        """If ON is a pure conjunction of `<left expr> = <ralias>.<col>`
+        equi-pairs, return the right key column names (enables the
+        dedupe-right plan); else None."""
+        conjuncts: list[list[Tok]] = []
+        cur: list[Tok] = []
+        depth = 0
+        for t in on:
+            if t.text in "([":
+                depth += 1
+            elif t.text in ")]":
+                depth -= 1
+            if depth == 0 and t.upper == "AND":
+                conjuncts.append(cur)
+                cur = []
+            else:
+                cur.append(t)
+        conjuncts.append(cur)
+
+        keys: list[str] = []
+        for c in conjuncts:
+            eq_at = [
+                i
+                for i, t in enumerate(c)
+                if t.text == "=" and _depth_at(c, i) == 0
+            ]
+            if len(eq_at) != 1:
+                return None
+            lhs, rhs = c[: eq_at[0]], c[eq_at[0] + 1 :]
+
+            def right_col(side: list[Tok]) -> Optional[str]:
+                if (
+                    len(side) == 3
+                    and side[0].kind == "name"
+                    and side[0].text == ralias
+                    and side[1].text == "."
+                    and side[2].kind == "name"
+                ):
+                    return side[2].text
+                return None
+
+            def mentions_right(side: list[Tok]) -> bool:
+                return any(
+                    t.kind == "name" and t.text == ralias and i + 1 < len(side)
+                    and side[i + 1].text == "."
+                    for i, t in enumerate(side)
+                )
+
+            rc = right_col(rhs)
+            if rc is not None and not mentions_right(lhs):
+                keys.append(rc)
+                continue
+            rc = right_col(lhs)
+            if rc is not None and not mentions_right(rhs):
+                keys.append(rc)
+                continue
+            return None
+        return keys
+
+
+def _derived_name(expr: list[Tok]) -> str:
+    """Column name for an unaliased select item: a plain (possibly
+    qualified) column ref names its last component, like Spark/the
+    reference; anything else keeps its rendered text."""
+    if all(t.kind == "name" or t.text == "." for t in expr) and expr[-1].kind == "name":
+        return expr[-1].text
+    return render(expr)
+
+
+def _depth_at(tokens: list[Tok], idx: int) -> int:
+    depth = 0
+    for t in tokens[:idx]:
+        if t.text in "([":
+            depth += 1
+        elif t.text in ")]":
+            depth -= 1
+    return depth
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def sql(
+    spark: SparkSession,
+    text: str,
+    tables: Optional[dict[str, DataFrame]] = None,
+) -> DataFrame:
+    """Compile one dialect SELECT statement to a DataFrame.
+
+    ``tables`` maps table names to DataFrames; unresolved names fall back to
+    ``spark.table`` (the session catalog).
+    """
+    q = P.parse(text)
+    return Lowerer(spark, tables).query(q, {})

@@ -1,0 +1,563 @@
+"""Tokenizer + recursive-descent parser for the reference SQL dialect.
+
+Grammar pinned from the reference docs (``docs/en/openmldb_sql/dql/``):
+SELECT_STATEMENT.md (no top-level ORDER BY), JOIN_CLAUSE.md (LAST/LEFT only),
+WINDOW_CLAUSE.md (ROWS / ROWS_RANGE, PRECEDING..CURRENT only, UNION tables,
+MAXSIZE / EXCLUDE CURRENT_TIME / EXCLUDE CURRENT_ROW / INSTANCE_NOT_IN_WINDOW,
+OPEN bounds), plus WITH / UNION [ALL|DISTINCT] / LIMIT.
+
+Scalar expressions are NOT parsed into an AST here — they are kept as token
+slices and handed to Spark's own SQL expression parser (``F.expr``) after
+name rewriting (:mod:`.rewrite`). Only the statement skeleton and the
+dialect-specific constructs get structure.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
+# ---------------------------------------------------------------------------
+# lexer
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|--[^\n]*|\#[^\n]*)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?[a-zA-Z]*)
+  | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
+  | (?P<op><>|!=|<=|>=|\|\||->|[-+*/%(),.;=<>!&|^~\[\]{}?:])
+    """,
+    re.VERBOSE,
+)
+
+
+@dataclass
+class Tok:
+    kind: str  # 'str' | 'num' | 'name' | 'op'
+    text: str
+
+    @property
+    def upper(self) -> str:
+        return self.text.upper()
+
+
+def tokenize(sql: str) -> list[Tok]:
+    out: list[Tok] = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if m is None:
+            raise SyntaxError(f"cannot tokenize at {sql[pos:pos+30]!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        out.append(Tok(kind, m.group()))
+    return out
+
+
+def render(tokens: list[Tok]) -> str:
+    """Tokens -> SQL text with minimal spacing (good enough for F.expr)."""
+    parts: list[str] = []
+    prev: Optional[Tok] = None
+    for t in tokens:
+        if prev is not None:
+            # no space around '.', before '(' of a call, after '(' etc. is
+            # unnecessary — Spark's parser is whitespace-insensitive; we only
+            # must NOT glue two words/numbers together
+            glue = prev.text in ".([" or t.text in ".,()[]" or t.text == "("
+            if prev.kind in ("name", "num", "str") and t.kind in ("name", "num", "str"):
+                glue = False
+            parts.append("" if glue else " ")
+        parts.append(t.text)
+        prev = t
+    return "".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# AST
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SelectItem:
+    expr: list[Tok]                      # full expression tokens (sans alias)
+    alias: Optional[str]
+    #: set when the item is `agg(args...) OVER wname` at top level
+    over: Optional["OverCall"] = None
+    star: bool = False                   # bare `*` or `t.*`
+    star_qualifier: Optional[str] = None
+
+
+@dataclass
+class OverCall:
+    func: str
+    args: list[list[Tok]]               # top-level-comma-split arg token lists
+    window: str                          # named window reference
+
+
+@dataclass
+class TableRef:
+    name: Optional[str] = None           # plain table
+    subquery: Optional["Query"] = None
+    alias: Optional[str] = None
+
+    @property
+    def bind_name(self) -> Optional[str]:
+        return self.alias or self.name
+
+
+@dataclass
+class Join:
+    kind: str                            # 'last' | 'left'
+    table: TableRef
+    on: Optional[list[Tok]]              # condition tokens
+    #: LAST JOIN ORDER BY col[, tiebreak col...] — the dialect allows one ts
+    #: column; we accept a list so ties can be broken deterministically
+    order_by: Optional[list[list[Tok]]] = None
+
+
+@dataclass
+class WindowClause:
+    name: str
+    partition_by: list[list[Tok]]
+    order_by: Optional[list[Tok]]
+    frame_kind: str                      # 'rows' | 'rows_range'
+    #: lower bound: ('preceding', n_or_interval) | ('unbounded', None)
+    lower: tuple[str, Optional[str]] = ("unbounded", None)
+    open_preceding: bool = False
+    upper_current: bool = True           # dialect: upper always CURRENT ROW
+    maxsize: Optional[int] = None
+    exclude_current_time: bool = False
+    exclude_current_row: bool = False
+    instance_not_in_window: bool = False
+    union_tables: list[TableRef] = field(default_factory=list)
+
+
+@dataclass
+class Select:
+    items: list[SelectItem]
+    from_: Optional[TableRef]
+    joins: list[Join] = field(default_factory=list)
+    where: Optional[list[Tok]] = None
+    group_by: list[list[Tok]] = field(default_factory=list)
+    having: Optional[list[Tok]] = None
+    windows: dict[str, WindowClause] = field(default_factory=dict)
+    limit: Optional[int] = None
+    distinct: bool = False
+
+
+@dataclass
+class SetOp:
+    op: str                              # 'union'
+    all: bool
+    left: "Query"
+    right: "Query"
+
+
+@dataclass
+class Query:
+    body: object                         # Select | SetOp
+    ctes: list[tuple[str, "Query"]] = field(default_factory=list)
+    limit: Optional[int] = None
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+_CLAUSE_STOPS = {
+    "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "LIMIT", "UNION",
+    "ORDER", "ON", ")", ";", "LAST", "LEFT", "RIGHT", "INNER", "JOIN",
+    "CONFIG", "ROWS", "ROWS_RANGE", "PARTITION",
+}
+
+
+class Parser:
+    def __init__(self, tokens: list[Tok]):
+        self.toks = tokens
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, off: int = 0) -> Optional[Tok]:
+        j = self.i + off
+        return self.toks[j] if j < len(self.toks) else None
+
+    def at(self, *uppers: str) -> bool:
+        t = self.peek()
+        return t is not None and t.upper in uppers
+
+    def eat(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, upper: str) -> Tok:
+        t = self.peek()
+        if t is None or t.upper != upper:
+            raise SyntaxError(f"expected {upper}, got {t.text if t else 'EOF'!r}")
+        return self.eat()
+
+    def accept(self, upper: str) -> bool:
+        if self.at(upper):
+            self.eat()
+            return True
+        return False
+
+    # -- entry --------------------------------------------------------------
+    def parse_query(self) -> Query:
+        ctes: list[tuple[str, Query]] = []
+        if self.accept("WITH"):
+            while True:
+                name = self.eat().text
+                self.expect("AS")
+                self.expect("(")
+                q = self.parse_query()
+                self.expect(")")
+                ctes.append((name, q))
+                if not self.accept(","):
+                    break
+        body: object = self.parse_select()
+        while self.at("UNION"):
+            self.eat()
+            all_ = False
+            if self.accept("ALL"):
+                all_ = True
+            else:
+                self.accept("DISTINCT")
+            rhs = self.parse_select()
+            body = SetOp("union", all_, Query(body), Query(rhs))
+        q = Query(body, ctes)
+        if self.accept("LIMIT"):
+            q.limit = int(self.eat().text)
+        self.accept(";")
+        return q
+
+    # -- SELECT -------------------------------------------------------------
+    def parse_select(self) -> Select:
+        self.expect("SELECT")
+        distinct = self.accept("DISTINCT")
+        items = self.parse_select_items()
+        sel = Select(items, None, distinct=distinct)
+        if self.accept("FROM"):
+            sel.from_ = self.parse_table_ref()
+            while self.at("LAST", "LEFT", "JOIN", "INNER", "RIGHT", "FULL"):
+                sel.joins.append(self.parse_join())
+        if self.accept("WHERE"):
+            sel.where = self.take_expr()
+        if self.accept("GROUP"):
+            self.expect("BY")
+            sel.group_by = self.take_expr_list()
+        if self.accept("HAVING"):
+            sel.having = self.take_expr()
+        if self.accept("WINDOW"):
+            while True:
+                w = self.parse_window_def()
+                sel.windows[w.name] = w
+                if not self.accept(","):
+                    break
+        if self.accept("LIMIT"):
+            sel.limit = int(self.eat().text)
+        if self.accept("CONFIG"):      # CONFIG (k=v,...) — execution hints; skip
+            self.skip_parens()
+        return sel
+
+    def parse_select_items(self) -> list[SelectItem]:
+        items = []
+        while True:
+            items.append(self.parse_select_item())
+            if not self.accept(","):
+                break
+        return items
+
+    def parse_select_item(self) -> SelectItem:
+        # star forms
+        if self.at("*"):
+            self.eat()
+            return SelectItem([], None, star=True)
+        t0, t1, t2 = self.peek(), self.peek(1), self.peek(2)
+        if (
+            t0 is not None and t0.kind == "name"
+            and t1 is not None and t1.text == "."
+            and t2 is not None and t2.text == "*"
+        ):
+            q = self.eat().text
+            self.eat(); self.eat()
+            return SelectItem([], None, star=True, star_qualifier=q)
+
+        expr = self.take_expr(stop_on_alias=True)
+        over: Optional[OverCall] = None
+        # detect trailing `OVER wname` at depth 0 inside expr? OVER binds to a
+        # call: pattern  name ( args ) OVER wname  — find it at top level
+        over, expr = _extract_over(expr)
+        alias: Optional[str] = None
+        if self.accept("AS"):
+            alias = _unquote(self.eat().text)
+        elif (
+            self.peek() is not None
+            and self.peek().kind == "name"
+            and self.peek().upper not in _CLAUSE_STOPS
+        ):
+            alias = _unquote(self.eat().text)
+        return SelectItem(expr, alias, over=over)
+
+    # -- FROM / joins -------------------------------------------------------
+    def parse_table_ref(self) -> TableRef:
+        if self.accept("("):
+            q = self.parse_query()
+            self.expect(")")
+            ref = TableRef(subquery=q)
+        else:
+            name = self.eat().text
+            # db.table -> keep last component
+            while self.at("."):
+                self.eat()
+                name = self.eat().text
+            ref = TableRef(name=_unquote(name))
+        if self.accept("AS"):
+            ref.alias = _unquote(self.eat().text)
+        elif (
+            self.peek() is not None
+            and self.peek().kind == "name"
+            and self.peek().upper not in _CLAUSE_STOPS
+            and self.peek().upper != "AS"
+        ):
+            ref.alias = _unquote(self.eat().text)
+        return ref
+
+    def parse_join(self) -> Join:
+        kind: str
+        if self.accept("LAST"):
+            self.expect("JOIN")
+            kind = "last"
+        elif self.accept("LEFT"):
+            self.accept("OUTER")
+            self.expect("JOIN")
+            kind = "left"
+        elif self.accept("INNER"):
+            self.expect("JOIN")
+            kind = "inner"
+        elif self.accept("JOIN"):
+            kind = "inner"
+        else:
+            raise SyntaxError(f"unsupported join at {self.peek().text!r}")
+        table = self.parse_table_ref()
+        order_by: Optional[list[list[Tok]]] = None
+        if self.accept("ORDER"):
+            self.expect("BY")
+            order_by = self.take_expr_list()
+        on: Optional[list[Tok]] = None
+        if self.accept("ON"):
+            on = self.take_expr()
+        return Join(kind, table, on, order_by)
+
+    # -- WINDOW clause ------------------------------------------------------
+    def parse_window_def(self) -> WindowClause:
+        name = self.eat().text
+        self.expect("AS")
+        self.expect("(")
+        union_tables: list[TableRef] = []
+        if self.accept("UNION"):
+            while True:
+                union_tables.append(self.parse_table_ref())
+                if not self.accept(","):
+                    break
+        partition_by: list[list[Tok]] = []
+        order_by: Optional[list[Tok]] = None
+        if self.accept("PARTITION"):
+            self.expect("BY")
+            partition_by = self.take_expr_list()
+        if self.accept("ORDER"):
+            self.expect("BY")
+            order_by = self.take_expr()
+            # strip ASC/DESC (dialect: ASC only; reject DESC loudly in lowering)
+            if order_by and order_by[-1].upper in ("ASC", "DESC"):
+                if order_by[-1].upper == "DESC":
+                    raise SyntaxError("window ORDER BY DESC is not in the dialect")
+                order_by = order_by[:-1]
+        w = WindowClause(name, partition_by, order_by, "rows", union_tables=union_tables)
+        # frame
+        if self.at("ROWS_RANGE"):
+            self.eat()
+            w.frame_kind = "rows_range"
+        elif self.at("ROWS"):
+            self.eat()
+            w.frame_kind = "rows"
+        else:
+            raise SyntaxError(f"expected ROWS/ROWS_RANGE, got {self.peek().text!r}")
+        self.expect("BETWEEN")
+        w.open_preceding = self.accept("OPEN")
+        if self.accept("UNBOUNDED"):
+            self.expect("PRECEDING")
+            w.lower = ("unbounded", None)
+        elif self.accept("CURRENT"):
+            self.expect("ROW")
+            w.lower = ("preceding", "0")
+        else:
+            v = self.eat().text
+            self.expect("PRECEDING")
+            w.lower = ("preceding", v)
+        self.expect("AND")
+        if self.accept("CURRENT"):
+            self.expect("ROW")
+        else:
+            # `AND n PRECEDING` upper bound == EXCLUDE-ish; the dialect allows
+            # `BETWEEN x PRECEDING AND y PRECEDING`? docs say upper CURRENT
+            # only; support `0 PRECEDING` == CURRENT ROW
+            v = self.eat().text
+            self.expect("PRECEDING")
+            if v not in ("0",):
+                raise SyntaxError("upper frame bound must be CURRENT ROW")
+        # attributes, any order
+        while True:
+            if self.accept("MAXSIZE"):
+                w.maxsize = int(self.eat().text)
+            elif self.at("EXCLUDE"):
+                self.eat()
+                which = self.eat().upper
+                if which == "CURRENT_TIME":
+                    w.exclude_current_time = True
+                elif which == "CURRENT_ROW":
+                    w.exclude_current_row = True
+                else:
+                    raise SyntaxError(f"unknown EXCLUDE {which}")
+            elif self.accept("INSTANCE_NOT_IN_WINDOW"):
+                w.instance_not_in_window = True
+            else:
+                break
+        self.expect(")")
+        return w
+
+    # -- expression slices --------------------------------------------------
+    def take_expr(self, stop_on_alias: bool = False) -> list[Tok]:
+        """Consume tokens until a top-level clause boundary / comma."""
+        out: list[Tok] = []
+        depth = 0
+        while self.peek() is not None:
+            t = self.peek()
+            if depth == 0:
+                if t.text in (",", ")", ";"):
+                    break
+                if t.kind == "name" and t.upper in _CLAUSE_STOPS and t.upper != "ON":
+                    break
+                if t.upper == "ON":
+                    break
+                if stop_on_alias and t.upper == "AS":
+                    break
+                # bare alias: name following a complete expression — handled
+                # by caller via parse_select_item; here we must stop when a
+                # name directly follows a name/num/str/')' (two adjacent
+                # primaries = alias boundary)
+                if (
+                    stop_on_alias
+                    and t.kind == "name"
+                    and out
+                    and (out[-1].kind in ("name", "num", "str") or out[-1].text in ")]")
+                    and t.upper not in _EXPR_KEYWORDS
+                    # the previous word expects an operand (OVER w1, NOT x,
+                    # MOD y...) — the name completes it, not an alias
+                    and out[-1].upper not in (_EXPR_KEYWORDS - _COMPLETE_KEYWORDS)
+                ):
+                    break
+            if t.text == "(" or t.text == "[":
+                depth += 1
+            elif t.text == ")" or t.text == "]":
+                if depth == 0:
+                    break
+                depth -= 1
+            out.append(self.eat())
+        if not out:
+            raise SyntaxError(f"empty expression at {self.peek().text if self.peek() else 'EOF'!r}")
+        return out
+
+    def take_expr_list(self) -> list[list[Tok]]:
+        items = [self.take_expr()]
+        while self.accept(","):
+            items.append(self.take_expr())
+        return items
+
+    def skip_parens(self) -> None:
+        self.expect("(")
+        depth = 1
+        while depth and self.peek() is not None:
+            t = self.eat()
+            if t.text == "(":
+                depth += 1
+            elif t.text == ")":
+                depth -= 1
+
+
+#: words that may legally appear *inside* an expression (so a name after a
+#: primary is not an alias boundary when it's one of these)
+_EXPR_KEYWORDS = {
+    "AND", "OR", "NOT", "XOR", "IN", "BETWEEN", "LIKE", "ILIKE", "RLIKE",
+    "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN", "THEN", "ELSE", "END",
+    "CAST", "AS", "OVER", "DISTINCT", "INTERVAL", "DAY", "HOUR", "MINUTE",
+    "SECOND", "ESCAPE", "DIV", "MOD",
+}
+
+#: expression keywords that are themselves complete operands — a name right
+#: after one of these IS an alias boundary
+_COMPLETE_KEYWORDS = {"NULL", "TRUE", "FALSE", "END", "DAY", "HOUR", "MINUTE", "SECOND"}
+
+
+def _extract_over(expr: list[Tok]) -> tuple[Optional[OverCall], list[Tok]]:
+    """If expr is exactly `fname ( args ) OVER wname`, build the OverCall."""
+    if len(expr) < 4:
+        return None, expr
+    # find depth-0 OVER
+    depth = 0
+    over_i = -1
+    for i, t in enumerate(expr):
+        if t.text == "(":
+            depth += 1
+        elif t.text == ")":
+            depth -= 1
+        elif depth == 0 and t.upper == "OVER":
+            over_i = i
+            break
+    if over_i < 0:
+        return None, expr
+    head = expr[:over_i]
+    tail = expr[over_i + 1:]
+    if len(tail) != 1 or tail[0].kind != "name":
+        raise SyntaxError("only named-window OVER references are supported")
+    wname = tail[0].text
+    # head must be  name ( ... )
+    if not (len(head) >= 3 and head[0].kind == "name" and head[1].text == "(" and head[-1].text == ")"):
+        raise SyntaxError(f"cannot parse windowed call: {render(head)}")
+    fname = head[0].text.lower()
+    args = _split_args(head[2:-1])
+    return OverCall(fname, args, wname), expr
+
+
+def _split_args(tokens: list[Tok]) -> list[list[Tok]]:
+    args: list[list[Tok]] = []
+    cur: list[Tok] = []
+    depth = 0
+    for t in tokens:
+        if t.text in "([":
+            depth += 1
+        elif t.text in ")]":
+            depth -= 1
+        if t.text == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        args.append(cur)
+    return [a for a in args if a]
+
+
+def _unquote(name: str) -> str:
+    if name.startswith("`") and name.endswith("`"):
+        return name[1:-1]
+    return name
+
+
+def parse(sql: str) -> Query:
+    return Parser(tokenize(sql)).parse_query()

@@ -1,0 +1,238 @@
+"""Token-level rewrite of dialect scalar expressions into Spark SQL text.
+
+The reference registers ~150 scalar/aggregate names in
+``hybridse/src/udf/default_udf_library.cc``; most have identical Spark SQL
+spellings and pass through untouched.  The rest are renamed
+(``lcase`` -> ``lower``) or expanded into equivalent Spark SQL templates
+(``strcmp``, ``*_where`` in GROUP BY context, ``earth_distance``...), so the
+result can be handed to ``F.expr`` / ``spark.sql`` and compiled by Catalyst —
+no Python UDFs anywhere on this path.
+
+Column-level semantics are pinned by :mod:`openmldb_spark.functions.scalar`
+(same mappings as Column builders); this module is the SQL-text mirror used
+by the SQL front end.
+"""
+
+from __future__ import annotations
+
+import re
+
+from openmldb_spark.sql.parser import Tok, render, tokenize
+
+# ---------------------------------------------------------------------------
+# simple renames: dialect name -> spark sql function name
+# ---------------------------------------------------------------------------
+
+RENAMES: dict[str, str] = {
+    # string (ref default_udf_library.cc:679-1379)
+    "ucase": "upper",
+    "lcase": "lower",
+    "char": "chr",
+    "char_length": "length",
+    "character_length": "length",
+    # logical (ref :2028-2088)
+    "is_null": "isnull",
+    "if_null": "ifnull",
+    "nvl": "ifnull",
+    # math (ref :1380-1818) — xxhash64 as the 64-bit fingerprint (documented
+    # divergence from farmhash; both opaque)
+    "hash64": "xxhash64",
+    "farm_fingerprint": "xxhash64",
+    # casts (ref :2089-2263)
+    "int32": "int",
+    "int64": "bigint",
+    "int16": "smallint",
+    "bool": "boolean",
+    # date/time (ref :2264-2707)
+    "week": "weekofyear",
+    # collections (ref default_defs/array_def.cc)
+    "at": "element_at",
+    "join": "array_join",
+}
+
+# ---------------------------------------------------------------------------
+# templates: dialect call -> spark sql text built from rewritten arg texts
+# ---------------------------------------------------------------------------
+
+
+def _t_strcmp(a: str, b: str) -> str:
+    return (
+        f"(CASE WHEN ({a})<({b}) THEN -1 WHEN ({a})>({b}) THEN 1 "
+        f"WHEN ({a})=({b}) THEN 0 END)"
+    )
+
+
+def _t_truncate(x: str) -> str:
+    # truncate toward zero, double result (scalar.truncate)
+    return (
+        f"(CAST(CASE WHEN ({x})>=0 THEN FLOOR({x}) ELSE CEILING({x}) END AS DOUBLE))"
+    )
+
+
+def _t_earth_distance(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    # haversine, mean radius 6371.009 km (ref: default_defs/earth_distance_def.cc)
+    r1, o1, r2, o2 = (f"RADIANS({v})" for v in (lat1, lon1, lat2, lon2))
+    a = (
+        f"POWER(SIN(({r2}-{r1})/2),2)"
+        f"+COS({r1})*COS({r2})*POWER(SIN(({o2}-{o1})/2),2)"
+    )
+    return f"(2*6371009.0D*ASIN(SQRT({a})))"
+
+
+def _t_like(s: str, p: str, esc: str | None = None) -> str:
+    return f"(({s}) LIKE ({p}){' ESCAPE '+esc if esc else ''})"
+
+
+def _t_ilike(s: str, p: str, esc: str | None = None) -> str:
+    return f"(({s}) ILIKE ({p}))"
+
+
+def _re_escape_sql_literal(lit: str) -> str:
+    """Regex-escape the *contents* of a quoted SQL string literal (the
+    dialect's split() delimiter is literal; Spark's split() is a regex)."""
+    if len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]:
+        body = lit[1:-1]
+        esc = "".join("\\\\" + ch if ch in r"\.[]{}()*+?^$|" else ch for ch in body)
+        return lit[0] + esc + lit[0]
+    return lit
+
+
+def _t_split(s: str, d: str) -> str:
+    return f"SPLIT({s}, {_re_escape_sql_literal(d)})"
+
+
+def _t_split_by_key(s: str, item_d: str, kv_d: str) -> str:
+    i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
+    return (
+        f"TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
+        f"kv -> SPLIT(kv, {k})[0])"
+    )
+
+
+def _t_split_by_value(s: str, item_d: str, kv_d: str) -> str:
+    i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
+    return (
+        f"TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
+        f"kv -> SPLIT(kv, {k})[1])"
+    )
+
+
+_STRFTIME = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd",
+    "%H": "HH", "%M": "mm", "%S": "ss", "%s": "ss",
+}
+
+
+def _t_date_format(ts: str, fmt: str) -> str:
+    # the reference uses C strftime patterns ('%Y-%m-%d'); Spark uses Java
+    if "%" in fmt:
+        for c_pat, j_pat in _STRFTIME.items():
+            fmt = fmt.replace(c_pat, j_pat)
+    return f"DATE_FORMAT({ts}, {fmt})"
+
+
+def _agg_where(agg: str):
+    # GROUP BY-context *_where family (ref :2904-3025). The window path
+    # lowers these structurally (functions.aggregates); this text form keeps
+    # them available in plain aggregation SQL.
+    def t(v: str, cond: str) -> str:
+        return f"{agg}(CASE WHEN {cond} THEN {v} END)"
+
+    return t
+
+
+TEMPLATES: dict[str, object] = {
+    "strcmp": _t_strcmp,
+    "truncate": _t_truncate,
+    "earth_distance": _t_earth_distance,
+    "like_match": _t_like,
+    "ilike_match": _t_ilike,
+    "regexp_like": lambda s, p: f"(({s}) RLIKE ({p}))",
+    "split": _t_split,
+    "split_by_key": _t_split_by_key,
+    "split_by_value": _t_split_by_value,
+    "date_format": _t_date_format,
+    "distinct_count": lambda x: f"COUNT(DISTINCT {x})",
+    "sum_where": _agg_where("SUM"),
+    "count_where": _agg_where("COUNT"),
+    "avg_where": _agg_where("AVG"),
+    "min_where": _agg_where("MIN"),
+    "max_where": _agg_where("MAX"),
+}
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+
+def _split_top_commas(tokens: list[Tok]) -> list[list[Tok]]:
+    args: list[list[Tok]] = []
+    cur: list[Tok] = []
+    depth = 0
+    for t in tokens:
+        if t.text in "([":
+            depth += 1
+        elif t.text in ")]":
+            depth -= 1
+        if t.text == "," and depth == 0:
+            args.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur or args:
+        args.append(cur)
+    return args
+
+
+def rewrite_tokens(tokens: list[Tok]) -> str:
+    """Rewrite one expression token slice into Spark SQL text."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < n else None
+        prev_dot = bool(out) and out[-1].text == "."
+        if t.kind == "name" and nxt is not None and nxt.text == "(" and not prev_dot:
+            # a call: find matching close paren
+            depth = 0
+            j = i + 1
+            while j < n:
+                if tokens[j].text == "(":
+                    depth += 1
+                elif tokens[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:  # unbalanced — leave as-is
+                out.append(t)
+                i += 1
+                continue
+            inner = tokens[i + 2 : j]
+            fname = t.text.lower()
+            if fname in TEMPLATES:
+                args = [rewrite_tokens(a) for a in _split_top_commas(inner) if a]
+                text = TEMPLATES[fname](*args)  # type: ignore[operator]
+            else:
+                sname = RENAMES.get(fname, t.text)
+                text = f"{sname}({rewrite_tokens(inner)})"
+            # synthetic token: render() treats it as one opaque unit, so the
+            # gluing rules for '.', ',', '(' around it stay correct
+            out.append(Tok("name", text))
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return render(out)
+
+
+def rewrite_expr(tokens_or_text) -> str:
+    """Expression tokens (or raw text) -> Spark SQL text."""
+    toks = (
+        tokenize(tokens_or_text)
+        if isinstance(tokens_or_text, str)
+        else list(tokens_or_text)
+    )
+    return rewrite_tokens(toks)
