@@ -586,6 +586,29 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ===========================================================================
+# long-window pre-agg (SURVEY §4.3 — the reference's RequestAggUnion path)
+# ===========================================================================
+
+
+def q_long_window_preagg(spark: SparkSession, sf: str) -> DataFrame:
+    """6h sliding sum for a 2% request sample served from 1h pre-agg
+    buckets + edge-bucket raw scans (ref: aggregator.h AggrBuffer;
+    PhysicalRequestAggUnionNode physical_op.h:1617-1692)."""
+    from openmldb_spark.plans.longwindow import preaggregate, request_long_window
+
+    e = load_table(spark, sf, "events").withColumn("ts_ms", _ts_ms("ts"))
+    hist = e.select("user_id", "ts_ms", "value")
+    reqs = e.where(F.col("event_id") % 50 == 0).select("event_id", "user_id", "ts_ms")
+    pre = preaggregate(hist, ["user_id"], "ts_ms", "value", 3_600_000)
+    out = request_long_window(
+        reqs, hist, pre, ["user_id"], "ts_ms", "value",
+        range_ms=21_600_000, bucket_ms=3_600_000, agg="sum",
+        request_id="event_id",
+    )
+    return out.select("event_id", "user_id", F.round("agg_v", 4).alias("sv"))
+
+
+# ===========================================================================
 # SQL front end (SURVEY §3.1): the same constructs entered as dialect SQL
 # text — parse -> rewrite -> lower onto the operators above
 # ===========================================================================
@@ -735,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
         "udaf_window_exotic": q_udaf_window_exotic,
+        # long-window pre-agg
+        "long_window_preagg": q_long_window_preagg,
         # SQL front end
         "sql_scalars": q_sql_scalars,
         "sql_group": q_sql_group,
@@ -1062,6 +1087,14 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "long_window_preagg": """
+            SELECT r.event_id, r.user_id, round(sum(e.value), 4) AS sv
+            FROM (SELECT event_id, user_id, epoch_ms(ts) AS t
+                  FROM events WHERE event_id % 50 = 0) r
+            LEFT JOIN events e ON e.user_id = r.user_id
+              AND epoch_ms(e.ts) BETWEEN r.t - 21600000 AND r.t
+            GROUP BY r.event_id, r.user_id
         """,
         "sql_scalars": """
             SELECT c_custkey, lower(c_name) AS lname,

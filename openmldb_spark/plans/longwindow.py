@@ -1,0 +1,169 @@
+"""Long-window pre-aggregation (SURVEY §4.3).
+
+Reference: very long sliding windows (``sum(col) OVER w`` spanning months of
+per-key events) are served from pre-aggregated time buckets instead of raw
+rows — ``src/storage/aggregator.h:39-75`` maintains an ``AggrBuffer``
+{sum,count,min,max} per (key, time-bucket) on every insert, and
+``PhysicalRequestAggUnionNode`` (``hybridse/include/vm/physical_op.h:1617-1692``,
+``RequestAggUnionRunner`` ``hybridse/src/vm/runner.h:554``) answers a request
+by combining *full* buckets from the pre-agg table with raw-row scans of the
+two *partial* buckets at the window edges. Enabled per-deploy via
+``OPTIONS(long_windows='w1:1d')`` (``DEPLOY_STATEMENT.md:143-156``).
+
+Spark-first translation:
+
+- :func:`preaggregate` — one ``groupBy(key, bucket)`` shuffle producing the
+  materialized pre-agg DataFrame. At scale: write it partitioned by bucket
+  date and maintain it incrementally (append new buckets per micro-batch /
+  daily job); it is ~``bucket_ms/avg_event_gap`` times smaller than the raw
+  table.
+- :func:`request_long_window` — the batch analogue of RequestAggUnion: for
+  M request rows over N history rows it reads the pre-agg table (N/k rows)
+  for full buckets and only the ≤2 edge buckets per request from raw
+  history — instead of scanning the full R-range per request. Joins are
+  keyed shuffles (AQE may broadcast the request side); the raw-history scan
+  is pre-pruned by a broadcast semi-join on the edge-bucket ids, which
+  turns into dynamic partition pruning when history is stored partitioned
+  by bucket.
+
+Semantics pinned to the window engine: window = ``[t - range_ms, t]``, both
+ends inclusive (ROWS_RANGE ... PRECEDING AND CURRENT ROW).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_SUPPORTED = ("sum", "count", "avg", "min", "max")
+
+
+def preaggregate(
+    history: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_ms: int,
+) -> DataFrame:
+    """Materialize per-(key, bucket) partial aggregates of ``value_col``.
+
+    ``ts_col`` must be epoch-ms (long). Output columns: keys...,
+    ``bucket`` (= floor(ts/bucket_ms)), ``sum_v, cnt_v, min_v, max_v``
+    — the same quartet the reference's AggrBuffer keeps
+    (``aggregator.h:56-75``), from which sum/count/avg/min/max (and any
+    combination) are all answerable.
+    """
+    b = (F.col(ts_col) / F.lit(bucket_ms)).cast("long").alias("bucket")
+    return (
+        history.groupBy(*[F.col(k) for k in keys], b)
+        .agg(
+            F.sum(value_col).alias("sum_v"),
+            F.count(value_col).alias("cnt_v"),
+            F.min(value_col).alias("min_v"),
+            F.max(value_col).alias("max_v"),
+        )
+    )
+
+
+def request_long_window(
+    requests: DataFrame,
+    history: DataFrame,
+    preagg: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    range_ms: int,
+    bucket_ms: int,
+    agg: str = "sum",
+    *,
+    request_id: str = "__req_id",
+) -> DataFrame:
+    """``agg(value) OVER (PARTITION BY keys ORDER BY ts RANGE range_ms
+    PRECEDING)`` for each request row, served from pre-agg + edge buckets.
+
+    ``requests`` needs ``keys`` + ``ts_col`` (epoch-ms) + a unique
+    ``request_id`` column (added with monotonically_increasing_id if absent).
+    Returns the requests with an appended ``agg_v`` column.
+    """
+    if agg not in _SUPPORTED:
+        raise ValueError(f"agg must be one of {_SUPPORTED}")
+    if range_ms < bucket_ms:
+        raise ValueError("long-window range must cover at least one bucket")
+
+    if request_id not in requests.columns:
+        requests = requests.withColumn(request_id, F.monotonically_increasing_id())
+
+    req = requests.select(
+        request_id,
+        *keys,
+        F.col(ts_col).alias("__t"),
+        (F.col(ts_col) / bucket_ms).cast("long").alias("__b_hi"),
+        ((F.col(ts_col) - range_ms) / bucket_ms).cast("long").alias("__b_lo"),
+    ).alias("__req")
+
+    # ---- full buckets: strictly between the two edge buckets --------------
+    pre = preagg.alias("__pre")
+    full_cond = (
+        (F.col("__pre.bucket") > F.col("__req.__b_lo"))
+        & (F.col("__pre.bucket") < F.col("__req.__b_hi"))
+    )
+    for k in keys:
+        full_cond = full_cond & (F.col(f"__req.{k}") == F.col(f"__pre.{k}"))
+    full = (
+        req.join(pre, full_cond, "left")
+        .groupBy(F.col(f"__req.{request_id}").alias(request_id))
+        .agg(
+            F.sum("sum_v").alias("__f_sum"),
+            F.sum("cnt_v").alias("__f_cnt"),
+            F.min("min_v").alias("__f_min"),
+            F.max("max_v").alias("__f_max"),
+        )
+    )
+
+    # ---- edge buckets: raw rows of b_lo and b_hi inside the range ---------
+    # prune the history scan to the union of edge-bucket ids (broadcast
+    # semi-join -> dynamic partition pruning when stored bucket-partitioned)
+    edge_ids = (
+        req.select(F.explode(F.array("__b_lo", "__b_hi")).alias("bucket")).distinct()
+    )
+    hist = (
+        history.withColumn("__hb", (F.col(ts_col) / bucket_ms).cast("long"))
+        .join(F.broadcast(edge_ids), F.col("__hb") == F.col("bucket"), "left_semi")
+        .alias("__hist")
+    )
+    edge_cond = (
+        ((F.col("__hist.__hb") == F.col("__req.__b_lo"))
+         | (F.col("__hist.__hb") == F.col("__req.__b_hi")))
+        & (F.col(f"__hist.{ts_col}") >= F.col("__req.__t") - range_ms)
+        & (F.col(f"__hist.{ts_col}") <= F.col("__req.__t"))
+    )
+    for k in keys:
+        edge_cond = edge_cond & (F.col(f"__req.{k}") == F.col(f"__hist.{k}"))
+    edges = (
+        req.join(hist, edge_cond, "left")
+        .groupBy(F.col(f"__req.{request_id}").alias(request_id))
+        .agg(
+            F.sum(F.col(f"__hist.{value_col}")).alias("__e_sum"),
+            F.count(F.col(f"__hist.{value_col}")).alias("__e_cnt"),
+            F.min(F.col(f"__hist.{value_col}")).alias("__e_min"),
+            F.max(F.col(f"__hist.{value_col}")).alias("__e_max"),
+        )
+    )
+
+    parts = full.join(edges, request_id)
+    sum_v = F.coalesce("__f_sum", F.lit(0.0)) + F.coalesce("__e_sum", F.lit(0.0))
+    cnt_v = F.coalesce("__f_cnt", F.lit(0)) + F.coalesce("__e_cnt", F.lit(0))
+    if agg == "sum":
+        out = F.when(cnt_v > 0, sum_v)
+    elif agg == "count":
+        out = cnt_v
+    elif agg == "avg":
+        out = F.when(cnt_v > 0, sum_v / cnt_v)
+    elif agg == "min":
+        out = F.least("__f_min", "__e_min")
+    else:
+        out = F.greatest("__f_max", "__e_max")
+    combined = parts.select(request_id, out.alias("agg_v"))
+    return requests.join(combined, request_id, "left")

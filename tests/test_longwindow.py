@@ -1,0 +1,72 @@
+"""Long-window pre-agg (SURVEY §4.3): bucket-combine + edge-scan must equal
+the brute-force sliding window exactly."""
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from openmldb_spark.plans.longwindow import preaggregate, request_long_window
+
+B = 1000  # bucket_ms
+R = 3500  # range_ms (covers 3.5 buckets -> always 2 partial edges + fulls)
+
+
+@pytest.fixture(scope="module")
+def hist(spark):
+    rows = []
+    # two keys, irregular ts incl. bucket-boundary and duplicate ts values
+    for uid, base in (("a", 0), ("b", 50)):
+        for i, off in enumerate([0, 120, 990, 1000, 1001, 2500, 3000, 4999, 5000, 7300, 9999]):
+            rows.append((uid, base + off + 100000, float(i + 1)))
+    return spark.createDataFrame(rows, "uid string, ts long, v double")
+
+
+def brute(spark, hist, requests, agg):
+    # oracle: per request row, aggregate raw history in [t-R, t]
+    r = requests.alias("r")
+    h = hist.alias("h")
+    fn = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max, "avg": F.avg}[agg]
+    return (
+        r.join(
+            h,
+            (F.col("r.uid") == F.col("h.uid"))
+            & (F.col("h.ts") >= F.col("r.ts") - R)
+            & (F.col("h.ts") <= F.col("r.ts")),
+            "left",
+        )
+        .groupBy("r.rid")
+        .agg(fn(F.col("h.v")).alias("want"))
+    )
+
+
+@pytest.mark.parametrize("agg", ["sum", "count", "min", "max", "avg"])
+def test_matches_bruteforce(spark, hist, agg):
+    # request rows at history points AND at arbitrary off-row timestamps
+    reqs = hist.select("uid", "ts").union(
+        spark.createDataFrame(
+            [("a", 100999), ("a", 104000), ("b", 100049), ("b", 111111)],
+            "uid string, ts long",
+        )
+    ).withColumn("rid", F.monotonically_increasing_id())
+    pre = preaggregate(hist, ["uid"], "ts", "v", B)
+    got = request_long_window(
+        reqs, hist, pre, ["uid"], "ts", "v", R, B, agg, request_id="rid"
+    )
+    want = brute(spark, hist, reqs, agg)
+    j = got.join(want, "rid")
+    bad = j.where(
+        ~(
+            F.col("agg_v").eqNullSafe(F.col("want"))
+            | (F.abs(F.col("agg_v") - F.col("want")) < 1e-9)
+        )
+    )
+    assert bad.count() == 0, bad.collect()
+
+
+def test_preagg_is_smaller_and_complete(spark, hist):
+    pre = preaggregate(hist, ["uid"], "ts", "v", B)
+    assert pre.count() < hist.count()
+    # bucket totals reconstruct the global sum
+    assert (
+        pre.agg(F.sum("sum_v")).collect()[0][0]
+        == hist.agg(F.sum("v")).collect()[0][0]
+    )
