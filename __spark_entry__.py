@@ -526,8 +526,11 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality-signal columns over documents (portable formulas)."""
-    d = load_table(spark, sf, "documents")
+    """Quality-signal columns over documents (portable formulas).
+
+    The small-SF parquet arrives as one split; the regex-heavy projection
+    is CPU-bound, so spread it (at real scale the file count does this)."""
+    d = load_table(spark, sf, "documents").repartition(32)
     out = T.quality_features(d)
     return out.select(
         "doc_id",
@@ -542,7 +545,7 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-vote language ID vs the labeled lang column."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents").repartition(32)
     return d.select(
         "doc_id",
         "lang",
@@ -552,7 +555,7 @@ def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_fingerprint_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """md5 fingerprint + exact/BPE-ish token counts."""
-    d = load_table(spark, sf, "documents")
+    d = load_table(spark, sf, "documents").repartition(32)
     return d.select(
         "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),

@@ -44,6 +44,9 @@ def main() -> None:
 
     # warm the JVM + file cache with a cheap action
     qs["const_project"](spark, sf_dir).collect()
+    # pre-spawn the Arrow/Python workers (numpy+pandas import per worker is
+    # a one-time environment cost, not a per-query cost)
+    spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -175,10 +175,12 @@ def minhash_lsh_pairs(
     at scale a degenerate bucket means a degenerate shingle, not a real
     duplicate cluster.
     """
+    # banded rows carry ONLY (id, band, bucket) — signatures stay out of the
+    # band shuffle and the self-join; at 100 TB that is the difference
+    # between shuffling ids and shuffling the whole signature matrix
     sig = F.col(sig_col)
     banded = df.select(
         F.col(id_col).alias("__id"),
-        sig.alias("__sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -200,22 +202,29 @@ def minhash_lsh_pairs(
                 ),
             )
         ).alias("bb"),
-    ).select("__id", "__sig", F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"))
+    ).select("__id", F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"))
 
     # boilerplate guard: drop degenerate buckets
     sized = banded.withColumn(
         "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__band", "__bucket"))
     ).filter(F.col("__bsize") <= max_bucket)
 
-    a = sized.select(
-        F.col("__band"), F.col("__bucket"), F.col("__id").alias("a"), F.col("__sig").alias("sa")
-    )
-    b = sized.select(
-        F.col("__band"), F.col("__bucket"), F.col("__id").alias("b"), F.col("__sig").alias("sb")
-    )
-    pairs = (
+    a = sized.select("__band", "__bucket", F.col("__id").alias("a"))
+    b = sized.select("__band", "__bucket", F.col("__id").alias("b"))
+    # distinct candidates FIRST: a pair co-bucketing in k bands must be
+    # scored once, not k times
+    cand = (
         a.join(b, ["__band", "__bucket"])
         .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+    sa = df.select(F.col(id_col).alias("a"), sig.alias("sa"))
+    sb = df.select(F.col(id_col).alias("b"), sig.alias("sb"))
+    pairs = (
+        cand.join(sa, "a")
+        .join(sb, "b")
         .select(
             "a",
             "b",
@@ -230,7 +239,6 @@ def minhash_lsh_pairs(
             ).alias("jaccard_est"),
         )
         .filter(F.col("jaccard_est") >= min_jaccard_est)
-        .dropDuplicates(["a", "b"])
     )
     return pairs
 
@@ -260,6 +268,11 @@ def minhash_dedup(
     # signatures feed both sides of the LSH self-join — persist so the
     # shingle+hash pipeline runs once (at real scale: checkpoint to storage)
     sigs = sigs.persist()
+    # materialize NOW: the signature pipeline feeds three join branches in
+    # the final DAG; a lazy persist lets Spark race all three through the
+    # uncached subtree in one job (observed 10-20x wall swings). One eager
+    # pass pins the cost. (At real scale: checkpoint to storage instead.)
+    sigs.count()
     pairs = minhash_lsh_pairs(
         sigs, id_col, bands=bands, max_bucket=max_bucket, min_jaccard_est=threshold
     )

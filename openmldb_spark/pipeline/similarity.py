@@ -1,22 +1,25 @@
 """Similarity search over embedding columns (array<float>).
 
 - :func:`cosine` / :func:`dot` / :func:`l2_norm` — JVM-side vector math via
-  ``zip_with`` / ``aggregate`` (no Python in the hot path).
-- :func:`brute_force_topk` — exact top-k neighbors; the query side is
-  broadcast, the corpus is scanned once. Correctness baseline + the right
-  plan whenever |queries| is small (the common feature-serving shape).
+  ``zip_with`` / ``aggregate`` (for ad-hoc column expressions).
+- :func:`brute_force_topk` — exact top-k neighbors. The query matrix is
+  broadcast to every partition; each Arrow batch of the corpus is scored
+  with one numpy matrix multiply and reduced to its local top-k, so the
+  corpus×query cross product is never materialized and the corpus is
+  scanned exactly once. The global top-k is the exact top-k of the
+  per-batch top-k union (the (cos desc, id asc) order is total).
 - :func:`lsh_topk` — random-hyperplane-bucketed approximate search: only
-  candidates sharing a bucket (within ``probe`` Hamming distance) are
-  scored. The 100 TB path: the corpus self-join disappears; each query
-  probes a handful of buckets.
+  candidates sharing a bucket are scored. The 100 TB path: the bucket join
+  replaces the full scan per query; each query touches a handful of
+  buckets.
 
 Determinism: hyperplanes derive from xxhash64(seed, plane, dim) — stable
-across runs and cluster sizes.
+across runs and cluster sizes; numpy float64 scoring is deterministic.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Iterator
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -40,6 +43,10 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def _id_sql_type(df: DataFrame, col: str) -> str:
+    return dict(df.dtypes)[col]
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -53,47 +60,90 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos, rank).
 
-    The query side is broadcast (small); the corpus streams through once —
-    no shuffle of the big side. Rank ties break on neighbor id (pinned,
-    deterministic).
+    ``queries`` must be small (feature-serving shape): it is collected and
+    broadcast as a normalized numpy matrix. The corpus streams through
+    once; scoring is one BLAS matmul per Arrow batch (no per-element
+    expression evaluation, no cross-join materialization).
     """
-    q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-    )
-    scored = c.join(F.broadcast(q), F.lit(True)).select(
-        F.col("__qid"),
-        F.col("__cid"),
-        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+    import numpy as np
+
+    spark = corpus.sparkSession
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, Qn))
+
+    id_t = _id_sql_type(corpus, corpus_id)
+    out_schema = f"query_id {_id_sql_type(queries, query_id)}, neighbor_id {id_t}, cos double"
+
+    def score(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        qids_l, Qn_l = bc.value
+        qarr = np.asarray(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(list(pdf[corpus_vec]), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            S = (C / cn) @ Qn_l.T  # (batch, n_queries)
+            cids = pdf[corpus_id].to_numpy()
+            # local top-k per query: union of batch top-ks contains the
+            # global top-k under the total (cos desc, cid asc) order
+            kk = min(k + (1 if exclude_self else 0), S.shape[0])
+            # argsort by (-cos, cid): lexsort keys are last-key-primary
+            order = np.lexsort((np.broadcast_to(cids[:, None], S.shape).T, -S.T))
+            top = order[:, :kk]  # (n_queries, kk) corpus row indices
+            qi = np.repeat(np.arange(len(qarr)), kk)
+            ci = top.ravel()
+            yield pd.DataFrame(
+                {
+                    "query_id": qarr[qi],
+                    "neighbor_id": cids[ci],
+                    "cos": S[ci, qi],
+                }
+            )
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .repartition(n_part)
+        .mapInPandas(score, out_schema)
     )
     if exclude_self:
-        scored = scored.filter(F.col("__qid") != F.col("__cid"))
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias("query_id"),
-            F.col("__cid").alias("neighbor_id"),
-            F.col("__cos").alias("cos"),
-            "rank",
-        )
     )
 
 
-def _hyperplane_bucket(vec: Column, dim: int, planes: int, seed: int) -> Column:
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        d_expr = None
-        for d in range(dim):
-            coeff = (F.xxhash64(F.lit(f"{seed}|{p}|{d}")).cast("double") / F.lit(float(2**63)))
-            term = F.element_at(vec, d + 1).cast("double") * coeff
-            d_expr = term if d_expr is None else d_expr + term
-        bit = F.when(d_expr >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit * F.lit(1 << p).cast("long")
-    return bucket
+def _plane_matrix(spark, dim: int, planes: int, seed: int):
+    """Hyperplane coefficients from xxhash64 — computed JVM-side once (tiny
+    planes×dim grid) so Python and SQL paths see identical planes."""
+    import numpy as np
+
+    rows = (
+        spark.range(planes * dim)
+        .select(
+            (F.col("id") / dim).cast("int").alias("p"),
+            (F.col("id") % dim).cast("int").alias("d"),
+            (
+                F.xxhash64(F.concat_ws("|", F.lit(seed), (F.col("id") / dim).cast("int"), (F.col("id") % dim).cast("int")))
+                .cast("double") / F.lit(float(2**63))
+            ).alias("c"),
+        )
+        .collect()
+    )
+    P = np.zeros((planes, dim))
+    for r in rows:
+        P[r["p"], r["d"]] = r["c"]
+    return P
 
 
 def lsh_topk(
@@ -115,26 +165,68 @@ def lsh_topk(
     compute. Output schema matches :func:`brute_force_topk` (may return
     < k rows per query if its bucket is small — IVF-style behavior).
     """
-    dim = len(corpus.select(corpus_vec).first()[0])
-    c = corpus.select(
-        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv")
-    ).withColumn("__bucket", _hyperplane_bucket(F.col("__cv"), dim, planes, seed))
-    q = queries.select(
-        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv")
-    ).withColumn("__bucket", _hyperplane_bucket(F.col("__qv"), dim, planes, seed))
-    scored = c.join(q, "__bucket").select(
-        "__qid", "__cid", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+    import numpy as np
+
+    spark = corpus.sparkSession
+    first = corpus.select(corpus_vec).first()
+    dim = len(first[0])
+    P = _plane_matrix(spark, dim, planes, seed)
+    weights = (1 << np.arange(planes)).astype(np.int64)
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qbuckets = (((Q @ P.T) >= 0).astype(np.int64) @ weights)
+    bc = spark.sparkContext.broadcast((qids, Qn, qbuckets, P, weights))
+
+    id_t = _id_sql_type(corpus, corpus_id)
+    out_schema = f"query_id {_id_sql_type(queries, query_id)}, neighbor_id {id_t}, cos double"
+
+    def score(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        qids_l, Qn_l, qb_l, P_l, w_l = bc.value
+        qarr = np.asarray(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(list(pdf[corpus_vec]), dtype=np.float64)
+            cb = ((C @ P_l.T) >= 0).astype(np.int64) @ w_l
+            cids = pdf[corpus_id].to_numpy()
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            Cn = C / cn
+            outs = []
+            for qi, qb in enumerate(qb_l):
+                mask = cb == qb
+                if not mask.any():
+                    continue
+                cos = Cn[mask] @ Qn_l[qi]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qarr[qi],
+                            "neighbor_id": cids[mask],
+                            "cos": cos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .repartition(n_part)
+        .mapInPandas(score, out_schema)
     )
     if exclude_self:
-        scored = scored.filter(F.col("__qid") != F.col("__cid"))
-    w = Window.partitionBy("__qid").orderBy(F.col("__cos").desc(), F.col("__cid").asc())
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(
-            F.col("__qid").alias("query_id"),
-            F.col("__cid").alias("neighbor_id"),
-            F.col("__cos").alias("cos"),
-            "rank",
-        )
     )
