@@ -1,0 +1,413 @@
+"""Statement-level engine facade — the equivalent of the reference's
+SQL router + TaskManager entry points (SURVEY §3.3).
+
+The reference routes statements via CmdType (``node_enum.h:282-330``):
+DDL goes to the nameserver, offline DML (LOAD DATA / SELECT INTO / SELECT)
+to Spark jobs via TaskManager, DEPLOY compiles a named request-mode
+procedure. Here everything is one process: an in-memory catalog of
+DataFrames + table metadata, and ``execute(sql)`` dispatching on the first
+keywords.
+
+Statements:
+
+- ``CREATE DATABASE d`` / ``USE d`` / ``DROP DATABASE d``
+- ``CREATE TABLE t (col type..., INDEX(KEY=..., TS=..., TTL=..., TTL_TYPE=...))``
+  (DDL: ``docs/en/openmldb_sql/ddl/CREATE_TABLE_STATEMENT.md:223-244``)
+- ``DROP TABLE t``
+- ``INSERT INTO t VALUES (...), (...)``
+- ``LOAD DATA INFILE 'path' INTO TABLE t OPTIONS(format='csv', ...)``
+- ``SELECT ... INTO OUTFILE 'path' OPTIONS(...)``
+- ``DEPLOY name SELECT ...`` — request-mode procedure (below)
+- ``SELECT ...`` — the query front end (:mod:`openmldb_spark.sql`)
+- ``SHOW TABLES`` / ``SHOW DATABASES`` / ``SHOW DEPLOYMENTS``
+
+DEPLOY semantics (ref ``DEPLOY_STATEMENT.md``; ``PhysicalRequestUnionNode``
+``physical_op.h:1504-1615``): the deployed SELECT's main table becomes the
+request table. ``run_batch`` executes the SQL unchanged over stored data
+(batch = request-for-every-row, ``WINDOW_CLAUSE.md:78-86``). ``run_request``
+rewrites every window to ``UNION __history ... INSTANCE_NOT_IN_WINDOW`` so
+each request row's frames see stored history + the request row itself and
+nothing else — the RequestUnion merge, train/serve consistent by
+construction.
+"""
+
+from __future__ import annotations
+
+import copy
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from openmldb_spark.catalog import IndexDef, TableDef
+from openmldb_spark.plans.deploy import Deployment
+from openmldb_spark.sources.loader import load_data, select_into
+from openmldb_spark.sql import parser as P
+from openmldb_spark.sql.lowering import Lowerer
+from openmldb_spark.sql.parser import Tok, render, tokenize
+
+_TYPES = {
+    "bool": "boolean", "boolean": "boolean",
+    "smallint": "short", "int16": "short",
+    "int": "int", "int32": "int", "integer": "int",
+    "bigint": "long", "int64": "long",
+    "float": "float", "double": "double",
+    "date": "date", "timestamp": "timestamp",
+    "string": "string", "varchar": "string",
+}
+
+
+class Engine:
+    """One engine = one SparkSession + one catalog of named tables."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.databases: set[str] = {"default"}
+        self.current_db = "default"
+        self.tables: dict[str, DataFrame] = {}
+        self.table_defs: dict[str, TableDef] = {}
+        self.deployments: dict[str, "SqlDeployment"] = {}
+
+    # -- public ---------------------------------------------------------------
+    def register(self, name: str, df: DataFrame) -> None:
+        self.tables[name] = df
+
+    def execute(self, sql_text: str):
+        """Run one statement. Returns a DataFrame for queries/SHOW, None
+        for DDL/DML side effects, a SqlDeployment for DEPLOY."""
+        toks = tokenize(sql_text)
+        if not toks:
+            return None
+        head = toks[0].upper
+        second = toks[1].upper if len(toks) > 1 else ""
+        if head == "CREATE" and second == "DATABASE":
+            self.databases.add(toks[2].text)
+            return None
+        if head == "DROP" and second == "DATABASE":
+            self.databases.discard(toks[2].text)
+            return None
+        if head == "USE":
+            if toks[1].text not in self.databases:
+                raise ValueError(f"database {toks[1].text!r} does not exist")
+            self.current_db = toks[1].text
+            return None
+        if head == "CREATE" and second == "TABLE":
+            return self._create_table(toks)
+        if head == "DROP" and second == "TABLE":
+            self.tables.pop(toks[2].text, None)
+            self.table_defs.pop(toks[2].text, None)
+            return None
+        if head == "INSERT":
+            return self._insert(toks)
+        if head == "LOAD":
+            return self._load_data(sql_text)
+        if head == "DEPLOY":
+            return self._deploy(toks, sql_text)
+        if head == "SHOW":
+            return self._show(second)
+        if head in ("SELECT", "WITH"):
+            m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
+            if m:
+                return self._select_into(sql_text, m)
+            return Lowerer(self.spark, self.tables).query(P.parse(sql_text), {})
+        raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
+
+    # -- DDL ------------------------------------------------------------------
+    def _create_table(self, toks: list[Tok]):
+        name = toks[2].text
+        # body between the outermost parens
+        i = 3
+        assert toks[i].text == "(", "CREATE TABLE t (...) expected"
+        depth = 0
+        j = i
+        for j in range(i, len(toks)):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        body = toks[i + 1 : j]
+        cols: list[tuple[str, str]] = []
+        indexes: list[IndexDef] = []
+        for item in _split_commas(body):
+            if item[0].upper == "INDEX":
+                indexes.append(self._parse_index(item, len(indexes)))
+            else:
+                cname = item[0].text
+                ctype = _TYPES.get(item[1].text.lower())
+                if ctype is None:
+                    raise ValueError(f"unknown column type {item[1].text!r}")
+                cols.append((cname, ctype))  # NOT NULL / DEFAULT ignored (batch)
+        ddl = ", ".join(f"{c} {t}" for c, t in cols)
+        self.table_defs[name] = TableDef(name, ddl, indexes)
+        self.tables[name] = self.spark.createDataFrame([], ddl)
+        return None
+
+    @staticmethod
+    def _parse_index(item: list[Tok], n: int) -> IndexDef:
+        # INDEX(KEY=a | KEY=(a,b), TS=ts, TTL=30d|100, TTL_TYPE=absolute)
+        inner = item[2:-1]  # strip INDEX ( ... )
+        opts: dict[str, list[Tok]] = {}
+        for part in _split_commas(inner):
+            key = part[0].upper
+            opts[key] = part[2:]  # skip '='
+        keys_toks = opts.get("KEY", [])
+        keys = [t.text for t in keys_toks if t.kind == "name"]
+        ts = opts["TS"][0].text if "TS" in opts else None
+        ttl = render(opts["TTL"]) if "TTL" in opts else None
+        ttl_type = opts["TTL_TYPE"][0].text.lower() if "TTL_TYPE" in opts else "absolute"
+        return IndexDef(f"idx{n}", keys=keys, ts_col=ts, ttl=ttl, ttl_type=ttl_type)
+
+    # -- DML ------------------------------------------------------------------
+    def _insert(self, toks: list[Tok]):
+        # INSERT INTO t [(cols)] VALUES (...), (...)
+        assert toks[1].upper == "INTO"
+        name = toks[2].text
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        i = 3
+        cols: Optional[list[str]] = None
+        if toks[i].text == "(":
+            j = _match_paren(toks, i)
+            cols = [t.text for t in toks[i + 1 : j] if t.kind == "name"]
+            i = j + 1
+        assert toks[i].upper == "VALUES"
+        i += 1
+        rows = []
+        while i < len(toks) and toks[i].text == "(":
+            j = _match_paren(toks, i)
+            rows.append([_literal(v) for v in _split_commas(toks[i + 1 : j])])
+            i = j + 1
+            if i < len(toks) and toks[i].text == ",":
+                i += 1
+        existing = self.tables[name]
+        schema = existing.schema
+        if cols:
+            order = {c: k for k, c in enumerate(cols)}
+            rows = [
+                [r[order[f.name]] if f.name in order else None for f in schema.fields]
+                for r in rows
+            ]
+        rows = [
+            [_coerce(v, f.dataType) for v, f in zip(r, schema.fields)] for r in rows
+        ]
+        new = self.spark.createDataFrame(rows, schema)
+        self.tables[name] = existing.unionByName(new)
+        return None
+
+    def _load_data(self, sql_text: str):
+        m = re.match(
+            r"\s*LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)"
+            r"(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("LOAD DATA INFILE '<path>' INTO TABLE <t> [OPTIONS(...)]")
+        path, name, opts_s = m.group(1), m.group(2), m.group(3) or ""
+        opts = _parse_options(opts_s)
+        mode = opts.pop("mode", "append")
+        schema = None
+        if name in self.table_defs:
+            schema = self.table_defs[name].schema_ddl
+        df = load_data(
+            self.spark,
+            path,
+            fmt=opts.pop("format", "csv"),
+            delimiter=opts.pop("delimiter", ","),
+            header=opts.pop("header", "true") == "true",
+            null_value=opts.pop("null_value", "null"),
+            quote=opts.pop("quote", '"'),
+            schema=schema,
+        )
+        if name in self.tables and mode == "append" and self.tables[name].columns:
+            self.tables[name] = self.tables[name].unionByName(df)
+        else:
+            self.tables[name] = df
+        return None
+
+    def _select_into(self, sql_text: str, m: "re.Match"):
+        # SELECT ... INTO OUTFILE 'path' [OPTIONS(...)]
+        tail = sql_text[m.end():]
+        tm = re.match(r"'([^']+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$", tail,
+                      re.IGNORECASE | re.DOTALL)
+        if not tm:
+            raise ValueError("INTO OUTFILE '<path>' [OPTIONS(...)]")
+        path, opts_s = tm.group(1), tm.group(2) or ""
+        opts = _parse_options(opts_s)
+        query = sql_text[: m.start()]
+        df = Lowerer(self.spark, self.tables).query(P.parse(query), {})
+        select_into(
+            df,
+            path,
+            fmt=opts.pop("format", "csv"),
+            delimiter=opts.pop("delimiter", ","),
+            header=opts.pop("header", "true") == "true",
+            null_value=opts.pop("null_value", "null"),
+            quote=opts.pop("quote", '"'),
+            mode=opts.pop("mode", "error_if_exists"),
+        )
+        return None
+
+    # -- DEPLOY ---------------------------------------------------------------
+    def _deploy(self, toks: list[Tok], sql_text: str):
+        name = toks[1].text
+        m = re.search(r"\b(SELECT|WITH)\b", sql_text, re.IGNORECASE)
+        select_sql = sql_text[m.start():]
+        dep = SqlDeployment(self, name, select_sql)
+        self.deployments[name] = dep
+        return dep
+
+    # -- SHOW -----------------------------------------------------------------
+    def _show(self, what: str) -> DataFrame:
+        if what == "TABLES":
+            rows = [(n,) for n in sorted(self.tables)]
+            return self.spark.createDataFrame(rows or [], "table_name string")
+        if what == "DATABASES":
+            return self.spark.createDataFrame(
+                [(d,) for d in sorted(self.databases)], "database_name string"
+            )
+        if what == "DEPLOYMENTS":
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.deployments)] or [], "deployment string"
+            )
+        raise ValueError(f"SHOW {what} not supported")
+
+
+class SqlDeployment:
+    """A deployed SELECT: named, schema-contracted, two execution modes
+    (see module docstring)."""
+
+    def __init__(self, engine: Engine, name: str, select_sql: str):
+        self.engine = engine
+        self.name = name
+        self.sql_text = select_sql
+        self.query = P.parse(select_sql)
+        body = self.query.body
+        if not isinstance(body, P.Select) or body.from_ is None or body.from_.name is None:
+            raise ValueError("DEPLOY needs a SELECT with a named main table")
+        self.request_table = body.from_.name
+        #: schema contract pinned at deploy time (if the table exists)
+        t = engine.tables.get(self.request_table)
+        self.input_schema = t.schema if t is not None else None
+
+    def run_batch(self, history: Optional[DataFrame] = None) -> DataFrame:
+        """Batch mode = request mode for every stored row: the SQL runs
+        unchanged with the main table bound to ``history``."""
+        tables = dict(self.engine.tables)
+        if history is not None:
+            tables[self.request_table] = history
+        return Lowerer(self.engine.spark, tables).query(self.query, {})
+
+    def run_request(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
+        """Request mode: each request row's window frames see stored
+        history + the request row itself, nothing else (RequestUnion
+        merge). Request rows must not already be stored in history, same
+        as the reference's compute-then-store serving flow."""
+        if self.input_schema is not None and requests.schema != self.input_schema:
+            raise ValueError(
+                f"deployment {self.name!r}: request schema "
+                f"{requests.schema.simpleString()} != contract "
+                f"{self.input_schema.simpleString()}"
+            )
+        hist = history if history is not None else self.engine.tables[self.request_table]
+        q = copy.deepcopy(self.query)
+        body = q.body
+        for w in body.windows.values():
+            w.union_tables.append(P.TableRef(name="__history"))
+            w.instance_not_in_window = True
+        tables = dict(self.engine.tables)
+        tables[self.request_table] = requests
+        tables["__history"] = hist
+        return Lowerer(self.engine.spark, tables).query(q, {})
+
+    def as_deployment(self) -> Deployment:
+        """Adapter to the callable-based deploy registry."""
+        return Deployment(
+            self.name,
+            lambda req, hist: self.run_request(req, hist),
+            self.input_schema,
+        )
+
+
+# -- token helpers -----------------------------------------------------------
+
+
+def _split_commas(toks: list[Tok]) -> list[list[Tok]]:
+    out: list[list[Tok]] = []
+    cur: list[Tok] = []
+    depth = 0
+    for t in toks:
+        if t.text in "([":
+            depth += 1
+        elif t.text in ")]":
+            depth -= 1
+        if t.text == "," and depth == 0:
+            out.append(cur)
+            cur = []
+        else:
+            cur.append(t)
+    if cur:
+        out.append(cur)
+    return out
+
+
+def _match_paren(toks: list[Tok], i: int) -> int:
+    depth = 0
+    for j in range(i, len(toks)):
+        if toks[j].text == "(":
+            depth += 1
+        elif toks[j].text == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError("unbalanced parens")
+
+
+def _literal(toks: list[Tok]):
+    if len(toks) == 2 and toks[0].text == "-" and toks[1].kind == "num":
+        toks = [Tok("num", "-" + toks[1].text)]
+    if len(toks) != 1:
+        raise ValueError(f"unsupported literal: {render(toks)}")
+    t = toks[0]
+    if t.kind == "str":
+        return t.text[1:-1]
+    if t.kind == "num":
+        return float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text)
+    u = t.upper
+    if u == "NULL":
+        return None
+    if u == "TRUE":
+        return True
+    if u == "FALSE":
+        return False
+    raise ValueError(f"unsupported literal {t.text!r}")
+
+
+def _coerce(v, dtype):
+    """INSERT literal -> python value for the declared column type (the
+    dialect writes timestamps as ms-epoch ints or 'Y-m-d H:M:S' strings)."""
+    from datetime import date, datetime, timezone
+
+    from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+    if v is None:
+        return None
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        if isinstance(v, (int, float)):
+            return datetime.fromtimestamp(v / 1000.0, tz=timezone.utc).replace(tzinfo=None)
+        return datetime.fromisoformat(str(v))
+    if isinstance(dtype, DateType):
+        return date.fromisoformat(str(v)) if not isinstance(v, date) else v
+    return v
+
+
+def _parse_options(opts_s: str) -> dict[str, str]:
+    opts: dict[str, str] = {}
+    for part in opts_s.split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        opts[k.strip().lower()] = v.strip().strip("'\"").lower()
+    return opts

@@ -1,0 +1,92 @@
+"""Engine facade: DDL/DML statement routing + DEPLOY request-mode
+semantics (batch ≡ request consistency, the reference's north star)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark):
+    return Engine(spark)
+
+
+def test_ddl_insert_select(eng):
+    eng.execute("CREATE DATABASE db1")
+    eng.execute("USE db1")
+    eng.execute(
+        "CREATE TABLE t1 (id int, pk string, v double, ts bigint, "
+        "INDEX(KEY=pk, TS=ts, TTL=30d, TTL_TYPE=absolute))"
+    )
+    eng.execute(
+        "INSERT INTO t1 VALUES (1, 'a', 1.5, 1000), (2, 'a', 2.5, 2000), "
+        "(3, 'b', 10.0, 1000)"
+    )
+    out = eng.execute("SELECT pk, sum(v) AS s FROM t1 GROUP BY pk")
+    assert {r["pk"]: r["s"] for r in out.collect()} == {"a": 4.0, "b": 10.0}
+    idx = eng.table_defs["t1"].indexes[0]
+    assert idx.keys == ["pk"] and idx.ts_col == "ts" and idx.ttl == "30d"
+    assert [r["table_name"] for r in eng.execute("SHOW TABLES").collect()] == ["t1"]
+
+
+def test_insert_column_list_and_nulls(eng):
+    eng.execute("CREATE TABLE t2 (a int, b string, c double)")
+    eng.execute("INSERT INTO t2 (c, a) VALUES (1.5, 7)")
+    row = eng.execute("SELECT * FROM t2").collect()[0]
+    assert row["a"] == 7 and row["b"] is None and row["c"] == 1.5
+
+
+def test_load_and_select_into_roundtrip(eng, tmp_path):
+    csv = tmp_path / "in.csv"
+    csv.write_text("id,name\n1,x\n2,y\n")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE src OPTIONS(format='csv')")
+    assert eng.execute("SELECT count(*) AS n FROM src").collect()[0]["n"] == 2
+    out_dir = tmp_path / "out"
+    eng.execute(
+        f"SELECT id, ucase(name) AS un FROM src INTO OUTFILE '{out_dir}' "
+        "OPTIONS(format='csv', mode='overwrite')"
+    )
+    eng.execute(f"LOAD DATA INFILE '{out_dir}' INTO TABLE back OPTIONS(format='csv')")
+    assert {tuple(r) for r in eng.execute("SELECT * FROM back").collect()} == {
+        (1, "X"), (2, "Y"),
+    }
+
+
+def test_deploy_batch_vs_request_consistency(eng, spark):
+    """Train/serve consistency: a row's batch-mode features equal its
+    request-mode features computed against the history that preceded it."""
+    eng.execute("CREATE TABLE ev (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t)) for t in range(1, 9)] + [
+        ("b", t * 1000, 10.0 * t) for t in range(1, 5)
+    ]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO ev VALUES {vals}")
+
+    dep = eng.execute(
+        "DEPLOY f1 SELECT pk, ts, sum(v) OVER w1 AS sv, count(v) OVER w1 AS cv "
+        "FROM ev WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS_RANGE BETWEEN 3s PRECEDING AND CURRENT ROW)"
+    )
+    batch = {(r["pk"], r["ts"]): (r["sv"], r["cv"]) for r in dep.run_batch().collect()}
+
+    # request mode: replay each of the last rows against its true past
+    ev = eng.tables["ev"]
+    for pk, ts in [("a", 8000), ("b", 4000), ("a", 5000)]:
+        req = ev.where((F.col("pk") == pk) & (F.col("ts") == ts))
+        hist = ev.where(~((F.col("pk") == pk) & (F.col("ts") == ts)))
+        got = dep.run_request(req, hist).collect()
+        assert len(got) == 1
+        assert (got[0]["sv"], got[0]["cv"]) == batch[(pk, ts)]
+
+
+def test_deploy_schema_contract(eng, spark):
+    eng.execute("CREATE TABLE c1 (pk string, ts bigint, v double)")
+    eng.execute("INSERT INTO c1 VALUES ('a', 1000, 1.0)")
+    dep = eng.execute(
+        "DEPLOY g1 SELECT pk, sum(v) OVER w1 AS s FROM c1 WINDOW w1 AS "
+        "(PARTITION BY pk ORDER BY ts ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    bad = spark.createDataFrame([("a", 1)], "pk string, ts int")
+    with pytest.raises(ValueError, match="contract"):
+        dep.run_request(bad)
