@@ -588,6 +588,23 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-instance formatters (feature_signature_def.cc): libsvm +
+    csv instances from signed columns."""
+    from openmldb_spark.functions import feature_signature as FS
+
+    li = load_table(spark, sf, "lineitem")
+    label = FS.binary_label(F.col("l_returnflag") == "R")
+    f1 = FS.continuous(F.col("l_quantity"))
+    f2 = FS.continuous(F.col("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        FS.libsvm(label, f1, f2).alias("svm"),
+        FS.csv_format(label, f1, f2).alias("csv"),
+    )
+
+
 # ===========================================================================
 # long-window pre-agg (SURVEY §4.3 — the reference's RequestAggUnion path)
 # ===========================================================================
@@ -761,6 +778,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
         "udaf_window_exotic": q_udaf_window_exotic,
+        # feature signatures
+        "feature_signature": q_feature_signature,
         # long-window pre-agg
         "long_window_preagg": q_long_window_preagg,
         # SQL front end
@@ -1090,6 +1109,14 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "feature_signature": """
+            SELECT l_orderkey, l_linenumber,
+                   CAST(l_returnflag = 'R' AS INT) || ' 1:' || printf('%.6f', l_quantity)
+                     || ' 2:' || printf('%.6f', l_discount) AS svm,
+                   CAST(l_returnflag = 'R' AS INT) || ',' || printf('%.6f', l_quantity)
+                     || ',' || printf('%.6f', l_discount) AS csv
+            FROM lineitem
         """,
         "long_window_preagg": """
             SELECT r.event_id, r.user_id, round(sum(e.value), 4) AS sv

@@ -753,3 +753,61 @@ def top_n_value_min_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrN
 
 def top_n_value_max_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
     return _cate_spec("top_n_value_max_cate_where", "max", value, cat, cond=cond, n=n, order="value_desc")
+
+
+# ---------------------------------------------------------------------------
+# feature-zero window-split family
+# (ref: default_defs/feature_zero_def.cc:591-668 — window_split,
+#  window_split_by_key, window_split_by_value: split every window row's
+#  string, concatenate the pieces; element order = window order, ts-asc)
+# ---------------------------------------------------------------------------
+
+
+def _fz_split_spec(name: str, value: ColumnOrName, piece) -> AggSpec:
+    def arr(e: Column, f: Callable) -> Column:
+        vals = F.filter(F.transform(e, f("v")), lambda v: v.isNotNull())
+        return F.flatten(F.transform(vals, piece))
+
+    return AggSpec(
+        name,
+        {"v": _c(value)},
+        native=None,
+        array=arr,
+        group=lambda fields: _group_via_collect(arr, fields),
+        order_sensitive=True,
+    )
+
+
+def window_split(value: ColumnOrName, delim: str) -> AggSpec:
+    from openmldb_spark.functions.scalar import _escape_re
+
+    pat = _escape_re(delim)
+    return _fz_split_spec("window_split", value, lambda v: F.split(v, pat))
+
+
+def window_split_by_key(value: ColumnOrName, item_delim: str, kv_delim: str) -> AggSpec:
+    from openmldb_spark.functions.scalar import _escape_re
+
+    ip, kp = _escape_re(item_delim), _escape_re(kv_delim)
+
+    def piece(v: Column) -> Column:
+        return F.transform(
+            F.filter(F.split(v, ip), lambda kv: F.size(F.split(kv, kp)) >= 2),
+            lambda kv: F.split(kv, kp)[0],
+        )
+
+    return _fz_split_spec("window_split_by_key", value, piece)
+
+
+def window_split_by_value(value: ColumnOrName, item_delim: str, kv_delim: str) -> AggSpec:
+    from openmldb_spark.functions.scalar import _escape_re
+
+    ip, kp = _escape_re(item_delim), _escape_re(kv_delim)
+
+    def piece(v: Column) -> Column:
+        return F.transform(
+            F.filter(F.split(v, ip), lambda kv: F.size(F.split(kv, kp)) >= 2),
+            lambda kv: F.split(kv, kp)[1],
+        )
+
+    return _fz_split_spec("window_split_by_value", value, piece)

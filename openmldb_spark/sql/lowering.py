@@ -104,6 +104,9 @@ _AGGS: dict[str, tuple[object, str]] = {
     "top_n_value_avg_cate_where": (A.top_n_value_avg_cate_where, "ccci"),
     "top_n_value_min_cate_where": (A.top_n_value_min_cate_where, "ccci"),
     "top_n_value_max_cate_where": (A.top_n_value_max_cate_where, "ccci"),
+    "window_split": (A.window_split, "cs"),
+    "window_split_by_key": (A.window_split_by_key, "css"),
+    "window_split_by_value": (A.window_split_by_value, "css"),
 }
 
 
@@ -128,6 +131,11 @@ def _build_agg(call: OverCall) -> "A.AggSpec":
             py_args.append(int(render(toks)))
         elif kind == "f":
             py_args.append(float(render(toks)))
+        elif kind == "s":
+            lit = render(toks)
+            if not (len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]):
+                raise ValueError(f"{call.func}: expected a string literal, got {lit}")
+            py_args.append(lit[1:-1])
     return builder(*py_args)  # type: ignore[operator]
 
 
