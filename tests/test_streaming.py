@@ -1,0 +1,65 @@
+"""Streaming request mode (SURVEY §2.8): a file-source stream of request
+rows evaluated per micro-batch against history — features must equal the
+batch-mode values (train/serve consistency across the streaming boundary)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.engine import Engine
+from openmldb_spark.streaming import request_mode_stream
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    eng = Engine(spark)
+    eng.execute("CREATE TABLE ev (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t)) for t in range(1, 7)] + [
+        ("b", t * 1000, 2.0 * t) for t in range(1, 4)
+    ]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO ev VALUES {vals}")
+    dep = eng.execute(
+        "DEPLOY s1 SELECT pk, ts, sum(v) OVER w1 AS sv FROM ev WINDOW w1 AS "
+        "(PARTITION BY pk ORDER BY ts ROWS_RANGE BETWEEN 2s PRECEDING AND CURRENT ROW)"
+    )
+    history = eng.tables["ev"]
+
+    # request rows arrive as files (stand-in for a Kafka topic)
+    req_dir = tmp_path / "requests"
+    req_dir.mkdir()
+    new_reqs = spark.createDataFrame(
+        [("a", 7000, 7.0), ("b", 4000, 8.0)], "pk string, ts bigint, v double"
+    )
+    new_reqs.coalesce(1).write.parquet(str(req_dir / "batch0"))
+
+    stream = (
+        spark.readStream.schema("pk string, ts bigint, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(req_dir))
+    )
+    got: list = []
+    q = request_mode_stream(
+        stream,
+        history,
+        dep,
+        sink=lambda df, bid: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while not got and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got, "stream produced no feature rows"
+    feats = {(r["pk"], r["ts"]): r["sv"] for r in got}
+    # expected = batch values over history+requests (requests not in history,
+    # so frames = history rows in range + the request row)
+    full = history.unionByName(new_reqs)
+    expected = {
+        ("a", 7000): 5.0 + 6.0 + 7.0,
+        ("b", 4000): 2.0 * 2 + 2.0 * 3 + 8.0,
+    }
+    assert feats == expected
