@@ -49,6 +49,13 @@ def _perm_consts(n: int = 256) -> tuple[list[int], list[int]]:
 
 _PERM_A, _PERM_B = _perm_consts()
 
+#: odd position weights for hash-space shingle combination (shingle_hashes)
+_SHINGLE_C = [
+    (int.from_bytes(__import__("hashlib").md5(f"sh_c{j}".encode()).digest()[:8], "big") | 1)
+    % (2**61)
+    for j in range(16)
+]
+
 
 def exact_dedup(
     df: DataFrame,
@@ -125,12 +132,40 @@ def minhash_signatures(
         # spread the (interpreted, CPU-bound) shingling across all cores —
         # a small parquet file otherwise arrives as one partition / one task
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-        exploded = (
-            df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
-            .repartition(n_part)
-            .select("__dd_id", F.explode(sh).alias("__dd_sh"))
-            .select("__dd_id", F.xxhash64("__dd_sh").alias("__dd_h"))
-        )
+        if words:
+            # map-side hash-space shingling: hash words once into an array,
+            # then combine n SHIFTED SLICES with zip_with — linear work per
+            # row, no shingle strings, and the heavy reduction still happens
+            # in the map-side combine of the groupBy (the shuffle carries
+            # only the 5k x num_hashes partial minima, never the shingles).
+            # (NB: element_at(h, i+j) inside a positional transform would
+            # re-inline the word-hash transform per element — O(len^2).)
+            base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col)).repartition(n_part)
+            toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+            wh = base.select("__dd_id", F.transform(toks, lambda w: F.xxhash64(w)).alias("__dd_wh"))
+            hs = F.col("__dd_wh")
+            acc = None
+            for j in range(shingle_n):
+                cj = F.lit(_SHINGLE_C[j])
+                part = F.transform(
+                    F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1)))
+                    if j
+                    else hs,
+                    lambda x, cj=cj: x * cj,
+                )
+                acc = part if acc is None else F.zip_with(
+                    acc, part, lambda a, b: a + F.coalesce(b, F.lit(0))
+                )
+            # valid shingle starts: len - n + 1 (short docs keep position 1)
+            sh_arr = F.slice(acc, 1, F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1)))
+            exploded = wh.select("__dd_id", F.explode(sh_arr).alias("__dd_h"))
+        else:
+            exploded = (
+                df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
+                .repartition(n_part)
+                .select("__dd_id", F.explode(sh).alias("__dd_sh"))
+                .select("__dd_id", F.xxhash64("__dd_sh").alias("__dd_h"))
+            )
         mins = [
             F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__dd_h{i}")
             for i in range(num_hashes)
