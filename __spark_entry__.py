@@ -525,6 +525,57 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs. Candidates come from a
+    shingle inverted index (pairs sharing >= 5 distinct shingles, shingles
+    in > 50 docs dropped as boilerplate) — the deterministic, hash-free
+    candidate generator; exact Jaccard verifies each candidate once."""
+    d = load_table(spark, sf, "documents").repartition(32)
+    sh = d.select(
+        "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("s")
+    )
+    rare = sh.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+    ).filter(F.col("__df") <= 50)
+    cand = (
+        rare.select("s", F.col("doc_id").alias("a"))
+        .join(rare.select("s", F.col("doc_id").alias("b")), "s")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .count()
+        .filter(F.col("count") >= 5)
+        .select("a", "b")
+    )
+    pairs = D.ngram_jaccard_pairs(
+        d, "doc_id", "text", shingle_n=3, candidates=cand, threshold=0.2
+    )
+    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dup removal, exact mode (planes=0 -> single
+    bucket -> all-pairs verify; LSH-bucketed mode covered by unit tests)."""
+    emb = load_table(spark, sf, "embeddings")
+    out = D.embedding_dedup(emb, "vec_id", "embedding", threshold=0.92, planes=0)
+    return out.select("vec_id")
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing: opaque binary payloads (synthesized from
+    text bytes) through the Arrow-batched feature extractor; decode itself
+    is a deterministic stub (no image libs here), the schema/batching/
+    partitioning is real."""
+    from openmldb_spark.pipeline import multimodal as M
+
+    d = load_table(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.lit("image/fake").alias("mime"),
+        F.encode("text", "utf-8").alias("payload"),
+    ).repartition(32)
+    out = M.extract_image_features(d)
+    return out.select("media_id", "mime", "n_bytes")
+
+
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Quality-signal columns over documents (portable formulas).
 
@@ -794,6 +845,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding": q_dedup_embedding,
+        "multimodal_features": q_multimodal_features,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint_tokens": q_fingerprint_tokens,
@@ -1109,6 +1163,52 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "dedup_ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 3
+                  THEN list_distinct([array_to_string(t[i:i+2], ' ')
+                                      FOR i IN range(1, len(t) - 1)])
+                  ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, unnest(g) AS s FROM grams
+            ), rare AS (
+              SELECT sh.doc_id, sh.s FROM sh
+              JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50) d USING (s)
+            ), cand AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM rare x JOIN rare y USING (s)
+              WHERE x.doc_id < y.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 5
+            )
+            SELECT a, b,
+                   round(CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
+                         / array_length(list_distinct(gx.g || gy.g)), 4) AS jaccard
+            FROM cand
+            JOIN grams gx ON gx.doc_id = a
+            JOIN grams gy ON gy.doc_id = b
+            WHERE CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
+                  / array_length(list_distinct(gx.g || gy.g)) >= 0.2
+        """,
+        "dedup_embedding": """
+            SELECT e.vec_id FROM embeddings e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM embeddings o
+              WHERE o.vec_id < e.vec_id
+                AND list_cosine_similarity(o.embedding, e.embedding) >= 0.92)
+        """,
+        "multimodal_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'image/fake' AS mime,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+            FROM documents
         """,
         "feature_signature": """
             SELECT l_orderkey, l_linenumber,
