@@ -94,6 +94,11 @@ class WindowDef:
     #: bounded lookback used when EXCLUDE CURRENT_TIME forces a rows-frame
     #: over-collect (same-ts runs longer than this are truncated; documented)
     lookback_slack: int = 256
+    #: unique column breaking same-ts ties deterministically. Default: a
+    #: monotonically-increasing id — stable within one plan, but NOT across
+    #: different plans over the same data (the reference's "storage order"
+    #: has the same caveat, SURVEY §7); pass a real unique column to pin it.
+    tiebreak: Optional[ColumnOrName] = None
 
     def __post_init__(self) -> None:
         n_bounds = sum(x is not None for x in (self.rows, self.rows_range)) + int(self.unbounded)
@@ -137,7 +142,10 @@ def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec
     """Attach normalized order/rid cols; build framed + unframed WindowSpecs."""
     parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
     df = df.withColumn(_ORD, _ord_long(df, wdef.order_by))
-    if _RID not in df.columns:
+    if wdef.tiebreak is not None:
+        tb = F.col(wdef.tiebreak) if isinstance(wdef.tiebreak, str) else wdef.tiebreak
+        df = df.withColumn(_RID, tb)
+    elif _RID not in df.columns:
         df = df.withColumn(_RID, F.monotonically_increasing_id())
     base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
     if wdef.unbounded:

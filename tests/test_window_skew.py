@@ -1,0 +1,50 @@
+"""Skew-split windows must be exactly equal to the plain window path."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions import aggregates as A
+from openmldb_spark.operators.window import WindowDef, window_agg
+from openmldb_spark.operators.window_skew import window_agg_skewed
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    rows = []
+    # hot key: 400 rows with repeated timestamps; cold keys: a few rows
+    for i in range(400):
+        rows.append((i, "hot", float(i % 7), 1_000_000 + (i // 3) * 250))
+    for k in range(5):
+        for i in range(4):
+            rows.append((1000 + k * 10 + i, f"cold{k}", float(i), 1_000_000 + i * 500))
+    return spark.createDataFrame(rows, "id long, k string, v double, ts long")
+
+
+@pytest.mark.parametrize("buckets", [2, 4, 8])
+def test_equals_plain_window(spark, skewed, buckets):
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows_range=1000)
+    aggs = lambda: {
+        "s": A.sum_("v"),
+        "c": A.count_all(),
+        "mx": A.max_("v"),
+    }
+    plain = {r["id"]: (r["s"], r["c"], r["mx"]) for r in window_agg(skewed, wd, aggs()).collect()}
+    skw = {
+        r["id"]: (r["s"], r["c"], r["mx"])
+        for r in window_agg_skewed(skewed, wd, aggs(), buckets=buckets).collect()
+    }
+    assert plain == skw
+
+
+def test_equals_with_maxsize_and_exclude(spark, skewed):
+    # same-ts peers + MAXSIZE: which peers survive the cap depends on the
+    # tie order, so pin it with a unique column (id)
+    wd = WindowDef(
+        partition_by=["k"], order_by="ts", rows_range=1500,
+        maxsize=4, exclude_current_row=True, tiebreak="id",
+    )
+    plain = {r["id"]: (r["s"], r["c"]) for r in window_agg(
+        skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}).collect()}
+    skw = {r["id"]: (r["s"], r["c"]) for r in window_agg_skewed(
+        skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}, buckets=4).collect()}
+    assert plain == skw
