@@ -38,6 +38,7 @@ import re
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from openmldb_spark.catalog import IndexDef, TableDef
 from openmldb_spark.plans.deploy import Deployment
@@ -252,10 +253,19 @@ class Engine:
 
     # -- DEPLOY ---------------------------------------------------------------
     def _deploy(self, toks: list[Tok], sql_text: str):
+        # DEPLOY name [OPTIONS(long_windows='w1:1d,...')] SELECT ...
         name = toks[1].text
+        om = re.search(
+            r"OPTIONS\s*\(\s*long_windows\s*=\s*'([^']*)'\s*\)", sql_text, re.IGNORECASE
+        )
+        long_windows: dict[str, str] = {}
+        if om:
+            for part in om.group(1).split(","):
+                wname, bucket = part.split(":")
+                long_windows[wname.strip()] = bucket.strip()
         m = re.search(r"\b(SELECT|WITH)\b", sql_text, re.IGNORECASE)
         select_sql = sql_text[m.start():]
-        dep = SqlDeployment(self, name, select_sql)
+        dep = SqlDeployment(self, name, select_sql, long_windows=long_windows)
         self.deployments[name] = dep
         return dep
 
@@ -277,13 +287,29 @@ class Engine:
 
 class SqlDeployment:
     """A deployed SELECT: named, schema-contracted, two execution modes
-    (see module docstring)."""
+    (see module docstring).
 
-    def __init__(self, engine: Engine, name: str, select_sql: str):
+    ``long_windows`` ({window_name: bucket interval, e.g. 'w1': '1h'}) is
+    the reference's ``OPTIONS(long_windows=...)`` — eligible windows
+    (ROWS_RANGE, plain keys/order, single-column sum/count/avg/min/max,
+    no EXCLUDE/MAXSIZE/UNION; ``long_window_optimized.cc
+    VerifySingleAggregation``) are served from a materialized pre-agg
+    table via :meth:`prepare_preagg` + :meth:`run_request_preagg`.
+    """
+
+    def __init__(
+        self,
+        engine: Engine,
+        name: str,
+        select_sql: str,
+        long_windows: Optional[dict[str, str]] = None,
+    ):
         self.engine = engine
         self.name = name
         self.sql_text = select_sql
+        self.long_windows = dict(long_windows or {})
         self.query = P.parse(select_sql)
+        self._preagg: dict[tuple[str, str], DataFrame] = {}
         body = self.query.body
         if not isinstance(body, P.Select) or body.from_ is None or body.from_.name is None:
             raise ValueError("DEPLOY needs a SELECT with a named main table")
@@ -321,6 +347,148 @@ class SqlDeployment:
         tables[self.request_table] = requests
         tables["__history"] = hist
         return Lowerer(self.engine.spark, tables).query(q, {})
+
+    # -- long-window pre-agg serving (SURVEY §4.3) --------------------------
+    _LW_AGGS = ("sum", "count", "avg", "min", "max")
+
+    def _lw_items(self):
+        """(item_idx, window_name, agg, value_sql) for each eligible
+        long-window select item; raises if an opted-in window is used in a
+        non-eligible way."""
+        from openmldb_spark.sql.rewrite import rewrite_expr
+        from openmldb_spark.sql.parser import render
+
+        body = self.query.body
+        out = []
+        for idx, it in enumerate(body.items):
+            if it.over is None or it.over.window not in self.long_windows:
+                continue
+            w = body.windows[it.over.window]
+            if (
+                w.frame_kind != "rows_range"
+                or w.union_tables
+                or w.maxsize is not None
+                or w.exclude_current_row
+                or w.exclude_current_time
+                or it.over.func not in self._LW_AGGS
+                or len(it.over.args) != 1
+            ):
+                raise ValueError(
+                    f"window {it.over.window!r} is not long-window eligible "
+                    f"(need plain ROWS_RANGE + single sum/count/avg/min/max)"
+                )
+            out.append((idx, it.over.window, it.over.func, rewrite_expr(it.over.args[0])))
+        return out
+
+    def prepare_preagg(self, history: Optional[DataFrame] = None) -> None:
+        """Materialize per-(key, bucket) partial aggregates for every
+        long-window (agg-input) pair. At scale: persist these to storage
+        and refresh incrementally; here they are cached DataFrames."""
+        from openmldb_spark.operators.window import parse_interval_ms
+        from openmldb_spark.plans.longwindow import preaggregate
+        from openmldb_spark.sql.rewrite import rewrite_expr
+
+        hist = history if history is not None else self.engine.tables[self.request_table]
+        body = self.query.body
+        for _, wname, _, val_sql in self._lw_items():
+            key = (wname, val_sql)
+            if key in self._preagg:
+                continue
+            w = body.windows[wname]
+            keys = [P.render(p) for p in w.partition_by]
+            ord_sql = rewrite_expr(w.order_by)
+            bucket_ms = parse_interval_ms(self.long_windows[wname])
+            prepared = hist.select(
+                *[F.expr(k).alias(k) for k in keys],
+                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+                F.expr(val_sql).alias("__lw_v"),
+            )
+            pre = preaggregate(prepared, keys, "__lw_ts", "__lw_v", bucket_ms)
+            self._preagg[key] = pre.persist()
+
+    def run_request_preagg(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
+        """Request mode served from pre-agg buckets + edge scans. Every
+        window item must be long-window eligible (the mixed case falls back
+        to :meth:`run_request`)."""
+        from openmldb_spark.operators.window import parse_interval_ms
+        from openmldb_spark.plans.longwindow import request_long_window
+        from openmldb_spark.sql.lowering import _derived_name
+        from openmldb_spark.sql.rewrite import rewrite_expr
+
+        body = self.query.body
+        lw = {idx: rest for idx, *rest in self._lw_items()}
+        n_window_items = sum(1 for it in body.items if it.over is not None)
+        if len(lw) != n_window_items:
+            return self.run_request(requests, history)
+        self.prepare_preagg(history)
+        hist = history if history is not None else self.engine.tables[self.request_table]
+
+        work = requests.withColumn("__lw_rid", F.monotonically_increasing_id())
+        out_cols: list = []
+        for idx, it in enumerate(body.items):
+            pretty = it.alias or _derived_name(it.expr)
+            if idx not in lw:
+                out_cols.append((pretty, F.expr(rewrite_expr(it.expr))))
+                continue
+            wname, agg, val_sql = lw[idx]
+            w = body.windows[wname]
+            keys = [P.render(p) for p in w.partition_by]
+            ord_sql = rewrite_expr(w.order_by)
+            bucket_ms = parse_interval_ms(self.long_windows[wname])
+            range_ms = parse_interval_ms(w.lower[1]) if w.lower[0] == "preceding" else None
+            if range_ms is None:
+                raise ValueError("long windows need a bounded ROWS_RANGE frame")
+            prepared_hist = hist.select(
+                *[F.expr(k).alias(k) for k in keys],
+                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+                F.expr(val_sql).alias("__lw_v"),
+            )
+            req = work.select(
+                "__lw_rid",
+                *[F.expr(k).alias(k) for k in keys],
+                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+            )
+            scored = request_long_window(
+                req,
+                prepared_hist,
+                self._preagg[(wname, val_sql)],
+                keys,
+                "__lw_ts",
+                "__lw_v",
+                range_ms=range_ms,
+                bucket_ms=bucket_ms,
+                agg="raw",
+                request_id="__lw_rid",
+            ).select(
+                "__lw_rid",
+                F.col("agg_sum").alias(f"__lw_s{idx}"),
+                F.col("agg_cnt").alias(f"__lw_c{idx}"),
+                F.col("agg_min").alias(f"__lw_mn{idx}"),
+                F.col("agg_max").alias(f"__lw_mx{idx}"),
+            )
+            work = work.join(scored, "__lw_rid")
+            # request-mode frame = history rows in range + the request row
+            # itself (RequestUnion merge) — fold the request value in
+            v = F.expr(val_sql)
+            s_h, c_h = F.col(f"__lw_s{idx}"), F.col(f"__lw_c{idx}")
+            mn_h, mx_h = F.col(f"__lw_mn{idx}"), F.col(f"__lw_mx{idx}")
+            s = F.when(
+                v.isNotNull() | s_h.isNotNull(),
+                F.coalesce(s_h, F.lit(0.0)) + F.coalesce(v.cast("double"), F.lit(0.0)),
+            )
+            c = c_h + F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            if agg == "sum":
+                col = s
+            elif agg == "count":
+                col = c
+            elif agg == "avg":
+                col = F.when(c > 0, s / c)
+            elif agg == "min":
+                col = F.least(mn_h, v)
+            else:
+                col = F.greatest(mx_h, v)
+            out_cols.append((pretty, col))
+        return work.select(*[c.alias(n) for n, c in out_cols])
 
     def as_deployment(self) -> Deployment:
         """Adapter to the callable-based deploy registry."""

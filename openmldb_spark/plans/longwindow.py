@@ -37,7 +37,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_SUPPORTED = ("sum", "count", "avg", "min", "max")
+_SUPPORTED = ("sum", "count", "avg", "min", "max", "raw")
 
 
 def preaggregate(
@@ -155,6 +155,17 @@ def request_long_window(
     parts = full.join(edges, request_id)
     sum_v = F.coalesce("__f_sum", F.lit(0.0)) + F.coalesce("__e_sum", F.lit(0.0))
     cnt_v = F.coalesce("__f_cnt", F.lit(0)) + F.coalesce("__e_cnt", F.lit(0))
+    if agg == "raw":
+        # the combinable quartet (callers merging extra rows, e.g. the
+        # request row itself in request mode, finish the aggregation)
+        combined = parts.select(
+            request_id,
+            F.when(cnt_v > 0, sum_v).alias("agg_sum"),
+            cnt_v.alias("agg_cnt"),
+            F.least("__f_min", "__e_min").alias("agg_min"),
+            F.greatest("__f_max", "__e_max").alias("agg_max"),
+        )
+        return requests.join(combined, request_id, "left")
     if agg == "sum":
         out = F.when(cnt_v > 0, sum_v)
     elif agg == "count":

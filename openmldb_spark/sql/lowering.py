@@ -185,8 +185,16 @@ class Lowerer:
         if isinstance(b, SetOp):
             left = self.query(b.left, env)
             right = self.query(b.right, env)
-            out = left.union(right)  # positional, like SQL UNION
-            return out if b.all else out.distinct()
+            if b.op == "union":
+                out = left.union(right)  # positional, like SQL
+                return out if b.all else out.distinct()
+            if b.op == "except":
+                # reference parses EXCEPT/INTERSECT but only executes UNION
+                # (SetOperationPlan.scala:25-27) — free upgrade here
+                return left.exceptAll(right) if b.all else left.subtract(right)
+            if b.op == "intersect":
+                return left.intersectAll(right) if b.all else left.intersect(right)
+            raise ValueError(f"unknown set op {b.op!r}")
         assert isinstance(b, Select)
         return self.select(b, env)
 

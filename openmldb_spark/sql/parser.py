@@ -152,7 +152,7 @@ class Select:
 
 @dataclass
 class SetOp:
-    op: str                              # 'union'
+    op: str                              # 'union' | 'except' | 'intersect'
     all: bool
     left: "Query"
     right: "Query"
@@ -172,7 +172,7 @@ class Query:
 _CLAUSE_STOPS = {
     "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "LIMIT", "UNION",
     "ORDER", "ON", ")", ";", "LAST", "LEFT", "RIGHT", "INNER", "JOIN",
-    "CONFIG", "ROWS", "ROWS_RANGE", "PARTITION",
+    "CONFIG", "ROWS", "ROWS_RANGE", "PARTITION", "EXCEPT", "INTERSECT",
 }
 
 
@@ -221,15 +221,15 @@ class Parser:
                 if not self.accept(","):
                     break
         body: object = self.parse_select()
-        while self.at("UNION"):
-            self.eat()
+        while self.at("UNION", "EXCEPT", "INTERSECT"):
+            op = self.eat().upper.lower()
             all_ = False
             if self.accept("ALL"):
                 all_ = True
             else:
                 self.accept("DISTINCT")
             rhs = self.parse_select()
-            body = SetOp("union", all_, Query(body), Query(rhs))
+            body = SetOp(op, all_, Query(body), Query(rhs))
         q = Query(body, ctes)
         if self.accept("LIMIT"):
             q.limit = int(self.eat().text)

@@ -80,6 +80,40 @@ def test_deploy_batch_vs_request_consistency(eng, spark):
         assert (got[0]["sv"], got[0]["cv"]) == batch[(pk, ts)]
 
 
+def test_deploy_long_windows_preagg(eng, spark):
+    """OPTIONS(long_windows=...): pre-agg-served request mode must equal
+    the standard RequestUnion path exactly."""
+    eng.execute("CREATE TABLE lw (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t % 5) + 0.5) for t in range(1, 40)] + [
+        ("b", t * 1000, 2.0 * t) for t in range(1, 20)
+    ]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO lw VALUES {vals}")
+    dep = eng.execute(
+        "DEPLOY lw1 OPTIONS(long_windows='w1:4s') "
+        "SELECT pk, ts, sum(v) OVER w1 AS sv, avg(v) OVER w1 AS av, "
+        "count(v) OVER w1 AS cv, max(v) OVER w1 AS xv "
+        "FROM lw WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS_RANGE BETWEEN 12s PRECEDING AND CURRENT ROW)"
+    )
+    reqs = spark.createDataFrame(
+        [("a", 41000, 9.0), ("b", 21000, 1.0), ("c", 5000, 3.0)],
+        "pk string, ts bigint, v double",
+    )
+    fast = {
+        (r["pk"], r["ts"]): (r["sv"], r["av"], r["cv"], r["xv"])
+        for r in dep.run_request_preagg(reqs).collect()
+    }
+    slow = {
+        (r["pk"], r["ts"]): (r["sv"], r["av"], r["cv"], r["xv"])
+        for r in dep.run_request(reqs).collect()
+    }
+    assert set(fast) == set(slow)
+    for k in slow:
+        for a, b in zip(fast[k], slow[k]):
+            assert a == pytest.approx(b), (k, fast[k], slow[k])
+
+
 def test_deploy_schema_contract(eng, spark):
     eng.execute("CREATE TABLE c1 (pk string, ts bigint, v double)")
     eng.execute("INSERT INTO c1 VALUES ('a', 1000, 1.0)")

@@ -118,6 +118,21 @@ def test_union_all_limit(spark, t1):
     assert sorted(r["id"] for r in out.collect()) == [1, 2]
 
 
+def test_except_intersect(spark, t1):
+    out = sql(
+        spark,
+        "SELECT id FROM t1 WHERE id <= 4 EXCEPT SELECT id FROM t1 WHERE id = 2",
+        {"t1": t1},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [1, 3, 4]
+    out = sql(
+        spark,
+        "SELECT id FROM t1 WHERE id <= 4 INTERSECT SELECT id FROM t1 WHERE id >= 3",
+        {"t1": t1},
+    )
+    assert sorted(r["id"] for r in out.collect()) == [3, 4]
+
+
 def test_cte_and_subquery(spark, t1):
     out = sql(
         spark,
