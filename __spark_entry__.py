@@ -757,6 +757,45 @@ def q_sql_window_union(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("sv", 4).alias("sv"), "cnt")
 
 
+def q_sql_window_maxsize(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path: ROWS_RANGE + MAXSIZE via SQL text (ties broken by
+    event_id through the deterministic row order of the loaded table)."""
+    from openmldb_spark.sql import sql as osql
+
+    e = load_table(spark, sf, "events").withColumn("ts_ms", _ts_ms("ts"))
+    out = osql(
+        spark,
+        """
+        SELECT event_id, user_id, sum(value) OVER w1 AS sv,
+               count(value) OVER w1 AS cnt
+        FROM events WINDOW w1 AS (PARTITION BY user_id ORDER BY ts_ms
+            ROWS_RANGE BETWEEN 30m PRECEDING AND CURRENT ROW MAXSIZE 5)
+        """,
+        {"events": e},
+    )
+    return out.select("event_id", "user_id", F.round("sv", 4).alias("sv"), "cnt")
+
+
+def q_sql_udaf_cate(spark: SparkSession, sf: str) -> DataFrame:
+    """Structural path: *_cate and *_where UDAFs through SQL text."""
+    from openmldb_spark.sql import sql as osql
+
+    li = load_table(spark, sf, "lineitem").where(F.col("l_orderkey") <= 300)
+    out = osql(
+        spark,
+        """
+        SELECT l_orderkey, l_linenumber,
+               sum_cate(bigint(l_quantity), l_returnflag) OVER w1 AS qty_by_flag,
+               count_where(l_quantity, l_quantity > 25) OVER w1 AS big_cnt
+        FROM li WINDOW w1 AS (PARTITION BY l_orderkey
+            ORDER BY bigint(l_linenumber) * 1000000000 + l_partkey * 1000 + bigint(l_quantity)
+            ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)
+        """,
+        {"li": li},
+    )
+    return out
+
+
 def q_sql_last_join(spark: SparkSession, sf: str) -> DataFrame:
     """Structural path: LAST JOIN via SQL text; ORDER BY takes tiebreak
     columns (dialect superset) so the pick is deterministic and
@@ -838,6 +877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_group": q_sql_group,
         "sql_window": q_sql_window,
         "sql_window_union": q_sql_window_union,
+        "sql_window_maxsize": q_sql_window_maxsize,
+        "sql_udaf_cate": q_sql_udaf_cate,
         "sql_last_join": q_sql_last_join,
         # catalog
         "ttl_latest": q_ttl_latest,
@@ -1263,6 +1304,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT event_id, user_id, round(sv, 4) AS sv, cnt
             FROM w WHERE flag = 1
+        """,
+        "sql_window_maxsize": """
+            WITH framed AS (
+              SELECT event_id, user_id, epoch_ms(ts) AS ts_ms,
+                     list(struct_pack(o := epoch_ms(ts), v := value))
+                       OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS lst
+              FROM events
+            ), eligible AS (
+              SELECT event_id, user_id,
+                     list_filter(lst, e -> e.o >= ts_ms - 1800000) AS inr
+              FROM framed
+            ), capped AS (
+              SELECT event_id, user_id,
+                     CASE WHEN len(inr) > 5 THEN inr[len(inr)-4:] ELSE inr END AS w5
+              FROM eligible
+            )
+            SELECT event_id, user_id,
+                   round(list_sum(list_transform(w5, e -> e.v)), 4) AS sv,
+                   len(list_filter(w5, e -> e.v IS NOT NULL)) AS cnt
+            FROM capped
+        """,
+        "sql_udaf_cate": """
+            WITH base AS (
+              SELECT l_orderkey, l_linenumber,
+                     list(struct_pack(k := l_returnflag, v := CAST(l_quantity AS BIGINT)))
+                       OVER (PARTITION BY l_orderkey
+                             ORDER BY CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey * 1000
+                                      + CAST(l_quantity AS BIGINT)
+                             ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS w,
+                     list(struct_pack(q := l_quantity))
+                       OVER (PARTITION BY l_orderkey
+                             ORDER BY CAST(l_linenumber AS BIGINT) * 1000000000 + l_partkey * 1000
+                                      + CAST(l_quantity AS BIGINT)
+                             ROWS BETWEEN 100 PRECEDING AND CURRENT ROW) AS wq
+              FROM lineitem WHERE l_orderkey <= 300
+            ), keyed AS (
+              SELECT l_orderkey, l_linenumber, w, wq,
+                     list_sort(list_distinct(list_transform(w, e -> e.k))) AS ks
+              FROM base
+            )
+            SELECT l_orderkey, l_linenumber,
+                   list_aggregate(list_transform(ks, k ->
+                     k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
+                   ), 'string_agg', ',') AS qty_by_flag,
+                   len(list_filter(wq, e -> e.q > 25)) AS big_cnt
+            FROM keyed
         """,
         "sql_last_join": """
             WITH latest AS (

@@ -256,16 +256,44 @@ class Lowerer:
     def _select_structural(self, sel: Select, env: dict[str, DataFrame]) -> DataFrame:
         if sel.from_ is None:
             raise ValueError("structural SELECT requires a FROM table")
-        if sel.group_by:
+        if sel.group_by and sel.windows:
             raise NotImplementedError(
-                "GROUP BY cannot be combined with WINDOW/LAST JOIN in one "
-                "SELECT — wrap one of them in a subquery"
+                "GROUP BY and WINDOW in one SELECT is not in the dialect"
             )
         df = self.table_ref(sel.from_, env)
         for j in sel.joins:
             df = self._join(df, j, env)
         if sel.where is not None:
             df = df.filter(F.expr(rewrite_expr(sel.where)))
+
+        if sel.group_by:
+            # hybrid: LAST JOIN lowered structurally above, the group stage
+            # re-rendered as text over the joined relation. Alias qualifiers
+            # don't survive a temp view, so qualified refs are stripped —
+            # legal when the bare name is unambiguous in the join output.
+            cols = df.columns
+            view = self._view(df)
+            parts = ["SELECT"]
+            if sel.distinct:
+                parts.append("DISTINCT")
+            items = []
+            for it in sel.items:
+                if it.star:
+                    items.append("*")
+                    continue
+                txt = rewrite_expr(_dequalify(it.expr, cols))
+                alias = it.alias or _derived_name(it.expr)
+                items.append(f"{txt} AS `{alias}`")
+            parts.append(", ".join(items))
+            parts.append(f"FROM {view}")
+            parts.append(
+                "GROUP BY " + ", ".join(rewrite_expr(_dequalify(g, cols)) for g in sel.group_by)
+            )
+            if sel.having is not None:
+                parts.append("HAVING " + rewrite_expr(_dequalify(sel.having, cols)))
+            if sel.limit is not None:
+                parts.append(f"LIMIT {sel.limit}")
+            return self.spark.sql("\n".join(parts))
 
         base_cols = list(df.columns)
 
@@ -463,6 +491,34 @@ class Lowerer:
                 continue
             return None
         return keys
+
+
+def _dequalify(tokens: list[Tok], columns: list[str]) -> list[Tok]:
+    """Strip `alias.` qualifiers when the bare column name is unambiguous
+    in ``columns``; raise if the join output has duplicate names."""
+    out: list[Tok] = []
+    i = 0
+    n = len(tokens)
+    while i < n:
+        t = tokens[i]
+        if (
+            t.kind == "name"
+            and i + 2 < n
+            and tokens[i + 1].text == "."
+            and tokens[i + 2].kind == "name"
+        ):
+            col = tokens[i + 2].text
+            if columns.count(col) > 1:
+                raise ValueError(
+                    f"column {col!r} is ambiguous after the join — alias it "
+                    f"in a subquery before grouping"
+                )
+            out.append(tokens[i + 2])
+            i += 3
+            continue
+        out.append(t)
+        i += 1
+    return out
 
 
 def _derived_name(expr: list[Tok]) -> str:

@@ -254,6 +254,19 @@ def test_last_join_condition(spark, t1, dim):
     assert out.count() == 9          # left rows always survive
 
 
+def test_last_join_then_group_by(spark, t1, dim):
+    out = sql(
+        spark,
+        "SELECT t1.pk1, count(*) AS n, sum(t2.v) AS sv FROM t1 "
+        "LAST JOIN dim t2 ORDER BY t2.rts ON t1.pk1 = t2.k "
+        "GROUP BY t1.pk1",
+        {"t1": t1, "dim": dim},
+    )
+    rows = {r["pk1"]: (r["n"], r["sv"]) for r in out.collect()}
+    # per left row the max-rts dim row joins: A->200, B->400
+    assert rows == {"A": (5, 1000), "B": (4, 1600)}
+
+
 def test_last_join_into_window(spark, t1, dim):
     # join then window over the joined relation (last_join_window_query.yaml)
     out = sql(
