@@ -164,11 +164,15 @@ def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec
 
 def _collect_window(wdef: WindowDef, parts: list[Column]) -> WindowSpec:
     """The bounded frame the array path collects over (superset of the real
-    frame; element filters narrow it down)."""
+    frame; element filters narrow it down).
+
+    RANGE windows always collect over the value-range frame — peer-
+    inclusive, like the native path and the reference's stored-rows model
+    (same-ts rows are all "stored" regardless of tie order). MAXSIZE then
+    caps to the most recent rows of that peer-inclusive set.
+    """
     base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
     slack = wdef.lookback_slack if wdef.exclude_current_time else 0
-    if wdef.maxsize is not None:
-        return base.rowsBetween(-(wdef.maxsize + slack + 1), 0)
     if wdef.rows is not None:
         return base.rowsBetween(-(wdef.rows + slack), 0)
     if wdef.unbounded:
