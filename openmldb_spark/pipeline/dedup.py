@@ -408,28 +408,44 @@ def embedding_dedup(
     Hyperplanes are derived deterministically from ``seed`` via xxhash64 of
     (seed, plane, dim) — no RNG state, reproducible on any cluster.
     """
-    from openmldb_spark.pipeline.similarity import cosine, l2_norm
+    from openmldb_spark.pipeline.similarity import cosine
 
-    dim = len(df.select(vec_col).first()[0])
-    v = F.col("__v")  # bucket expression runs over the renamed projection below
+    proj = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    if planes <= 0:
+        # exact mode: single bucket -> all-pairs verification
+        withb = proj.withColumn("__bucket", F.lit(0).cast("long"))
+    else:
+        # hyperplane buckets via one numpy matmul per Arrow batch (a
+        # planes x dim expression tree compiles quadratically; the plane
+        # matrix is hash-derived, identical to similarity.lsh_topk)
+        import numpy as np
 
-    def plane_coeff(p: int, d: int) -> Column:
-        # uniform in [-1, 1) from a hash — deterministic pseudo-random plane
-        h = F.xxhash64(F.lit(f"{seed}|{p}|{d}"))
-        return (h.cast("double") / F.lit(float(2**63))).cast("double")
+        from openmldb_spark.pipeline.similarity import _plane_matrix
 
-    bucket = F.lit(0).cast("long")
-    for p in range(planes):
-        dot = None
-        for d in range(dim):
-            term = F.element_at(v, d + 1).cast("double") * plane_coeff(p, d)
-            dot = term if dot is None else dot + term
-        bit = F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-        bucket = bucket + bit * F.lit(1 << p).cast("long")
+        spark = df.sparkSession
+        dim = len(proj.select("__v").first()[0])
+        P = _plane_matrix(spark, dim, planes, seed)
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        bc = spark.sparkContext.broadcast((P, weights))
+        vec_t = dict(proj.dtypes)["__v"]
+        id_t = dict(proj.dtypes)["__id"]
 
-    withb = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")).withColumn(
-        "__bucket", bucket
-    )
+        def bucketize(batches):
+            import pandas as pd
+
+            P_l, w_l = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(list(pdf["__v"]), dtype=np.float64)
+                b = ((V @ P_l.T) >= 0).astype(np.int64) @ w_l
+                yield pd.DataFrame(
+                    {"__id": pdf["__id"], "__v": pdf["__v"], "__bucket": b}
+                )
+
+        withb = proj.mapInPandas(
+            bucketize, f"__id {id_t}, __v {vec_t}, __bucket long"
+        )
     sized = withb.withColumn(
         "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
     ).filter(F.col("__bsize") <= max_bucket)
