@@ -1,0 +1,70 @@
+"""Stateful streaming sliding windows must equal the batch window engine
+for in-order arrivals (train/serve consistency across the streaming
+boundary, state carried between micro-batches)."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.functions import aggregates as A
+from openmldb_spark.operators.window import WindowDef, window_agg
+from openmldb_spark.streaming.sliding import stream_window_agg
+
+RANGE_MS = 2500
+
+
+def test_stream_sliding_matches_batch(spark, tmp_path):
+    rows_b0 = [("a", 1000, 1.0), ("a", 2000, 2.0), ("b", 1000, 5.0)]
+    rows_b1 = [("a", 3000, 3.0), ("a", 6000, 4.0), ("b", 2000, None)]
+    schema = "k string, ts long, v double"
+
+    src = tmp_path / "stream"
+    src.mkdir()
+    spark.createDataFrame(rows_b0, schema).coalesce(1).write.parquet(str(src / "b0"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    feats = stream_window_agg(stream, "k", "ts", "v", RANGE_MS)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("sliding_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second micro-batch arrives later — state must carry over
+        spark.createDataFrame(rows_b1, schema).coalesce(1).write.parquet(str(src / "b1"))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            q.processAllAvailable()
+            n = spark.sql("SELECT count(*) FROM sliding_out").collect()[0][0]
+            if n >= 6:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = {
+        (r["key"], r["ts"]): (r["w_sum"], r["w_cnt"], r["w_min"], r["w_max"])
+        for r in spark.sql("SELECT * FROM sliding_out").collect()
+    }
+
+    # batch reference over the full data
+    full = spark.createDataFrame(rows_b0 + rows_b1, schema)
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows_range=RANGE_MS)
+    ref = window_agg(
+        full,
+        wd,
+        {"s": A.sum_("v"), "c": A.count_("v"), "mn": A.min_("v"), "mx": A.max_("v")},
+    )
+    want = {
+        (r["k"], r["ts"]): (r["s"], r["c"], r["mn"], r["mx"]) for r in ref.collect()
+    }
+    assert got == want
