@@ -112,3 +112,28 @@ def layout_for_index(df: DataFrame, index: IndexDef, num_partitions: Optional[in
     if index.ts_col:
         out = out.sortWithinPartitions(*index.keys, index.ts_col)
     return out
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    index: IndexDef,
+    *,
+    buckets: int = 32,
+) -> None:
+    """Persist a table bucketed by the index key (+ time-sorted files).
+
+    The durable form of :func:`layout_for_index`: Spark's bucket metadata
+    lets later equi-joins and aggregations on the key run WITHOUT a
+    shuffle on this side (the reference's index gives its online engine
+    seek paths; bucketing gives our batch engine co-located joins). Both
+    sides of a repeated big join should be bucketed with the same count.
+    """
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(buckets, index.keys[0], *index.keys[1:])
+    )
+    if index.ts_col:
+        writer = writer.sortBy(index.ts_col)
+    writer.saveAsTable(table)
