@@ -455,9 +455,9 @@ def q_udaf_top_freq(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_udaf_window_exotic(spark: SparkSession, sf: str) -> DataFrame:
-    """ew_avg / drawdown / median / distinct_count over sliding windows —
-    no SQL oracle (order-dependent reductions); pinned by unit tests against
-    the reference's documented examples."""
+    """ew_avg / drawdown / median / distinct_count over sliding windows;
+    DuckDB oracle folds the same order-dependent reductions with list
+    comprehensions (prefix-max for drawdown, geometric weights for ew_avg)."""
     e = load_table(spark, sf, "events")
     wd = WindowDef(partition_by=["user_id"], order_by="event_id", rows=10)
     out = window_agg(
@@ -1250,6 +1250,36 @@ def oracle_sql() -> dict[str, str]:
                    'image/fake' AS mime,
                    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
+        """,
+        "udaf_window_exotic": """
+            WITH framed AS (
+              SELECT event_id, user_id,
+                     list(value) OVER w AS vs,
+                     list(event_type) OVER w AS ets
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+            ), prep AS (
+              SELECT event_id, user_id,
+                     list_reverse(list_filter(vs, x -> x IS NOT NULL)) AS r,
+                     list_filter(vs, x -> x IS NOT NULL AND x >= 0) AS dv,
+                     list_sort(list_filter(vs, x -> x IS NOT NULL)) AS sv,
+                     len(list_distinct(list_filter(ets, x -> x IS NOT NULL))) AS ndv
+              FROM framed
+            )
+            SELECT event_id, user_id,
+              round(CASE WHEN len(r) > 0 THEN
+                list_sum([r[i] * power(0.5, i-1) FOR i IN range(1, len(r)+1)])
+                / list_sum([power(0.5, i-1) FOR i IN range(1, len(r)+1)]) END, 4) AS ew,
+              round(CASE WHEN len(dv) > 0 THEN
+                coalesce(list_max([ (list_max(dv[1:k]) - dv[k]) / list_max(dv[1:k])
+                                    FOR k IN range(1, len(dv)+1)
+                                    IF list_max(dv[1:k]) > 0 ]), 0.0) END, 4) AS dd,
+              round(CASE WHEN len(sv) = 0 THEN NULL
+                    WHEN len(sv) % 2 = 1 THEN sv[(len(sv)//2)+1]
+                    ELSE (sv[len(sv)//2] + sv[len(sv)//2+1]) / 2.0 END, 4) AS med,
+              ndv
+            FROM prep
         """,
         "feature_signature": """
             SELECT l_orderkey, l_linenumber,
