@@ -827,9 +827,10 @@ def q_sql_last_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: sliding-window feature set over events (the reference's
-    core capability) at sf0.001."""
-    return q_window_rows_range(spark, "/root/testdata/sf0.001")
+    """Flagship: a sliding-window feature query entered as dialect SQL —
+    parse -> rewrite -> lower -> native Spark window execution (the
+    reference's core capability end-to-end) at sf0.001."""
+    return q_sql_window(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -73,6 +73,14 @@ class Engine:
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
 
+    def execute_script(self, script: str) -> list:
+        """Run a ';'-separated statement script; returns per-statement
+        results (the reference CLI's batch-file mode)."""
+        out = []
+        for stmt in _split_statements(script):
+            out.append(self.execute(stmt))
+        return out
+
     def execute(self, sql_text: str):
         """Run one statement. Returns a DataFrame for queries/SHOW, None
         for DDL/DML side effects, a SqlDeployment for DEPLOY."""
@@ -569,6 +577,37 @@ def _coerce(v, dtype):
     if isinstance(dtype, DateType):
         return date.fromisoformat(str(v)) if not isinstance(v, date) else v
     return v
+
+
+def _split_statements(script: str) -> list[str]:
+    """Split on ';' outside string literals / comments."""
+    stmts, cur, i, n = [], [], 0, len(script)
+    while i < n:
+        c = script[i]
+        if c in "'\"":
+            j = i + 1
+            while j < n and (script[j] != c or script[j - 1] == "\\"):
+                j += 1
+            cur.append(script[i : j + 1])
+            i = j + 1
+            continue
+        if c == "-" and script[i : i + 2] == "--":
+            j = script.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        if c == ";":
+            s = "".join(cur).strip()
+            if s:
+                stmts.append(s)
+            cur = []
+            i += 1
+            continue
+        cur.append(c)
+        i += 1
+    s = "".join(cur).strip()
+    if s:
+        stmts.append(s)
+    return stmts
 
 
 def _parse_options(opts_s: str) -> dict[str, str]:

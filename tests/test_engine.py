@@ -80,6 +80,21 @@ def test_deploy_batch_vs_request_consistency(eng, spark):
         assert (got[0]["sv"], got[0]["cv"]) == batch[(pk, ts)]
 
 
+def test_execute_script(eng):
+    results = eng.execute_script(
+        """
+        CREATE TABLE s1 (id int, v double);  -- comment with ; inside
+        INSERT INTO s1 VALUES (1, 1.5), (2, 2.5);
+        SELECT id, v FROM s1;
+        SELECT 'a;b' AS s;
+        """
+    )
+    assert results[0] is None and results[1] is None
+    assert sorted(tuple(r) for r in results[2].collect()) == [(1, 1.5), (2, 2.5)]
+    # a string literal containing ';' survives statement splitting
+    assert results[3].collect()[0]["s"] == "a;b"
+
+
 def test_deploy_long_windows_preagg(eng, spark):
     """OPTIONS(long_windows=...): pre-agg-served request mode must equal
     the standard RequestUnion path exactly."""

@@ -208,6 +208,20 @@ def test_window_union(spark, t1):
     assert rows[3] == 9 and rows[8] == 6 + 7 + 8 + 8
 
 
+def test_window_union_subquery(spark, t1):
+    out = sql(
+        spark,
+        "SELECT id, sum(col1) OVER w1 AS s FROM main WINDOW w1 AS "
+        "(UNION (SELECT * FROM t1 WHERE id <= 2) "
+        "PARTITION BY pk1 ORDER BY ts "
+        "ROWS_RANGE BETWEEN 20s PRECEDING AND CURRENT ROW)",
+        {"main": t1.where(F.col("id") == 3), "t1": t1},
+    )
+    rows = by_id(out, "s")
+    # main row 3 (ts 440000) unions rows 1,2 -> frame {1,2,3} = 6
+    assert rows == {3: 6}
+
+
 def test_window_cate(spark, t1):
     out = sql(
         spark,
