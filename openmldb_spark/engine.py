@@ -348,8 +348,24 @@ class SqlDeployment:
         hist = history if history is not None else self.engine.tables[self.request_table]
         q = copy.deepcopy(self.query)
         body = q.body
+        if body.joins or body.where is not None:
+            # the window runs over the POST-join/filter relation (batch =
+            # join then window), so the history side must flow through the
+            # same joins/filters for schemas and semantics to line up
+            hist_from = P.TableRef(
+                name="__history", alias=body.from_.alias or body.from_.name
+            )
+            hist_sel = P.Select(
+                items=[P.SelectItem([], None, star=True)],
+                from_=hist_from,
+                joins=copy.deepcopy(body.joins),
+                where=copy.deepcopy(body.where),
+            )
+            union_ref = P.TableRef(subquery=P.Query(hist_sel))
+        else:
+            union_ref = P.TableRef(name="__history")
         for w in body.windows.values():
-            w.union_tables.append(P.TableRef(name="__history"))
+            w.union_tables.append(copy.deepcopy(union_ref))
             w.instance_not_in_window = True
         tables = dict(self.engine.tables)
         tables[self.request_table] = requests
@@ -426,7 +442,7 @@ class SqlDeployment:
         body = self.query.body
         lw = {idx: rest for idx, *rest in self._lw_items()}
         n_window_items = sum(1 for it in body.items if it.over is not None)
-        if len(lw) != n_window_items:
+        if len(lw) != n_window_items or body.joins or body.where is not None:
             return self.run_request(requests, history)
         self.prepare_preagg(history)
         hist = history if history is not None else self.engine.tables[self.request_table]

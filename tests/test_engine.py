@@ -129,6 +129,36 @@ def test_deploy_long_windows_preagg(eng, spark):
             assert a == pytest.approx(b), (k, fast[k], slow[k])
 
 
+def test_deploy_with_last_join_and_window(eng, spark):
+    """The full serving shape: request row -> LAST JOIN dim enrich ->
+    sliding window over history (batch ≡ request replay)."""
+    eng.execute("CREATE TABLE tx (pk string, ts bigint, amt double)")
+    eng.execute("CREATE TABLE dim (k string, seg string, dts bigint)")
+    eng.execute(
+        "INSERT INTO tx VALUES ('a', 1000, 1.0), ('a', 2000, 2.0), "
+        "('a', 3000, 3.0), ('b', 1000, 5.0), ('b', 2000, 6.0)"
+    )
+    eng.execute(
+        "INSERT INTO dim VALUES ('a', 'old', 10), ('a', 'gold', 20), ('b', 'base', 10)"
+    )
+    dep = eng.execute(
+        "DEPLOY serve1 SELECT t1.pk, t1.ts, t2.seg, sum(t1.amt) OVER w1 AS sa "
+        "FROM tx t1 LAST JOIN dim t2 ORDER BY t2.dts ON t1.pk = t2.k "
+        "WINDOW w1 AS (PARTITION BY t1.pk ORDER BY t1.ts "
+        "ROWS_RANGE BETWEEN 2s PRECEDING AND CURRENT ROW)"
+    )
+    batch = {(r["pk"], r["ts"]): (r["seg"], r["sa"]) for r in dep.run_batch().collect()}
+    assert batch[("a", 3000)] == ("gold", 6.0)
+    assert batch[("b", 2000)] == ("base", 11.0)
+
+    tx = eng.tables["tx"]
+    req = tx.where((F.col("pk") == "a") & (F.col("ts") == 3000))
+    hist = tx.where(~((F.col("pk") == "a") & (F.col("ts") == 3000)))
+    got = dep.run_request(req, hist).collect()
+    assert len(got) == 1
+    assert (got[0]["seg"], got[0]["sa"]) == batch[("a", 3000)]
+
+
 def test_deploy_schema_contract(eng, spark):
     eng.execute("CREATE TABLE c1 (pk string, ts bigint, v double)")
     eng.execute("INSERT INTO c1 VALUES ('a', 1000, 1.0)")
