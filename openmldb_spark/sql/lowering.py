@@ -310,6 +310,7 @@ class Lowerer:
             out_names[idx] = name
             per_window.setdefault(it.over.window, {})[name] = _build_agg(it.over)
 
+        skew_buckets = int(sel.config.get("skew_buckets", 0))
         for wname, aggs in per_window.items():
             w = sel.windows[wname]
             wdef = self._window_def(df, w)
@@ -319,6 +320,28 @@ class Lowerer:
                     df, unions, wdef, aggs,
                     instance_not_in_window=w.instance_not_in_window,
                 )
+            elif (
+                skew_buckets >= 2
+                and wdef.rows_range is not None
+                and all(len(p) == 1 and p[0].kind == "name" for p in w.partition_by)
+                and w.order_by is not None
+                and len(w.order_by) == 1
+                and w.order_by[0].kind == "name"
+            ):
+                # CONFIG (skew_buckets='N'): hot-key time-bucket splitting
+                # (ref knob: enableWindowSkewOpt, OpenmldbBatchConfig.scala:54-74)
+                from openmldb_spark.operators.window_skew import window_agg_skewed
+
+                named = WindowDef(
+                    partition_by=[p[0].text for p in w.partition_by],
+                    order_by=w.order_by[0].text,
+                    rows_range=wdef.rows_range,
+                    open_preceding=wdef.open_preceding,
+                    exclude_current_row=wdef.exclude_current_row,
+                    exclude_current_time=wdef.exclude_current_time,
+                    maxsize=wdef.maxsize,
+                )
+                df = window_agg_skewed(df, named, aggs, buckets=skew_buckets)
             else:
                 if w.instance_not_in_window:
                     raise ValueError("INSTANCE_NOT_IN_WINDOW requires UNION tables")

@@ -148,6 +148,8 @@ class Select:
     windows: dict[str, WindowClause] = field(default_factory=dict)
     limit: Optional[int] = None
     distinct: bool = False
+    #: CONFIG (k='v', ...) execution hints (e.g. skew_buckets)
+    config: dict[str, str] = field(default_factory=dict)
 
 
 @dataclass
@@ -261,9 +263,22 @@ class Parser:
                     break
         if self.accept("LIMIT"):
             sel.limit = int(self.eat().text)
-        if self.accept("CONFIG"):      # CONFIG (k=v,...) — execution hints; skip
-            self.skip_parens()
+        if self.accept("CONFIG"):      # CONFIG (k='v', ...) — execution hints
+            sel.config = self.parse_config()
         return sel
+
+    def parse_config(self) -> dict[str, str]:
+        self.expect("(")
+        out: dict[str, str] = {}
+        while not self.accept(")"):
+            key = self.eat().text.lower()
+            self.expect("=")
+            val = self.eat().text
+            if val and val[0] in "'\"":
+                val = val[1:-1]
+            out[key] = val
+            self.accept(",")
+        return out
 
     def parse_select_items(self) -> list[SelectItem]:
         items = []

@@ -222,6 +222,19 @@ def test_window_union_subquery(spark, t1):
     assert rows == {3: 6}
 
 
+def test_window_config_skew_buckets(spark, t1):
+    base = (
+        "SELECT id, sum(col1) OVER w1 AS s FROM t1 WINDOW w1 AS "
+        "(PARTITION BY pk1 ORDER BY ts ROWS_RANGE BETWEEN 20s PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    plain = by_id(sql(spark, base, {"t1": t1}), "s")
+    skewed = by_id(
+        sql(spark, base + " CONFIG (skew_buckets='3')", {"t1": t1}), "s"
+    )
+    assert plain == skewed
+
+
 def test_window_cate(spark, t1):
     out = sql(
         spark,
