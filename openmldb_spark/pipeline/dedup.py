@@ -194,17 +194,19 @@ def minhash_signatures(
     return df.withColumn(out_col, sig).drop("__dd_sh")
 
 
-def minhash_lsh_pairs(
+def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
     *,
     sig_col: str = "minhash",
     bands: int = 8,
     max_bucket: int = 1000,
-    min_jaccard_est: float = 0.0,
 ) -> DataFrame:
-    """Candidate near-duplicate pairs (a < b) from banded LSH over minhash
-    signatures; estimated Jaccard = fraction of matching signature slots.
+    """Distinct candidate pairs (a < b) from banded LSH over minhash
+    signatures — the banding/bucketing half of :func:`minhash_lsh_pairs`,
+    without the signature-similarity scoring join (use directly when the
+    verification step is an exact recomputation, so the estimated Jaccard
+    would be dead weight).
 
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard) —
     at scale a degenerate bucket means a degenerate shingle, not a real
@@ -248,13 +250,29 @@ def minhash_lsh_pairs(
     b = sized.select("__band", "__bucket", F.col("__id").alias("b"))
     # distinct candidates FIRST: a pair co-bucketing in k bands must be
     # scored once, not k times
-    cand = (
+    return (
         a.join(b, ["__band", "__bucket"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
 
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    *,
+    sig_col: str = "minhash",
+    bands: int = 8,
+    max_bucket: int = 1000,
+    min_jaccard_est: float = 0.0,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (a < b) from banded LSH over minhash
+    signatures; estimated Jaccard = fraction of matching signature slots."""
+    sig = F.col(sig_col)
+    cand = minhash_lsh_candidates(
+        df, id_col, sig_col=sig_col, bands=bands, max_bucket=max_bucket
+    )
     sa = df.select(F.col(id_col).alias("a"), sig.alias("sa"))
     sb = df.select(F.col(id_col).alias("b"), sig.alias("sb"))
     pairs = (
@@ -316,34 +334,163 @@ def minhash_dedup(
     return out
 
 
+def prefix_filter_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    words: bool = True,
+) -> DataFrame:
+    """Candidate pairs (a < b) with **guaranteed 100% recall** for exact
+    n-gram Jaccard >= ``threshold``, via prefix filtering (the SSJoin /
+    PPJoin family: Chaudhuri et al. 2006, Xiao et al. 2008).
+
+    Order every document's shingle set by a global total order; if
+    J(x, y) >= t then x and y must share a token inside each side's first
+    ``|x| - ceil(t*|x|) + 1`` tokens, so indexing only prefixes finds every
+    qualifying pair — deterministic, no probabilistic recall argument
+    (unlike MinHash banding). The global order is ascending document
+    frequency (rare tokens first), which at scale keeps the inverted prefix
+    index dominated by near-unique tokens: the classic frequency trick that
+    makes the self-join's fan-out tiny. A size filter
+    (``t*|x| <= |y| <= |x|/t``) prunes length-incompatible pairs.
+
+    Shuffles: explode->groupBy(token) for df counts, join back, groupBy(id)
+    to rebuild sorted sets, then the prefix-token self-join. All key-bounded;
+    no all-pairs stage anywhere.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), shingle_n, words=words)).alias("__s"),
+    )
+    dfreq = sh.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = sh.join(dfreq, "__s")
+    per_doc = ranked.groupBy("__id").agg(
+        F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__ts")
+    )
+    n = F.size("__ts")
+    plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    pref = per_doc.select(
+        F.col("__id"),
+        n.alias("__n"),
+        F.explode(
+            F.transform(F.slice(F.col("__ts"), F.lit(1), plen), lambda e: e["__s"])
+        ).alias("__p"),
+    )
+    a = pref.select(F.col("__id").alias("a"), F.col("__n").alias("na"), "__p")
+    b = pref.select(F.col("__id").alias("b"), F.col("__n").alias("nb"), "__p")
+    t = float(threshold)
+    return (
+        a.join(b, "__p")
+        .filter(
+            (F.col("a") < F.col("b"))
+            & (F.col("nb") >= F.lit(t) * F.col("na"))
+            & (F.col("na") >= F.lit(t) * F.col("nb"))
+        )
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 5,
+    threshold: float = 0.7,
+    num_hashes: int = 32,
+    bands: int = 8,
+    max_bucket: int = 1000,
+    exact: bool = True,
+) -> DataFrame:
+    """Near-duplicate removal by **exact** n-gram Jaccard: a row is dropped
+    iff some smaller id has exact Jaccard >= ``threshold`` with it.
+
+    Candidates come from MinHash-LSH banding (the cheap hash-space pruner)
+    unioned, when ``exact=True``, with :func:`prefix_filter_candidates`
+    (guaranteed recall), so the final answer equals the all-pairs
+    exact-Jaccard result while never materializing all pairs. Every
+    candidate is then verified by exact shingle-set Jaccard — the decision
+    never depends on hash values, which is what makes this operator
+    oracle-checkable against a plain SQL engine (unlike estimated-Jaccard
+    :func:`minhash_dedup`, whose thresholding is on the signature).
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
+    ).select(id_col, "minhash")
+    cand = minhash_lsh_candidates(sigs, id_col, bands=bands, max_bucket=max_bucket)
+    if exact:
+        cand = cand.unionByName(
+            prefix_filter_candidates(
+                df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+            )
+        ).distinct()
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col, shingle_n=shingle_n, candidates=cand, threshold=threshold
+    )
+    losers = pairs.select(F.col("b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+def portable_token_hash(t: Column) -> Column:
+    """60-bit non-negative token hash computable identically in any SQL
+    engine with md5: first 15 hex chars of md5, parsed base-16.
+    (DuckDB: ``('0x' || substr(md5(t), 1, 15))::BIGINT``.) Slower than
+    xxhash64 (md5 + string slice) — use for cross-engine verification."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+
+
 def simhash(
     df: DataFrame,
     text_col: str,
     *,
     bits: int = 64,
     out_col: str = "simhash",
+    token_hash=None,
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit, sign of the sum of
-    token-hash bit contributions. All JVM-side higher-order functions."""
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-    # closure factory: a `j=j` default would raise the lambda's arity to 3
-    # and make pyspark pass a lambda-variable Column as `j`
-    def _merge(j: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
+    """SimHash over whitespace tokens: per bit, sign of the sum of
+    token-hash bit contributions. All JVM-side higher-order functions.
 
-    bit_cols = []
-    for j in range(bits):
-        # contribution of bit j: +1 if set else -1, summed over tokens
-        s = F.aggregate(hashes, F.lit(0), _merge(j))
-        weight = (1 << j) if j < 63 else -(1 << 63)  # bit 63 = sign bit of int64
-        bit_cols.append(F.when(s > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(weight).cast("long"))
-    fingerprint = bit_cols[0]
-    for c in bit_cols[1:]:
-        fingerprint = fingerprint + c
-    return df.withColumn(out_col, F.when(F.size(toks) > 0, fingerprint).otherwise(F.lit(0)))
+    Single pass over the token array: one ``F.aggregate`` folds each token
+    hash into a ``bits``-slot vote accumulator (the token's two's-complement
+    bit string from ``F.bin`` is zipped against the accumulator), instead of
+    ``bits`` independent aggregate passes — O(bits x tokens) work either
+    way, but one expression tree instead of 64, which keeps codegen small
+    and evaluates the token-hash transform once.
+
+    ``token_hash`` defaults to ``F.xxhash64`` (fastest); pass
+    :func:`portable_token_hash` for fingerprints reproducible in other SQL
+    engines (oracle checks).
+    """
+    if token_hash is None:
+        token_hash = F.xxhash64
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    hashes = F.transform(toks, lambda t: token_hash(t))
+
+    zero = F.array_repeat(F.lit(0), bits)
+
+    def _fold(acc: Column, h: Column) -> Column:
+        # LSB-first char array of the 64-bit two's-complement representation
+        bit_chars = F.slice(F.split(F.reverse(F.lpad(F.bin(h), 64, "0")), ""), 1, bits)
+        return F.zip_with(
+            acc, bit_chars, lambda a, c: a + F.when(c == "1", 1).otherwise(-1)
+        )
+
+    votes = F.aggregate(hashes, zero, _fold)
+    weights = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)).cast("long") for j in range(bits)]
+    )
+    fingerprint = F.aggregate(
+        F.zip_with(votes, weights, lambda s, w: F.when(s > 0, w).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return df.withColumn(
+        out_col, F.when(F.size(toks) > 0, fingerprint).otherwise(F.lit(0).cast("long"))
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
