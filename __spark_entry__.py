@@ -430,6 +430,22 @@ def q_udaf_window_cate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "sum_cate", "cnt_cate", "top2_key")
 
 
+def q_udaf_ratio_cate(spark: SparkSession, sf: str) -> DataFrame:
+    """top_n_key_ratio_cate / top_n_value_ratio_cate over a sliding window
+    (ref: aggregate_def.cc:410-471; golden YAML test_udaf_function.yaml:2724)."""
+    e = load_table(spark, sf, "events")
+    wd = WindowDef(partition_by=["user_id"], order_by="event_id", rows=10)
+    out = window_agg(
+        e,
+        wd,
+        {
+            "key_ratio": A.top_n_key_ratio_cate("value", F.col("value") > 50, "event_type", 2),
+            "val_ratio": A.top_n_value_ratio_cate("value", F.col("value") > 50, "event_type", 2),
+        },
+    )
+    return out.select("event_id", "user_id", "key_ratio", "val_ratio")
+
+
 def q_udaf_stats(spark: SparkSession, sf: str) -> DataFrame:
     """median / entropy / distinct_count / stddev / variance in GROUP BY."""
     li = load_table(spark, sf, "lineitem")
@@ -872,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_where": q_udaf_where,
         "udaf_cate": q_udaf_cate,
         "udaf_window_cate": q_udaf_window_cate,
+        "udaf_ratio_cate": q_udaf_ratio_cate,
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
         "udaf_window_exotic": q_udaf_window_exotic,
@@ -1211,6 +1228,39 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "udaf_ratio_cate": """
+            WITH base AS (
+              SELECT event_id, user_id,
+                     list_filter(
+                       list(struct_pack(k := event_type, v := value, c := value > 50))
+                         OVER (PARTITION BY user_id ORDER BY event_id
+                               ROWS BETWEEN 10 PRECEDING AND CURRENT ROW),
+                       e -> e.k IS NOT NULL AND e.v IS NOT NULL) AS w
+              FROM events
+            ), keyed AS (
+              SELECT event_id, user_id, w,
+                     list_sort(list_distinct(list_transform(w, e -> e.k))) AS ks
+              FROM base
+            ), ratios AS (
+              SELECT event_id, user_id,
+                     list_transform(ks, k -> struct_pack(
+                       r := len(list_filter(w, e -> e.k = k AND coalesce(e.c, false)))
+                            * 1.0 / len(list_filter(w, e -> e.k = k)),
+                       k := k)) AS gk
+              FROM keyed
+            )
+            SELECT event_id, user_id,
+                   coalesce(list_aggregate(list_transform(
+                     list_reverse(list_transform(gk, s -> s.k))[:2],
+                     k2 -> k2 || ':' || printf('%.6f',
+                       list_filter(gk, s -> s.k = k2)[1].r)),
+                     'string_agg', ','), '') AS key_ratio,
+                   coalesce(list_aggregate(list_transform(
+                     list_reverse(list_sort(gk))[:2],
+                     s -> s.k || ':' || printf('%.6f', s.r)),
+                     'string_agg', ','), '') AS val_ratio
+            FROM ratios
         """,
         "dedup_minhash": """
             WITH toks AS (

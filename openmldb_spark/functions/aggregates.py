@@ -624,12 +624,15 @@ def _cate_arr(
         if order == "key_desc":
             groups = F.reverse(groups)
         elif order == "value_desc":
+            # reference outputs the top-n set by reverse-iterating a set
+            # ordered (value asc, key asc) — so ties print key DESCENDING
+            # (containers.h OutputTopNByValue + DefaultPairCmp)
             groups = F.array_sort(
                 groups,
                 lambda a, b: F.when(a["v"] > b["v"], -1)
                 .when(a["v"] < b["v"], 1)
-                .when(a["k"] < b["k"], -1)
-                .when(a["k"] > b["k"], 1)
+                .when(a["k"] > b["k"], -1)
+                .when(a["k"] < b["k"], 1)
                 .otherwise(0),
             )
         if n is not None:
@@ -753,6 +756,78 @@ def top_n_value_min_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrN
 
 def top_n_value_max_cate_where(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
     return _cate_spec("top_n_value_max_cate_where", "max", value, cat, cond=cond, n=n, order="value_desc")
+
+
+def _ratio_cate_arr(n: int, by_value: bool) -> Callable[[Column, Callable], Column]:
+    """Array reduction for the ratio-cate family: per category, ratio =
+    count(rows where cond true) / count(rows), over rows with non-null key
+    AND non-null value (cond-null rows count only in the denominator).
+    Output 'k:%f' joined by ',' — top-n keys desc (key variant) or top-n
+    ratios desc with key-desc ties (value variant); n<0 = unbounded, n=0 or
+    empty input = '' (ref: aggregate_def.cc:160-290, golden YAML
+    cases/function/function/test_udaf_function.yaml:2724-2766)."""
+
+    def arr(e: Column, f: Callable) -> Column:
+        eligible = F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull())
+        ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
+
+        def ratio(k: Column) -> Column:
+            grp = F.filter(eligible, lambda s: f("k")(s) == k)
+            # F.filter keeps only rows whose predicate is true — a NULL
+            # condition is excluded from the numerator, as in the reference
+            hits = F.filter(grp, lambda s: f("c")(s))
+            return F.size(hits).cast("double") / F.size(grp)
+
+        groups = F.transform(ks, lambda k: F.struct(k.alias("k"), ratio(k).alias("v")))
+        if by_value:
+            groups = F.array_sort(
+                groups,
+                lambda a, b: F.when(a["v"] > b["v"], -1)
+                .when(a["v"] < b["v"], 1)
+                .when(a["k"] > b["k"], -1)
+                .when(a["k"] < b["k"], 1)
+                .otherwise(0),
+            )
+        else:
+            groups = F.reverse(groups)
+        if n >= 0:
+            groups = F.slice(groups, 1, n)
+        return F.array_join(
+            F.transform(
+                groups,
+                lambda s: F.concat(
+                    s["k"].cast("string"), F.lit(":"), F.format_string("%f", s["v"])
+                ),
+            ),
+            ",",
+        )
+
+    return arr
+
+
+def _ratio_cate_spec(name: str, value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int, by_value: bool) -> AggSpec:
+    fields = {"v": _c(value), "c": cond, "k": _c(cat)}
+    arr = _ratio_cate_arr(n, by_value)
+    return AggSpec(
+        name,
+        fields,
+        native=None,
+        array=arr,
+        group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+def top_n_key_ratio_cate(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    """Top-n category keys (desc) with per-category cond-match ratio
+    (ref: aggregate_def.cc:410-443; '_where' spelling is an accepted alias —
+    the reference docs use both)."""
+    return _ratio_cate_spec("top_n_key_ratio_cate", value, cond, cat, n, by_value=False)
+
+
+def top_n_value_ratio_cate(value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int) -> AggSpec:
+    """Top-n per-category cond-match ratios (ratio desc, ties key desc)
+    (ref: aggregate_def.cc:445-471)."""
+    return _ratio_cate_spec("top_n_value_ratio_cate", value, cond, cat, n, by_value=True)
 
 
 # ---------------------------------------------------------------------------

@@ -104,6 +104,11 @@ _AGGS: dict[str, tuple[object, str]] = {
     "top_n_value_avg_cate_where": (A.top_n_value_avg_cate_where, "ccci"),
     "top_n_value_min_cate_where": (A.top_n_value_min_cate_where, "ccci"),
     "top_n_value_max_cate_where": (A.top_n_value_max_cate_where, "ccci"),
+    "top_n_key_ratio_cate": (A.top_n_key_ratio_cate, "ccci"),
+    "top_n_value_ratio_cate": (A.top_n_value_ratio_cate, "ccci"),
+    # the reference docs use the '_where' spelling for the same functions
+    "top_n_key_ratio_cate_where": (A.top_n_key_ratio_cate, "ccci"),
+    "top_n_value_ratio_cate_where": (A.top_n_value_ratio_cate, "ccci"),
     "window_split": (A.window_split, "cs"),
     "window_split_by_key": (A.window_split_by_key, "css"),
     "window_split_by_value": (A.window_split_by_value, "css"),

@@ -92,6 +92,69 @@ def test_top_n_value_sum_cate_where_reference_example(spark):
     assert [r["agg"] for r in out.orderBy("id").collect()][-1] == "z:11,x:4"
 
 
+def test_top_n_value_cate_where_tie_prints_key_desc(spark):
+    # equal aggregate values: reference reverse-iterates a (value asc, key
+    # asc) set, so ties print key DESCENDING (containers.h OutputTopNByValue)
+    data = [(5, True, "x"), (5, True, "z"), (5, True, "y")]
+    rows = [(i, "k", v, b, c) for i, (v, b, c) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id int, pk string, v long, b boolean, c string")
+    wd = WindowDef(partition_by=["pk"], order_by="id", unbounded=True)
+    out = window_agg(df, wd, {"agg": A.top_n_value_sum_cate_where("v", F.col("b"), "c", 2)})
+    assert [r["agg"] for r in out.orderBy("id").collect()][-1] == "z:5,y:5"
+
+
+def test_top_n_ratio_cate_reference_doctest(spark):
+    # aggregate_def.cc:410-471 doctest: values 0..6, conds, cats x/x/x/y/y/z/z
+    data = [
+        (0, True, "x"), (2, True, "x"), (4, True, "x"),
+        (1, True, "y"), (3, False, "y"), (5, True, "z"), (6, True, "z"),
+    ]
+    rows = [(i, "k", v, b, c) for i, (v, b, c) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id int, pk string, v long, b boolean, c string")
+    wd = WindowDef(partition_by=["pk"], order_by="id", unbounded=True)
+    out = window_agg(
+        df,
+        wd,
+        {
+            "bykey": A.top_n_key_ratio_cate("v", F.col("b"), "c", 2),
+            "byval": A.top_n_value_ratio_cate("v", F.col("b"), "c", 2),
+        },
+    )
+    last = out.orderBy("id").collect()[-1]
+    assert last["bykey"] == "z:1.000000,y:0.500000"
+    assert last["byval"] == "z:1.000000,x:1.000000"
+
+
+def test_top_n_ratio_cate_yaml_case66_edges(spark):
+    # cases/function/function/test_udaf_function.yaml id=66: NULL category
+    # skipped; n=0 -> ''; negative n -> unbounded; value-ties -> key desc
+    data = [
+        (200, True, "a"), (300, True, "b"), (200, True, None),
+        (10, False, "b"), (101, True, "c"),
+    ]
+    rows = [(i, "k", v, b, c) for i, (v, b, c) in enumerate(data)]
+    df = spark.createDataFrame(rows, "id int, pk string, v long, b boolean, c string")
+    wd = WindowDef(partition_by=["pk"], order_by="id", unbounded=True)
+    out = window_agg(
+        df,
+        wd,
+        {
+            "byval2": A.top_n_value_ratio_cate("v", F.col("b"), "c", 2),
+            "bykey2": A.top_n_key_ratio_cate("v", F.col("b"), "c", 2),
+            "byval_full": A.top_n_value_ratio_cate("v", F.col("b"), "c", -1),
+            "bykey_full": A.top_n_key_ratio_cate("v", F.col("b"), "c", -2),
+            "byval_empty": A.top_n_value_ratio_cate("v", F.col("b"), "c", 0),
+        },
+    )
+    last = out.orderBy("id").collect()[-1]
+    # groups: a 1/1, b 1/2, c 1/1 (NULL-cat row skipped)
+    assert last["byval2"] == "c:1.000000,a:1.000000"
+    assert last["bykey2"] == "c:1.000000,b:0.500000"
+    assert last["byval_full"] == "c:1.000000,a:1.000000,b:0.500000"
+    assert last["bykey_full"] == "c:1.000000,b:0.500000,a:1.000000"
+    assert last["byval_empty"] == ""
+
+
 def test_top1_ratio_and_topn_frequency(spark):
     vals = ["a", "a", "a", "b", "b", "c"]
     rows = [(i, "k", v) for i, v in enumerate(vals)]
