@@ -446,6 +446,34 @@ def q_udaf_ratio_cate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "key_ratio", "val_ratio")
 
 
+def q_feature_zero_lists(spark: SparkSession, sf: str) -> DataFrame:
+    """split_array / list_except_by_key / list_except_by_value /
+    array_combine over per-document kv strings (ref: array_def.cc:168-230,
+    feature_zero_def.cc:768-801)."""
+    from openmldb_spark.functions import scalar as SC
+
+    d = load_table(spark, sf, "documents")
+    s = F.concat(
+        F.lit("lang:"), F.col("lang"),
+        F.lit(",src:"), F.col("source"),
+        F.lit(",len:"), (F.col("n_chars") % 5).cast("string"),
+    )
+    lst = SC.split_array(s, ",")
+    return d.select(
+        "doc_id",
+        F.array_join(SC.list_except_by_key(lst, "src"), " ").alias("no_src"),
+        F.array_join(SC.list_except_by_value(lst, "0,1,2"), " ").alias("no_small"),
+        F.array_join(
+            SC.array_combine(
+                "-",
+                F.array(F.col("lang"), F.col("source")),
+                F.array((F.col("doc_id") % 3).cast("string")),
+            ),
+            ",",
+        ).alias("combined"),
+    )
+
+
 def q_udaf_stats(spark: SparkSession, sf: str) -> DataFrame:
     """median / entropy / distinct_count / stddev / variance in GROUP BY."""
     li = load_table(spark, sf, "lineitem")
@@ -889,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_cate": q_udaf_cate,
         "udaf_window_cate": q_udaf_window_cate,
         "udaf_ratio_cate": q_udaf_ratio_cate,
+        "feature_zero_lists": q_feature_zero_lists,
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
         "udaf_window_exotic": q_udaf_window_exotic,
@@ -1261,6 +1290,26 @@ def oracle_sql() -> dict[str, str]:
                      s -> s.k || ':' || printf('%.6f', s.r)),
                      'string_agg', ','), '') AS val_ratio
             FROM ratios
+        """,
+        "feature_zero_lists": """
+            WITH base AS (
+              SELECT doc_id, lang, source,
+                     ['lang:' || lang,
+                      'src:' || source,
+                      'len:' || CAST(n_chars % 5 AS VARCHAR)] AS l
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_filter(l, e ->
+                     NOT list_contains(string_split('src', ','),
+                                       string_split(e, ':')[1])), ' ') AS no_src,
+                   array_to_string(list_filter(l, e ->
+                     NOT list_contains(string_split('0,1,2', ','),
+                       coalesce(string_split(e, ':')[2], ''))), ' ') AS no_small,
+                   array_to_string([lang || '-' || CAST(doc_id % 3 AS VARCHAR),
+                                    source || '-' || CAST(doc_id % 3 AS VARCHAR)],
+                                   ',') AS combined
+            FROM base
         """,
         "dedup_minhash": """
             WITH toks AS (

@@ -125,6 +125,68 @@ def join_(lst: ColumnOrName, delim: str) -> Column:
     return F.array_join(_c(lst), delim)
 
 
+def split_array(s: ColumnOrName, delim: str) -> Column:
+    """Split string to array of string by literal delimiter (ref:
+    default_defs/array_def.cc:168-180) — same semantics as feature-zero
+    ``split``; the reference distinguishes only the List/Array return types,
+    which are both Spark arrays here."""
+    return split(s, delim)
+
+
+def _lit_or_col(x) -> Column:
+    return F.lit(x) if isinstance(x, str) else _c(x)
+
+
+def list_except_by_key(lst: ColumnOrName, except_str) -> Column:
+    """Keep elements of ``lst`` ('key:value' strings) whose key is NOT in
+    comma-separated ``except_str`` (ref: feature_zero_def.cc:768-784).
+    The key is the piece before the first ':' (the whole element if no ':')."""
+    ex = F.split(_lit_or_col(except_str), ",")
+    return F.filter(
+        _c(lst), lambda e: ~F.array_contains(ex, F.split(e, ":")[0])
+    )
+
+
+def list_except_by_value(lst: ColumnOrName, except_str) -> Column:
+    """Keep elements of ``lst`` whose value is NOT in comma-separated
+    ``except_str`` (ref: feature_zero_def.cc:785-801). The value is the piece
+    between the first and second ':' ('' if absent — absl pair-split takes
+    the first two pieces), so an empty ``except_str`` filters empty values."""
+    ex = F.split(_lit_or_col(except_str), ",")
+    return F.filter(
+        _c(lst),
+        lambda e: ~F.array_contains(ex, F.coalesce(F.split(e, ":")[1], F.lit(""))),
+    )
+
+
+def array_combine(delim, *arrays: ColumnOrName) -> Column:
+    """Cartesian product of arrays, each product joined with ``delim``
+    (ref: array_def.cc:194-230; goldens cases/query/udf_query.yaml:594-636).
+    Null elements are skipped, a null delimiter acts as '', elements are
+    cast to string."""
+    if not arrays:
+        raise ValueError("array_combine requires at least one array")
+    d = F.coalesce(_lit_or_col(delim), F.lit(""))
+    norm = [
+        F.transform(
+            F.filter(_c(a), lambda x: x.isNotNull()), lambda x: x.cast("string")
+        )
+        for a in arrays
+    ]
+
+    def _cross(nxt: Column):
+        # closure factory: default-arg capture would raise HOF lambda arity
+        def outer(x: Column) -> Column:
+            return F.transform(nxt, lambda y: F.concat(x, d, y))
+
+        return outer
+
+    out = norm[0]
+    for nxt in norm[1:]:
+        out = F.flatten(F.transform(out, _cross(nxt)))
+    return out
+
+
 # --- registry ---------------------------------------------------------------
 
 #: reference name -> callable(Column...) -> Column.  Aliases share entries.
@@ -227,9 +289,13 @@ REGISTRY: dict[str, Callable[..., Column]] = {
     "second": F.second,
     # feature-zero / collections
     "split": split,
+    "split_array": split_array,
     "split_by_key": split_by_key,
     "split_by_value": split_by_value,
     "join": join_,
+    "list_except_by_key": list_except_by_key,
+    "list_except_by_value": list_except_by_value,
+    "array_combine": array_combine,
     "array_contains": F.array_contains,
     "array_join": F.array_join,
     "size": F.size,

@@ -123,6 +123,37 @@ _STRFTIME = {
 }
 
 
+def _t_list_except_by_key(lst: str, ex: str) -> str:
+    # keep elements whose key (piece before first ':') not in ex split by ','
+    return (
+        f"FILTER({lst}, e -> NOT ARRAY_CONTAINS(SPLIT({ex}, ','), SPLIT(e, ':')[0]))"
+    )
+
+
+def _t_list_except_by_value(lst: str, ex: str) -> str:
+    return (
+        f"FILTER({lst}, e -> NOT ARRAY_CONTAINS(SPLIT({ex}, ','), "
+        f"COALESCE(SPLIT(e, ':')[1], '')))"
+    )
+
+
+def _t_array_combine(d: str, *arrs: str) -> str:
+    # cartesian product joined by d; null elements skipped, null delim = ''
+    # (ref: array_def.cc:194-230)
+    d2 = f"COALESCE({d}, '')"
+    acc = f"TRANSFORM(FILTER({arrs[0]}, x0 -> x0 IS NOT NULL), x0 -> CAST(x0 AS STRING))"
+    for i, a in enumerate(arrs[1:], 1):
+        nxt = (
+            f"TRANSFORM(FILTER({a}, y{i} -> y{i} IS NOT NULL), "
+            f"y{i} -> CAST(y{i} AS STRING))"
+        )
+        acc = (
+            f"FLATTEN(TRANSFORM({acc}, a{i} -> "
+            f"TRANSFORM({nxt}, b{i} -> CONCAT(a{i}, {d2}, b{i}))))"
+        )
+    return acc
+
+
 def _t_date_format(ts: str, fmt: str) -> str:
     # the reference uses C strftime patterns ('%Y-%m-%d'); Spark uses Java
     if "%" in fmt:
@@ -149,8 +180,12 @@ TEMPLATES: dict[str, object] = {
     "ilike_match": _t_ilike,
     "regexp_like": lambda s, p: f"(({s}) RLIKE ({p}))",
     "split": _t_split,
+    "split_array": _t_split,
     "split_by_key": _t_split_by_key,
     "split_by_value": _t_split_by_value,
+    "list_except_by_key": _t_list_except_by_key,
+    "list_except_by_value": _t_list_except_by_value,
+    "array_combine": _t_array_combine,
     "date_format": _t_date_format,
     "distinct_count": lambda x: f"COUNT(DISTINCT {x})",
     "sum_where": _agg_where("SUM"),

@@ -306,3 +306,72 @@ def test_last_join_into_window(spark, t1, dim):
     )
     sv = by_id(out, "sv")
     assert sv[1] == 200 and sv[2] == 400 and sv[6] == 400 and sv[7] == 800
+
+
+# ---------------------------------------------------------------------------
+# feature-zero list functions (array_def.cc, feature_zero_def.cc)
+# ---------------------------------------------------------------------------
+
+
+def test_list_except_by_key_value_sql(spark, t1):
+    # ref doctests feature_zero_def.cc:768-801
+    out = sql(
+        spark,
+        "SELECT id, array_join(list_except_by_key(split('a:1,b:2,c:0', ','), 'a,c'), ' ') AS k, "
+        "array_join(list_except_by_value(split('a:1,b:2,c:0', ','), '0,1'), ' ') AS v "
+        "FROM t1 WHERE id = 1",
+        {"t1": t1},
+    )
+    r = out.collect()[0]
+    assert r["k"] == "b:2" and r["v"] == "b:2"
+
+
+def test_split_array_and_array_combine_sql(spark, t1):
+    # ref doctests array_def.cc:168-230, goldens udf_query.yaml:594-604
+    out = sql(
+        spark,
+        "SELECT id, array_contains(split_array('2,1', ','), '1') AS c0, "
+        "array_join(array_combine('-', split_array('1,2', ','), "
+        "split_array('3,4', ',')), ',') AS c1 "
+        "FROM t1 WHERE id = 1",
+        {"t1": t1},
+    )
+    r = out.collect()[0]
+    assert r["c0"] is True
+    assert r["c1"] == "1-3,1-4,2-3,2-4"
+
+
+def test_array_combine_nulls_dataframe(spark):
+    # goldens udf_query.yaml:622-636: null elements skipped, null delim = ''
+    from openmldb_spark.functions import scalar as SC
+
+    df = spark.createDataFrame([(1,)], "id int")
+    out = df.select(
+        F.array_join(
+            SC.array_combine(
+                "-",
+                F.array(F.lit(1), F.lit(None).cast("int")),
+                F.array(F.lit(3), F.lit(4)),
+            ),
+            ",",
+        ).alias("c0"),
+        F.array_join(
+            SC.array_combine(
+                "-", F.array(F.lit(None).cast("int")), F.array(F.lit("9"), F.lit("8"))
+            ),
+            ",",
+        ).alias("c1"),
+        F.array_join(
+            SC.array_combine(
+                F.lit(None).cast("string"), F.array(F.lit(1)), F.array(F.lit("9"), F.lit("8"))
+            ),
+            ",",
+        ).alias("c2"),
+        F.array_join(
+            SC.array_combine("|", F.array(F.lit("1"))), ","
+        ).alias("c3"),
+    ).collect()[0]
+    assert out["c0"] == "1-3,1-4"
+    assert out["c1"] == ""
+    assert out["c2"] == "19,18"
+    assert out["c3"] == "1"
