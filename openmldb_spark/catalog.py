@@ -63,43 +63,51 @@ def apply_ttl(
         return df
     ts_ms = F.unix_millis(F.col(index.ts_col).cast("timestamp"))
 
-    def abs_filter(d: DataFrame) -> DataFrame:
-        ttl_ms = parse_interval_ms(index.ttl)
-        if now_ms is None:
-            bound = d.agg(F.max(ts_ms).alias("m")).collect()[0]["m"] - ttl_ms
-        else:
-            bound = now_ms - ttl_ms
-        return d.filter(ts_ms > F.lit(bound))
+    def with_abs_keep(d: DataFrame, ttl_str: str):
+        """(df', keep-predicate) for the absolute bound — no driver collect:
+        when ``now_ms`` is None the bound max(ts) - ttl joins in lazily as a
+        broadcast single-row aggregate, so TTL stays one job inside the
+        caller's plan and the bound is computed at execution time (correct
+        even if the input is appended between plan and run)."""
+        ttl_ms = parse_interval_ms(ttl_str)
+        if now_ms is not None:
+            return d, ts_ms > F.lit(now_ms - ttl_ms)
+        mx = d.agg(F.max(ts_ms).alias("__omsk_ttl_max"))
+        return d.crossJoin(F.broadcast(mx)), ts_ms > F.col("__omsk_ttl_max") - F.lit(ttl_ms)
 
-    def lat_filter(d: DataFrame) -> DataFrame:
-        n = int(index.ttl)
+    def with_lat_rn(d: DataFrame) -> DataFrame:
         w = Window.partitionBy(*index.keys).orderBy(ts_ms.desc())
-        return (
-            d.withColumn("__omsk_ttl_rn", F.row_number().over(w))
-            .filter(F.col("__omsk_ttl_rn") <= n)
-            .drop("__omsk_ttl_rn")
-        )
+        return d.withColumn("__omsk_ttl_rn", F.row_number().over(w))
 
     t = index.ttl_type.lower()
     if t == "absolute":
-        return abs_filter(df)
+        d2, keep = with_abs_keep(df, index.ttl)
+        return d2.filter(keep).drop("__omsk_ttl_max")
     if t == "latest":
-        return lat_filter(df)
+        return (
+            with_lat_rn(df)
+            .filter(F.col("__omsk_ttl_rn") <= int(index.ttl))
+            .drop("__omsk_ttl_rn")
+        )
     if t == "absandlat":
-        # evicted only when BOTH expired -> kept if either keeps it
-        ttl_parts = [p.strip() for p in index.ttl.split("&&")]
-        abs_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[0], "absolute")
-        kept_abs = apply_ttl(df, abs_idx, now_ms=now_ms)
-        lat_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[1], "latest")
-        kept_lat = apply_ttl(df, lat_idx, now_ms=now_ms)
-        return kept_abs.unionByName(kept_lat).distinct()
+        # evicted only when BOTH expired -> kept if either keeps it.
+        # Both retention predicates evaluate on ONE DataFrame and combine
+        # with OR — a union+distinct would silently collapse genuinely
+        # duplicate source rows.
+        abs_ttl, lat_n = (p.strip() for p in index.ttl.split("&&"))
+        d2, keep_abs = with_abs_keep(with_lat_rn(df), abs_ttl)
+        return (
+            d2.filter(keep_abs | (F.col("__omsk_ttl_rn") <= int(lat_n)))
+            .drop("__omsk_ttl_rn", "__omsk_ttl_max")
+        )
     if t == "absorlat":
         # evicted when EITHER expired -> kept only if both keep it
-        ttl_parts = [p.strip() for p in index.ttl.split("||")]
-        abs_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[0], "absolute")
-        lat_idx = IndexDef(index.name, index.keys, index.ts_col, ttl_parts[1], "latest")
-        kept = apply_ttl(apply_ttl(df, abs_idx, now_ms=now_ms), lat_idx, now_ms=now_ms)
-        return kept
+        abs_ttl, lat_n = (p.strip() for p in index.ttl.split("||"))
+        d2, keep_abs = with_abs_keep(with_lat_rn(df), abs_ttl)
+        return (
+            d2.filter(keep_abs & (F.col("__omsk_ttl_rn") <= int(lat_n)))
+            .drop("__omsk_ttl_rn", "__omsk_ttl_max")
+        )
     raise ValueError(f"unknown ttl_type {index.ttl_type!r}")
 
 

@@ -108,6 +108,8 @@ class Engine:
             return None
         if head == "INSERT":
             return self._insert(toks)
+        if head == "DELETE":
+            return self._delete(sql_text)
         if head == "LOAD":
             return self._load_data(sql_text)
         if head == "DEPLOY":
@@ -205,6 +207,27 @@ class Engine:
         self.tables[name] = existing.unionByName(new)
         return None
 
+    def _delete(self, sql_text: str):
+        """DELETE FROM t WHERE cond (ref: docs/en/openmldb_sql/dml/
+        DELETE_STATEMENT.md:7) — batch anti-filter rewrite of the managed
+        table; rows where the condition is NULL do not match and are kept."""
+        from openmldb_spark.operators.relational import delete_where
+        from openmldb_spark.sql.rewrite import rewrite_expr
+
+        m = re.match(
+            r"\s*DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+?)\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("DELETE FROM <table> WHERE <condition>")
+        name, cond_s = m.group(1), m.group(2)
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        cond = F.expr(rewrite_expr(tokenize(cond_s)))
+        self.tables[name] = delete_where(self.tables[name], cond)
+        return None
+
     def _load_data(self, sql_text: str):
         m = re.match(
             r"\s*LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)"
@@ -216,16 +239,16 @@ class Engine:
             raise ValueError("LOAD DATA INFILE '<path>' INTO TABLE <t> [OPTIONS(...)]")
         path, name, opts_s = m.group(1), m.group(2), m.group(3) or ""
         opts = _parse_options(opts_s)
-        mode = opts.pop("mode", "append")
+        mode = opts.pop("mode", "append").lower()
         schema = None
         if name in self.table_defs:
             schema = self.table_defs[name].schema_ddl
         df = load_data(
             self.spark,
             path,
-            fmt=opts.pop("format", "csv"),
+            fmt=opts.pop("format", "csv").lower(),
             delimiter=opts.pop("delimiter", ","),
-            header=opts.pop("header", "true") == "true",
+            header=opts.pop("header", "true").lower() == "true",
             null_value=opts.pop("null_value", "null"),
             quote=opts.pop("quote", '"'),
             schema=schema,
@@ -250,12 +273,12 @@ class Engine:
         select_into(
             df,
             path,
-            fmt=opts.pop("format", "csv"),
+            fmt=opts.pop("format", "csv").lower(),
             delimiter=opts.pop("delimiter", ","),
-            header=opts.pop("header", "true") == "true",
+            header=opts.pop("header", "true").lower() == "true",
             null_value=opts.pop("null_value", "null"),
             quote=opts.pop("quote", '"'),
-            mode=opts.pop("mode", "error_if_exists"),
+            mode=opts.pop("mode", "error_if_exists").lower(),
         )
         return None
 
@@ -496,9 +519,12 @@ class SqlDeployment:
             v = F.expr(val_sql)
             s_h, c_h = F.col(f"__lw_s{idx}"), F.col(f"__lw_c{idx}")
             mn_h, mx_h = F.col(f"__lw_mn{idx}"), F.col(f"__lw_mx{idx}")
+            # typed zeros (v*0 / s_h*0) keep the value column's native type
+            # through the combine, so sum over an integer column returns the
+            # same dtype as run_batch (double literals silently widened)
             s = F.when(
                 v.isNotNull() | s_h.isNotNull(),
-                F.coalesce(s_h, F.lit(0.0)) + F.coalesce(v.cast("double"), F.lit(0.0)),
+                F.coalesce(s_h, v * 0) + F.coalesce(v, s_h * 0),
             )
             c = c_h + F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
             if agg == "sum":
@@ -627,10 +653,13 @@ def _split_statements(script: str) -> list[str]:
 
 
 def _parse_options(opts_s: str) -> dict[str, str]:
+    """Option keys are case-insensitive; VALUES keep their original case —
+    null_value='NULL', a quote char, or a path are case-significant.
+    Keyword-valued options (mode/format/header) lowercase at the consumer."""
     opts: dict[str, str] = {}
     for part in opts_s.split(","):
         if "=" not in part:
             continue
         k, v = part.split("=", 1)
-        opts[k.strip().lower()] = v.strip().strip("'\"").lower()
+        opts[k.strip().lower()] = v.strip().strip("'\"")
     return opts

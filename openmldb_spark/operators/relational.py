@@ -111,5 +111,7 @@ def insert_into(df: DataFrame, table: str) -> None:
 
 
 def delete_where(df: DataFrame, cond: Column) -> DataFrame:
-    """Batch DELETE = anti-filter rewrite of the managed table."""
-    return df.where(~cond)
+    """Batch DELETE = anti-filter rewrite of the managed table. A NULL
+    condition does not match (SQL DELETE semantics), so those rows are
+    kept — plain ``~cond`` would drop them."""
+    return df.where(~F.coalesce(cond, F.lit(False)))

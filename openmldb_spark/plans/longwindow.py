@@ -173,8 +173,12 @@ def request_long_window(
     )
 
     parts = full.join(edges, request_id)
-    sum_v = F.coalesce("__f_sum", F.lit(0.0)) + F.coalesce("__e_sum", F.lit(0.0))
-    cnt_v = F.coalesce("__f_cnt", F.lit(0)) + F.coalesce("__e_cnt", F.lit(0))
+    # typed zeros: each side's null fills with the OTHER side's type-zero so
+    # integer sums stay integer (matching run_batch's dtype) instead of being
+    # widened to double by a 0.0 literal
+    f_sum, e_sum = F.col("__f_sum"), F.col("__e_sum")
+    sum_v = F.coalesce(f_sum, e_sum * 0) + F.coalesce(e_sum, f_sum * 0)
+    cnt_v = F.coalesce(F.col("__f_cnt"), F.lit(0)) + F.coalesce(F.col("__e_cnt"), F.lit(0))
     if agg == "raw":
         # the combinable quartet (callers merging extra rows, e.g. the
         # request row itself in request mode, finish the aggregation)

@@ -169,3 +169,31 @@ def test_deploy_schema_contract(eng, spark):
     bad = spark.createDataFrame([("a", 1)], "pk string, ts int")
     with pytest.raises(ValueError, match="contract"):
         dep.run_request(bad)
+
+
+def test_delete_from_where_roundtrip(eng):
+    eng.execute("CREATE TABLE td (id int, pk string, v double)")
+    eng.execute(
+        "INSERT INTO td VALUES (1, 'a', 1.0), (2, 'b', 2.0), (3, 'a', 3.0)"
+    )
+    eng.execute("DELETE FROM td WHERE pk = 'a'")
+    assert sorted(r["id"] for r in eng.execute("SELECT * FROM td").collect()) == [2]
+    # NULL condition rows do not match -> kept
+    eng.execute("CREATE TABLE td2 (id int, v double)")
+    eng.execute("INSERT INTO td2 VALUES (1, NULL), (2, 5.0), (3, 1.0)")
+    eng.execute("DELETE FROM td2 WHERE v > 2")
+    assert sorted(r["id"] for r in eng.execute("SELECT * FROM td2").collect()) == [1, 3]
+
+
+def test_load_options_preserve_value_case(eng, tmp_path):
+    # null_value='NULL' must not be lowercased to 'null'
+    p = str(tmp_path / "case.csv")
+    with open(p, "w") as fh:
+        fh.write("id,name\n1,NULL\n2,Alice\n")
+    eng.execute("CREATE TABLE tc (id int, name string)")
+    eng.execute(
+        f"LOAD DATA INFILE '{p}' INTO TABLE tc "
+        "OPTIONS(format='csv', header='true', null_value='NULL', mode='overwrite')"
+    )
+    rows = {r["id"]: r["name"] for r in eng.execute("SELECT * FROM tc").collect()}
+    assert rows == {1: None, 2: "Alice"}
