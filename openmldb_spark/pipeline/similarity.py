@@ -9,12 +9,19 @@
   scanned exactly once. The global top-k is the exact top-k of the
   per-batch top-k union (the (cos desc, id asc) order is total).
 - :func:`lsh_topk` — random-hyperplane-bucketed approximate search: only
-  candidates sharing a bucket are scored. The 100 TB path: the bucket join
-  replaces the full scan per query; each query touches a handful of
-  buckets.
+  candidates sharing a bucket are scored. Queries are broadcast — the
+  request-serving shape (small query set, huge corpus).
+- :func:`lsh_topk_join` — the corpus-vs-corpus scale path ("nearest
+  neighbors for every document"): NO driver-side collect anywhere. Both
+  sides get bucket ids, candidates come from an equi-join on bucket id,
+  scoring/ranking happens JVM-side. Each side shuffles once on bucket;
+  per-bucket size is the only quadratic term (``max_bucket`` caps it).
 
 Determinism: hyperplanes derive from xxhash64(seed, plane, dim) — stable
 across runs and cluster sizes; numpy float64 scoring is deterministic.
+``lsh_topk_join(portable=True)`` switches to md5-derived planes and
+sequential JVM folds, making bucket ids and scores bit-reproducible in any
+SQL engine with md5 + IEEE doubles (the DuckDB correctness oracle).
 """
 
 from __future__ import annotations
@@ -230,3 +237,108 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def _portable_planes(dim: int, planes: int, seed: int) -> list[list[float]]:
+    """md5-derived hyperplane coefficients in [-1, 1): ``h / 2^59 - 1`` with
+    h = first 15 md5 hex digits of ``"{seed}|{p}|{d}"``. Python's md5 +
+    IEEE-754 division reproduce bit-exactly in any engine with md5 (DuckDB:
+    ``('0x'||substr(md5(s),1,15))::BIGINT / power(2.0,59) - 1``)."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:15], 16)
+            / 2**59
+            - 1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    planes: int = 10,
+    seed: int = 42,
+    exclude_self: bool = True,
+    portable: bool = False,
+    max_bucket: int | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via a bucket-id equi-join — the scale path
+    for large query sets (no driver-side collect; queries stay distributed;
+    pass ``dim`` to skip the one-row dimension probe and build the plan
+    with zero driver actions in portable mode).
+
+    Both sides are assigned a random-hyperplane bucket id, then joined on
+    it; candidate pairs are scored with the JVM-side sequential cosine and
+    ranked per query. Wall-clock is bounded by bucket sizes: with b planes
+    buckets split the corpus ~2^b ways, and ``max_bucket`` drops degenerate
+    buckets (at 100 TB a giant bucket means degenerate vectors, not real
+    neighbors). Output schema matches :func:`brute_force_topk`; like
+    :func:`lsh_topk` a query may get < k rows if its bucket is small.
+
+    ``portable=True`` derives planes from md5 and computes bucket bits with
+    sequential JVM folds — bit-reproducible in external SQL engines, used
+    by the correctness oracle. ``portable=False`` (default) derives planes
+    from xxhash64 (identical to :func:`lsh_topk`) and computes bucket ids
+    with one numpy matmul per Arrow batch — the fast path.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    if dim is None:
+        dim = len(corpus.select(corpus_vec).first()[0])
+
+    def with_bucket(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
+        proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+        if portable:
+            coeffs = _portable_planes(dim, planes, seed)
+            b = F.lit(0).cast("long")
+            for p in range(planes):
+                arr = F.array(*[F.lit(c) for c in coeffs[p]])
+                b = b + F.when(dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")).otherwise(
+                    F.lit(0).cast("long")
+                )
+            return proj.withColumn("__bucket", b)
+        P = _plane_matrix(spark, dim, planes, seed)
+        weights = (1 << np.arange(planes)).astype(np.int64)
+        bc = spark.sparkContext.broadcast((P, weights))
+        id_t = _id_sql_type(proj, out_id)
+        vec_t = dict(proj.dtypes)["__v"]
+
+        def bucketize(batches):
+            import pandas as pd
+
+            P_l, w_l = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(list(pdf["__v"]), dtype=np.float64)
+                bkt = ((V @ P_l.T) >= 0).astype(np.int64) @ w_l
+                yield pd.DataFrame({out_id: pdf[out_id], "__v": pdf["__v"], "__bucket": bkt})
+
+        return proj.mapInPandas(bucketize, f"{out_id} {id_t}, __v {vec_t}, __bucket long")
+
+    ca = with_bucket(corpus, corpus_id, corpus_vec, "neighbor_id").withColumnRenamed("__v", "__cv")
+    qa = with_bucket(queries, query_id, query_vec, "query_id").withColumnRenamed("__v", "__qv")
+    if max_bucket is not None:
+        ca = ca.withColumn(
+            "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
+        ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
+
+    scored = qa.join(ca, "__bucket").select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

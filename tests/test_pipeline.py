@@ -149,3 +149,52 @@ def test_frame_sample_plan(spark):
     out = M.frame_sample_plan(df, every_ms=1000).collect()
     assert len(out) == 5
     assert {r["frame_ts_ms"] for r in out} == {0, 1000, 2000, 3000, 4000}
+
+
+def test_lsh_topk_join_matches_broadcast_path(spark):
+    import math
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.2 * (i % 7)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    q = df.where(F.col("vec_id") < 10)
+    kw = dict(corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+              query_vec="v", k=3, planes=5, seed=7)
+    bcast = S.lsh_topk(df, q, **kw).collect()
+    joined = S.lsh_topk_join(df, q, **kw).collect()
+    # same planes/seed -> identical candidate sets and (cos desc, id asc)
+    # ranking; compare (query, neighbor, rank) triples
+    assert sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in bcast) \
+        == sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in joined)
+
+
+def test_lsh_topk_join_portable_recall_on_identical(spark):
+    import math
+    vecs = [(i, [math.cos(i * 0.1), math.sin(i * 0.1), 0.5]) for i in range(50)]
+    vecs.append((100, vecs[0][1]))  # identical to vec 0
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    out = S.lsh_topk_join(
+        df, df.where(F.col("vec_id") == 0),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v",
+        k=3, planes=6, portable=True,
+    ).collect()
+    assert any(r["neighbor_id"] == 100 and r["rank"] == 1 for r in out)
+
+
+def test_lsh_topk_join_plan_builds_without_driver_actions(spark, monkeypatch):
+    # the scale contract: building the joined plan must not trigger any
+    # driver-side action (no queries collect, no dim probe when dim given)
+    from pyspark.sql import DataFrame
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, v array<float>")
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "take", boom)
+    out = S.lsh_topk_join(
+        df, df, corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+        query_vec="v", k=2, planes=4, portable=True, dim=2,
+    )
+    # schema access analyzes the plan without executing it
+    assert set(["query_id", "neighbor_id", "cos", "rank"]) <= set(out.columns)
