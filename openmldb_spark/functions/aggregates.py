@@ -103,6 +103,9 @@ class AggSpec:
     group: Optional[Callable[[dict[str, Column]], Column]] = None
     #: order-sensitive aggregates (ew_avg, drawdown, lag, ...) need sorted frames
     order_sensitive: bool = dc_field(default=False)
+    #: spec-specific parameters the window engine needs for native lowering
+    #: (e.g. lag's offset for the frame-relative bound check)
+    params: dict = dc_field(default_factory=dict)
 
     def with_name(self, out: str) -> tuple[str, "AggSpec"]:
         return out, self
@@ -500,8 +503,12 @@ def _group_via_collect(arr_fn: Callable, f: dict[str, Column]) -> Column:
 
 
 def lag(value: ColumnOrName, offset: int) -> AggSpec:
-    """lag/at: value `offset` rows before the current row in the partition
-    (ref: window_functions_def.cc:207-273). Out-of-range -> NULL."""
+    """lag/at: value `offset` rows before the current row **within the
+    window frame** (ref: window_functions_def.cc:207-273 — the reference
+    buffers only frame rows, so offsets index the buffer). Offsets past the
+    frame -> NULL on BOTH lowering paths (the window engine bound-checks the
+    native F.lag against the frame, DIVERGENCES #10), keeping batch and
+    request mode of the same deployment identical."""
     return AggSpec(
         "lag",
         {"v": _c(value)},
@@ -512,6 +519,7 @@ def lag(value: ColumnOrName, offset: int) -> AggSpec:
         ),
         group=None,
         order_sensitive=True,
+        params={"offset": offset},
     )
 
 

@@ -209,10 +209,22 @@ def window_agg(
     native_cols: dict[str, Column] = {}
     needs_array_frame = wdef.needs_array_eval() or instance_not_in_window
     for name, spec in aggs.items():
-        if spec.native is not None and not needs_array_frame:
+        use_native = spec.native is not None and not needs_array_frame
+        if (
+            use_native
+            and spec.name in ("first_value", "last_value")
+            and wdef.rows_range is not None
+        ):
+            # native RANGE frames order by the range value only, so F.first/
+            # F.last over same-ts peers resolve in shuffle order — route to
+            # the array path, whose elements are pinned (ord, rid)
+            use_native = False
+        if use_native:
             fields = {k: v for k, v in spec.fields.items()}
-            ws = plain_ws if spec.name == "lag" else framed_ws
-            native_cols[name] = spec.native(fields, ws)
+            if spec.name == "lag":
+                native_cols[name] = _native_lag(fields, spec.params["offset"], wdef, plain_ws)
+            else:
+                native_cols[name] = spec.native(fields, framed_ws)
         elif spec.array is not None:
             array_specs[name] = spec
         else:
@@ -271,6 +283,36 @@ def window_agg(
     # alias qualifiers and duplicate column names survive untouched
     drops = [_ORD, _RID] + ([] if keep_flag else [_FLAG])
     return df.select("*", *[c.alias(n) for n, c in native_cols.items()]).drop(*drops)
+
+
+def _native_lag(fields: dict, offset: int, wdef: WindowDef, ws: WindowSpec) -> Column:
+    """Frame-relative lag on the native path (DIVERGENCES #10): the
+    reference's window buffer holds only frame rows, so ``lag``/``at``
+    offsets index the frame — an offset past the frame is NULL. The array
+    path gets this for free (it collects the frame); here the native
+    ``F.lag`` is bound-checked against the frame so both lowering paths —
+    and therefore batch and request mode of one deployment — agree.
+
+    EXCLUDE CURRENT_ROW shifts the index base (the frame's last element is
+    the previous row). RANGE frames check the lagged row's order value
+    against the range bound. UNBOUNDED frames equal the partition prefix,
+    so plain F.lag is already frame-relative.
+    """
+    v = fields["v"]
+    shift = offset + (1 if wdef.exclude_current_row else 0)
+    if offset == 0 and wdef.exclude_current_row is False:
+        return v  # at(col, 0) == current row
+    val = F.lag(v, shift).over(ws)
+    if wdef.unbounded:
+        return val
+    if wdef.rows is not None:
+        n = wdef.rows - (1 if wdef.open_preceding else 0)
+        if shift > n:
+            return F.when(F.lit(False), v)  # typed NULL: offset past the frame
+        return val
+    r = wdef.range_ms - (1 if wdef.open_preceding else 0)
+    lag_ord = F.lag(F.col(_ORD), shift).over(ws)
+    return F.when(lag_ord >= F.col(_ORD) - F.lit(r), val)
 
 
 def _and_all(conds) -> Column:

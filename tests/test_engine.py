@@ -197,3 +197,44 @@ def test_load_options_preserve_value_case(eng, tmp_path):
     )
     rows = {r["id"]: r["name"] for r in eng.execute("SELECT * FROM tc").collect()}
     assert rows == {1: None, 2: "Alice"}
+
+
+def test_lag_past_frame_consistent_batch_vs_request(eng, spark):
+    """lag with offset > frame size must be NULL in BOTH batch and request
+    mode (frame-relative semantics, DIVERGENCES #11) — regression for the
+    native-vs-array path split."""
+    eng.execute("CREATE TABLE ev2 (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t)) for t in range(1, 9)]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO ev2 VALUES {vals}")
+
+    dep = eng.execute(
+        "DEPLOY flag SELECT pk, ts, lag(v, 4) OVER w1 AS l4 "
+        "FROM ev2 WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
+    )
+    batch = {(r["pk"], r["ts"]): r["l4"] for r in dep.run_batch().collect()}
+    # offset 4 > frame of 3 rows -> NULL everywhere in batch
+    assert all(v is None for v in batch.values())
+
+    ev = eng.tables["ev2"]
+    req = ev.where(F.col("ts") == 8000)
+    hist = ev.where(F.col("ts") != 8000)
+    got = dep.run_request(req, hist).collect()
+    assert len(got) == 1 and got[0]["l4"] is None
+
+
+def test_lag_within_rows_range_frame(spark):
+    """ROWS_RANGE native lag: offsets resolving outside the time range are
+    NULL (frame-relative), inside are the plain lag."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+
+    rows = [("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 9000, 9.0), ("a", 10000, 10.0)]
+    df = spark.createDataFrame(rows, "pk string, ts long, v double")
+    wd = WindowDef(partition_by=["pk"], order_by="ts", rows_range="3s")
+    out = window_agg(df, wd, {"l1": A.lag("v", 1)})
+    got = {r["ts"]: r["l1"] for r in out.collect()}
+    # at ts=9000 the previous row (2000) is outside the 3s range -> NULL
+    assert got[1000] is None and got[2000] == 1.0
+    assert got[9000] is None and got[10000] == 9.0
