@@ -430,6 +430,22 @@ def q_udaf_window_cate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "sum_cate", "cnt_cate", "top2_key")
 
 
+def q_window_end_preceding(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded frame upper ends — BETWEEN x PRECEDING AND y PRECEDING on
+    both ROWS and ROWS_RANGE frames (ref grammar exercised by
+    cases/function/function/test_udaf_function.yaml:2700,2737)."""
+    e = load_table(spark, sf, "events")
+    wd_r = WindowDef(partition_by=["user_id"], order_by="ts", rows_range="30m", end_range="10m")
+    out = window_agg(e, wd_r, {"sv_r": A.sum_("value"), "cnt_r": A.count_("value")})
+    wd_n = WindowDef(partition_by=["user_id"], order_by="event_id", rows=5, end_rows=2)
+    out = window_agg(out, wd_n, {"sv_n": A.sum_("value"), "cnt_n": A.count_("value")})
+    return out.select(
+        "event_id", "user_id",
+        F.round("sv_r", 4).alias("sv_r"), "cnt_r",
+        F.round("sv_n", 4).alias("sv_n"), "cnt_n",
+    )
+
+
 def q_udaf_ratio_cate(spark: SparkSession, sf: str) -> DataFrame:
     """top_n_key_ratio_cate / top_n_value_ratio_cate over a sliding window
     (ref: aggregate_def.cc:410-471; golden YAML test_udaf_function.yaml:2724)."""
@@ -932,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_cate": q_udaf_cate,
         "udaf_window_cate": q_udaf_window_cate,
         "udaf_ratio_cate": q_udaf_ratio_cate,
+        "window_end_preceding": q_window_end_preceding,
         "feature_zero_lists": q_feature_zero_lists,
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
@@ -1273,6 +1290,18 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "window_end_preceding": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER wr, 4) AS sv_r,
+                   count(value) OVER wr AS cnt_r,
+                   round(sum(value) OVER wn, 4) AS sv_n,
+                   count(value) OVER wn AS cnt_n
+            FROM events
+            WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                          RANGE BETWEEN 1800000 PRECEDING AND 600000 PRECEDING),
+                   wn AS (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING)
         """,
         "udaf_ratio_cate": """
             WITH base AS (

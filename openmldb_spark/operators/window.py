@@ -88,6 +88,10 @@ class WindowDef:
     rows_range: Optional[Union[int, str]] = None  # ROWS_RANGE interval PRECEDING
     unbounded: bool = False                       # UNBOUNDED PRECEDING
     open_preceding: bool = False                  # OPEN <bound> PRECEDING
+    #: bounded upper end `AND k PRECEDING` (default CURRENT ROW): row count
+    #: for ROWS frames, interval for ROWS_RANGE frames
+    end_rows: int = 0
+    end_range: Optional[Union[int, str]] = None
     exclude_current_row: bool = False
     exclude_current_time: bool = False
     maxsize: Optional[int] = None                 # ROWS_RANGE ... MAXSIZE k
@@ -106,6 +110,12 @@ class WindowDef:
             raise ValueError("exactly one of rows / rows_range / unbounded required")
         if self.maxsize is not None and self.rows_range is None:
             raise ValueError("MAXSIZE is only valid for ROWS_RANGE windows (WINDOW_CLAUSE.md:313)")
+        if self.end_rows and self.rows_range is not None:
+            raise ValueError("row-count upper bound on a ROWS_RANGE window")
+        if self.end_range is not None and self.rows is not None:
+            raise ValueError("interval upper bound on a ROWS window")
+        if self.rows is not None and self.end_rows > self.rows:
+            raise ValueError("upper bound PRECEDING exceeds the frame's lower bound")
 
     @property
     def range_ms(self) -> Optional[int]:
@@ -148,16 +158,27 @@ def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec
     elif _RID not in df.columns:
         df = df.withColumn(_RID, F.monotonically_increasing_id())
     base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+    # positional upper end: `AND k PRECEDING` (EXCLUDE CURRENT_ROW == k>=1)
+    rows_end = -max(wdef.end_rows, 1) if wdef.exclude_current_row else -wdef.end_rows
     if wdef.unbounded:
-        framed = base.rowsBetween(Window.unboundedPreceding, -1 if wdef.exclude_current_row else 0)
+        if wdef.end_range is not None:
+            e = parse_interval_ms(wdef.end_range)
+            framed = (
+                Window.partitionBy(*parts)
+                .orderBy(F.col(_ORD).asc())
+                .rangeBetween(Window.unboundedPreceding, -e)
+            )
+        else:
+            framed = base.rowsBetween(Window.unboundedPreceding, rows_end)
     elif wdef.rows is not None:
         n = wdef.rows - (1 if wdef.open_preceding else 0)
-        framed = base.rowsBetween(-n, -1 if wdef.exclude_current_row else 0)
+        framed = base.rowsBetween(-n, rows_end)
     else:
         r = wdef.range_ms - (1 if wdef.open_preceding else 0)
+        e = parse_interval_ms(wdef.end_range) if wdef.end_range is not None else 0
         # RANGE frames order by the value only (peers share the frame)
         framed = (
-            Window.partitionBy(*parts).orderBy(F.col(_ORD).asc()).rangeBetween(-r, 0)
+            Window.partitionBy(*parts).orderBy(F.col(_ORD).asc()).rangeBetween(-r, -e)
         )
     return df, framed, base
 
@@ -210,6 +231,11 @@ def window_agg(
     needs_array_frame = wdef.needs_array_eval() or instance_not_in_window
     for name, spec in aggs.items():
         use_native = spec.native is not None and not needs_array_frame
+        if use_native and spec.name == "lag" and wdef.end_range is not None:
+            # an interval upper end makes the frame's last element a
+            # time-dependent (not fixed) number of rows back — only the
+            # array path can index it
+            use_native = False
         if (
             use_native
             and spec.name in ("first_value", "last_value")
@@ -251,7 +277,17 @@ def window_agg(
         )
 
         cur_ord, cur_rid = F.col(_ORD), F.col(_RID)
+        # positional upper end: drop the physical tail before eligibility
+        # filters (frame bounds select physical rows; attributes filter
+        # within them)
+        if wdef.end_rows:
+            elems = F.slice(
+                elems, 1, F.greatest(F.size(elems) - wdef.end_rows, F.lit(0))
+            )
         conds = []
+        if wdef.end_range is not None:
+            e_ms = parse_interval_ms(wdef.end_range)
+            conds.append(lambda e: e["o"] <= cur_ord - F.lit(e_ms))
         if wdef.exclude_current_time:
             conds.append(lambda e: (e["o"] < cur_ord) | (e["r"] == cur_rid))
         if instance_not_in_window:
@@ -263,10 +299,10 @@ def window_agg(
                 conds.append(lambda e: e["o"] >= cur_ord - F.lit(r))
         if conds:
             elems = F.filter(elems, lambda e: _and_all(c(e) for c in conds))
-        # rows frames: keep exactly the last (n+1) eligible rows (incl current)
+        # rows frames: keep exactly the last (n+1-k) eligible rows
         if wdef.rows is not None:
             n = wdef.rows - (1 if wdef.open_preceding else 0)
-            elems = _take_last(elems, F.lit(n + 1))
+            elems = _take_last(elems, F.lit(n + 1 - wdef.end_rows))
         if wdef.maxsize is not None:
             k = wdef.maxsize + (1 if wdef.exclude_current_row else 0)
             elems = _take_last(elems, F.lit(k))
@@ -299,8 +335,10 @@ def _native_lag(fields: dict, offset: int, wdef: WindowDef, ws: WindowSpec) -> C
     so plain F.lag is already frame-relative.
     """
     v = fields["v"]
-    shift = offset + (1 if wdef.exclude_current_row else 0)
-    if offset == 0 and wdef.exclude_current_row is False:
+    # frame-last element: end_rows back (or 1 back under EXCLUDE CURRENT_ROW)
+    base_shift = wdef.end_rows if wdef.end_rows else (1 if wdef.exclude_current_row else 0)
+    shift = offset + base_shift
+    if shift == 0:
         return v  # at(col, 0) == current row
     val = F.lag(v, shift).over(ws)
     if wdef.unbounded:

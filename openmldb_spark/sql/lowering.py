@@ -133,9 +133,10 @@ def _build_agg(call: OverCall) -> "A.AggSpec":
         if kind == "c":
             py_args.append(F.expr(rewrite_expr(toks)))
         elif kind == "i":
-            py_args.append(int(render(toks)))
+            # render() space-joins tokens: a negative literal is '- 1'
+            py_args.append(int(render(toks).replace(" ", "")))
         elif kind == "f":
-            py_args.append(float(render(toks)))
+            py_args.append(float(render(toks).replace(" ", "")))
         elif kind == "s":
             lit = render(toks)
             if not (len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]):
@@ -345,6 +346,7 @@ class Lowerer:
                     exclude_current_row=wdef.exclude_current_row,
                     exclude_current_time=wdef.exclude_current_time,
                     maxsize=wdef.maxsize,
+                    end_range=wdef.end_range,
                 )
                 df = window_agg_skewed(df, named, aggs, buckets=skew_buckets)
             else:
@@ -399,6 +401,12 @@ class Lowerer:
             kw["rows"] = int(val)
         else:
             kw["rows_range"] = val  # '10s' / '86400000' — parse_interval_ms
+        ukind, uval = w.upper
+        if ukind == "preceding":
+            if w.frame_kind == "rows":
+                kw["end_rows"] = int(uval)
+            else:
+                kw["end_range"] = uval
         return WindowDef(
             partition_by=parts,
             order_by=ord_col,

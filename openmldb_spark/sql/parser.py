@@ -129,7 +129,10 @@ class WindowClause:
     #: lower bound: ('preceding', n_or_interval) | ('unbounded', None)
     lower: tuple[str, Optional[str]] = ("unbounded", None)
     open_preceding: bool = False
-    upper_current: bool = True           # dialect: upper always CURRENT ROW
+    #: upper bound: ('current', None) | ('preceding', n_or_interval)
+    #: (the dialect allows `AND n [unit] PRECEDING`, e.g.
+    #: cases/function/function/test_udaf_function.yaml:2737)
+    upper: tuple[str, Optional[str]] = ("current", None)
     maxsize: Optional[int] = None
     exclude_current_time: bool = False
     exclude_current_row: bool = False
@@ -419,13 +422,13 @@ class Parser:
         if self.accept("CURRENT"):
             self.expect("ROW")
         else:
-            # `AND n PRECEDING` upper bound == EXCLUDE-ish; the dialect allows
-            # `BETWEEN x PRECEDING AND y PRECEDING`? docs say upper CURRENT
-            # only; support `0 PRECEDING` == CURRENT ROW
+            # `BETWEEN x PRECEDING AND y PRECEDING` — bounded upper end
+            # (reference YAML uses e.g. `10s preceding and 1s preceding`);
+            # `0 PRECEDING` == CURRENT ROW
             v = self.eat().text
             self.expect("PRECEDING")
             if v not in ("0",):
-                raise SyntaxError("upper frame bound must be CURRENT ROW")
+                w.upper = ("preceding", v)
         # attributes, any order
         while True:
             if self.accept("MAXSIZE"):

@@ -375,3 +375,81 @@ def test_array_combine_nulls_dataframe(spark):
     assert out["c1"] == ""
     assert out["c2"] == "19,18"
     assert out["c3"] == "1"
+
+
+# ---------------------------------------------------------------------------
+# bounded window upper ends: BETWEEN x PRECEDING AND y PRECEDING
+# (reference YAML cases/function/function/test_udaf_function.yaml:2724-2766)
+# ---------------------------------------------------------------------------
+
+
+def test_window_upper_bound_rows_native(spark):
+    rows = [("a", i, float(i)) for i in range(1, 7)]
+    df = spark.createDataFrame(rows, "pk string, ts long, v double")
+    out = sql(
+        spark,
+        "SELECT ts, sum(v) OVER w AS s, count(v) OVER w AS c FROM t "
+        "WINDOW w AS (PARTITION BY pk ORDER BY ts "
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)",
+        {"t": df},
+    )
+    got = {r["ts"]: (r["s"], r["c"]) for r in out.collect()}
+    # frame = rows [cur-3 .. cur-1]
+    assert got[1] == (None, 0)
+    assert got[2] == (1.0, 1)
+    assert got[4] == (1.0 + 2 + 3, 3)
+    assert got[6] == (3.0 + 4 + 5, 3)
+
+
+def test_udaf_ratio_cate_yaml_case66_full(spark):
+    # exact replica of reference YAML id=66 over the SQL surface
+    rows = [
+        (0, 1, 200, "a", 1000),
+        (100, 1, 300, "b", 2000),
+        (200, 1, 200, None, 3000),
+        (300, 1, 10, "b", 4000),
+        (400, 1, 101, "c", 5000),
+        (500, 1, 101, "c", 6000),
+    ]
+    df = spark.createDataFrame(rows, "idx int, gp int, val int, cate string, ts long")
+    out = sql(
+        spark,
+        "SELECT idx, "
+        "top_n_value_ratio_cate(val, val > 100, cate, 2) OVER w AS rv, "
+        "top_n_key_ratio_cate(val, val > 100, cate, 2) OVER w AS rk, "
+        "top_n_value_ratio_cate(val, val > 100, cate, -1) OVER w AS rvf, "
+        "top_n_key_ratio_cate(val, val > 100, cate, -2) OVER w AS rkf, "
+        "top_n_value_ratio_cate(val, val > 100, cate, 0) OVER w AS rve "
+        "FROM t WINDOW w AS (PARTITION BY gp ORDER BY ts "
+        "ROWS_RANGE BETWEEN 10s PRECEDING AND 1s PRECEDING)",
+        {"t": df},
+    )
+    got = {r["idx"]: (r["rv"], r["rk"], r["rvf"], r["rkf"], r["rve"]) for r in out.collect()}
+    assert got[0] == ("", "", "", "", "")
+    assert got[100] == ("a:1.000000",) * 4 + ("",)
+    assert got[200] == ("b:1.000000,a:1.000000",) * 4 + ("",)
+    assert got[300] == ("b:1.000000,a:1.000000",) * 4 + ("",)
+    assert got[400] == (
+        "a:1.000000,b:0.500000", "b:0.500000,a:1.000000",
+        "a:1.000000,b:0.500000", "b:0.500000,a:1.000000", "",
+    )
+    assert got[500] == (
+        "c:1.000000,a:1.000000", "c:1.000000,b:0.500000",
+        "c:1.000000,a:1.000000,b:0.500000", "c:1.000000,b:0.500000,a:1.000000", "",
+    )
+
+
+def test_window_upper_bound_lag_frame_relative(spark):
+    rows = [("a", i, float(i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "pk string, ts long, v double")
+    out = sql(
+        spark,
+        "SELECT ts, lag(v, 1) OVER w AS l1 FROM t "
+        "WINDOW w AS (PARTITION BY pk ORDER BY ts "
+        "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)",
+        {"t": df},
+    )
+    got = {r["ts"]: r["l1"] for r in out.collect()}
+    # frame's last element is the previous row; lag(1) = one before that
+    assert got[1] is None and got[2] is None
+    assert got[3] == 1.0 and got[5] == 3.0
