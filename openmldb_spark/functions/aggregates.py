@@ -503,12 +503,14 @@ def _group_via_collect(arr_fn: Callable, f: dict[str, Column]) -> Column:
 
 
 def lag(value: ColumnOrName, offset: int) -> AggSpec:
-    """lag/at: value `offset` rows before the current row **within the
-    window frame** (ref: window_functions_def.cc:207-273 — the reference
-    buffers only frame rows, so offsets index the buffer). Offsets past the
-    frame -> NULL on BOTH lowering paths (the window engine bound-checks the
-    native F.lag against the frame, DIVERGENCES #10), keeping batch and
-    request mode of the same deployment identical."""
+    """lag/at: value `offset` physical rows before the current row in
+    partition (ts, rid) order (ref: window_functions_def.cc:207-273).
+    The reference compiles lag to its own ROWS(offset..current) window —
+    frame range bounds, upper ends, MAXSIZE and EXCLUDE CURRENT_ROW/TIME
+    do NOT apply (window_attributes.yaml case 0, test_current_row.yaml
+    cases 24-27). The window engine intercepts this spec and lowers it
+    partition-relative on every path (DIVERGENCES #11); the array form
+    below is only for direct out-of-engine use."""
     return AggSpec(
         "lag",
         {"v": _c(value)},

@@ -230,12 +230,18 @@ def window_agg(
     native_cols: dict[str, Column] = {}
     needs_array_frame = wdef.needs_array_eval() or instance_not_in_window
     for name, spec in aggs.items():
+        if spec.name == "lag":
+            # lag/at are PARTITION-relative on every path: the reference
+            # compiles them to their own plain ROWS(offset..current) window,
+            # ignoring the frame's range bounds, upper ends, MAXSIZE,
+            # EXCLUDE CURRENT_ROW/TIME (window_attributes.yaml case 0,
+            # test_current_row.yaml cases 24-27 pin this; DIVERGENCES #11)
+            native_cols[name] = _lag_col(
+                spec.fields["v"], spec.params["offset"], wdef, parts,
+                plain_ws, instance_not_in_window,
+            )
+            continue
         use_native = spec.native is not None and not needs_array_frame
-        if use_native and spec.name == "lag" and wdef.end_range is not None:
-            # an interval upper end makes the frame's last element a
-            # time-dependent (not fixed) number of rows back — only the
-            # array path can index it
-            use_native = False
         if (
             use_native
             and spec.name in ("first_value", "last_value")
@@ -247,10 +253,7 @@ def window_agg(
             use_native = False
         if use_native:
             fields = {k: v for k, v in spec.fields.items()}
-            if spec.name == "lag":
-                native_cols[name] = _native_lag(fields, spec.params["offset"], wdef, plain_ws)
-            else:
-                native_cols[name] = spec.native(fields, framed_ws)
+            native_cols[name] = spec.native(fields, framed_ws)
         elif spec.array is not None:
             array_specs[name] = spec
         else:
@@ -321,36 +324,55 @@ def window_agg(
     return df.select("*", *[c.alias(n) for n, c in native_cols.items()]).drop(*drops)
 
 
-def _native_lag(fields: dict, offset: int, wdef: WindowDef, ws: WindowSpec) -> Column:
-    """Frame-relative lag on the native path (DIVERGENCES #10): the
-    reference's window buffer holds only frame rows, so ``lag``/``at``
-    offsets index the frame — an offset past the frame is NULL. The array
-    path gets this for free (it collects the frame); here the native
-    ``F.lag`` is bound-checked against the frame so both lowering paths —
-    and therefore batch and request mode of one deployment — agree.
+def _lag_col(
+    v: Column,
+    offset: int,
+    wdef: WindowDef,
+    parts: list[Column],
+    plain_ws: WindowSpec,
+    instance_not_in_window: bool,
+) -> Column:
+    """Partition-relative lag/at (DIVERGENCES #11): value ``offset``
+    physical rows back in (ts, rid) partition order — the reference gives
+    lag its own ROWS(offset..current) window, so frame attributes never
+    apply. Plain windows lower to codegen'd ``F.lag``.
 
-    EXCLUDE CURRENT_ROW shifts the index base (the frame's last element is
-    the previous row). RANGE frames check the lagged row's order value
-    against the range bound. UNBOUNDED frames equal the partition prefix,
-    so plain F.lag is already frame-relative.
+    UNION windows with INSTANCE_NOT_IN_WINDOW keep the union composition
+    (previous rows are drawn from union-side rows + the current row, the
+    request-mode REQUEST_UNION shape): a bounded collect (offset +
+    lookback_slack physical rows) is filtered to eligible rows and indexed
+    from the end — the slack bounds interleaved main rows, mirroring
+    DIVERGENCES #6's pragmatic bound.
     """
-    v = fields["v"]
-    # frame-last element: end_rows back (or 1 back under EXCLUDE CURRENT_ROW)
-    base_shift = wdef.end_rows if wdef.end_rows else (1 if wdef.exclude_current_row else 0)
-    shift = offset + base_shift
-    if shift == 0:
+    if offset == 0:
         return v  # at(col, 0) == current row
-    val = F.lag(v, shift).over(ws)
-    if wdef.unbounded:
-        return val
-    if wdef.rows is not None:
-        n = wdef.rows - (1 if wdef.open_preceding else 0)
-        if shift > n:
-            return F.when(F.lit(False), v)  # typed NULL: offset past the frame
-        return val
-    r = wdef.range_ms - (1 if wdef.open_preceding else 0)
-    lag_ord = F.lag(F.col(_ORD), shift).over(ws)
-    return F.when(lag_ord >= F.col(_ORD) - F.lit(r), val)
+    if not instance_not_in_window:
+        return F.lag(v, offset).over(plain_ws)
+    lag_w = (
+        Window.partitionBy(*parts)
+        .orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+        .rowsBetween(-(offset + wdef.lookback_slack), 0)
+    )
+    le = F.collect_list(
+        F.struct(
+            F.col(_ORD).alias("o"),
+            F.col(_RID).alias("r"),
+            F.col(_FLAG).alias("g"),
+            v.alias("v"),
+        )
+    ).over(lag_w)
+    le = F.array_sort(
+        le,
+        lambda a, b: F.when(a["o"] < b["o"], -1)
+        .when(a["o"] > b["o"], 1)
+        .when(a["r"] < b["r"], -1)
+        .when(a["r"] > b["r"], 1)
+        .otherwise(0),
+    )
+    cur_rid = F.col(_RID)
+    le = F.filter(le, lambda e: (e["g"] == F.lit(0)) | (e["r"] == cur_rid))
+    vals = F.transform(le, lambda e: e["v"])
+    return F.when(F.size(vals) > offset, F.element_at(vals, F.size(vals) - offset))
 
 
 def _and_all(conds) -> Column:

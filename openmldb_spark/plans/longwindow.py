@@ -131,15 +131,12 @@ def request_long_window(
     )
     for k in keys:
         full_cond = full_cond & (F.col(f"__req.{k}") == F.col(f"__pre.{k}"))
-    full = (
-        req.join(pre, full_cond, "left")
-        .groupBy(F.col(f"__req.{request_id}").alias(request_id))
-        .agg(
-            F.sum("sum_v").alias("__f_sum"),
-            F.sum("cnt_v").alias("__f_cnt"),
-            F.min("min_v").alias("__f_min"),
-            F.max("max_v").alias("__f_max"),
-        )
+    full_contrib = req.join(pre, full_cond, "left").select(
+        F.col(f"__req.{request_id}").alias(request_id),
+        F.col("sum_v").alias("__s"),
+        F.coalesce(F.col("cnt_v"), F.lit(0).cast("long")).alias("__c"),
+        F.col("min_v").alias("__mn"),
+        F.col("max_v").alias("__mx"),
     )
 
     # ---- edge buckets: raw rows of b_lo and b_hi inside the range ---------
@@ -161,24 +158,31 @@ def request_long_window(
     )
     for k in keys:
         edge_cond = edge_cond & (F.col(f"__req.{k}") == F.col(f"__hist.{k}"))
-    edges = (
-        req.join(hist, edge_cond, "left")
-        .groupBy(F.col(f"__req.{request_id}").alias(request_id))
-        .agg(
-            F.sum(F.col(f"__hist.{value_col}")).alias("__e_sum"),
-            F.count(F.col(f"__hist.{value_col}")).alias("__e_cnt"),
-            F.min(F.col(f"__hist.{value_col}")).alias("__e_min"),
-            F.max(F.col(f"__hist.{value_col}")).alias("__e_max"),
-        )
+    v = F.col(f"__hist.{value_col}")
+    edge_contrib = req.join(hist, edge_cond, "left").select(
+        F.col(f"__req.{request_id}").alias(request_id),
+        v.alias("__s"),
+        F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("__c"),
+        v.alias("__mn"),
+        v.alias("__mx"),
     )
 
-    parts = full.join(edges, request_id)
-    # typed zeros: each side's null fills with the OTHER side's type-zero so
-    # integer sums stay integer (matching run_batch's dtype) instead of being
-    # widened to double by a 0.0 literal
-    f_sum, e_sum = F.col("__f_sum"), F.col("__e_sum")
-    sum_v = F.coalesce(f_sum, e_sum * 0) + F.coalesce(e_sum, f_sum * 0)
-    cnt_v = F.coalesce(F.col("__f_cnt"), F.lit(0)) + F.coalesce(F.col("__e_cnt"), F.lit(0))
+    # both contributions flow through ONE union + ONE aggregation keyed by
+    # request_id — a single request-side shuffle finishes the combine
+    # (previously: two independent groupBys + a join of their results).
+    # Union type coercion keeps integer sums integer (the edge branch's raw
+    # value widens to the pre-agg sum type), matching run_batch's dtype.
+    parts = (
+        full_contrib.unionByName(edge_contrib)
+        .groupBy(request_id)
+        .agg(
+            F.sum("__s").alias("__sum"),
+            F.sum("__c").alias("__cnt"),
+            F.min("__mn").alias("__min"),
+            F.max("__mx").alias("__max"),
+        )
+    )
+    sum_v, cnt_v = F.col("__sum"), F.col("__cnt")
     if agg == "raw":
         # the combinable quartet (callers merging extra rows, e.g. the
         # request row itself in request mode, finish the aggregation)
@@ -186,8 +190,8 @@ def request_long_window(
             request_id,
             F.when(cnt_v > 0, sum_v).alias("agg_sum"),
             cnt_v.alias("agg_cnt"),
-            F.least("__f_min", "__e_min").alias("agg_min"),
-            F.greatest("__f_max", "__e_max").alias("agg_max"),
+            F.col("__min").alias("agg_min"),
+            F.col("__max").alias("agg_max"),
         )
         return requests.join(combined, request_id, "left")
     if agg == "sum":
@@ -197,8 +201,8 @@ def request_long_window(
     elif agg == "avg":
         out = F.when(cnt_v > 0, sum_v / cnt_v)
     elif agg == "min":
-        out = F.least("__f_min", "__e_min")
+        out = F.col("__min")
     else:
-        out = F.greatest("__f_max", "__e_max")
+        out = F.col("__max")
     combined = parts.select(request_id, out.alias("agg_v"))
     return requests.join(combined, request_id, "left")

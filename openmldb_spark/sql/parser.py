@@ -416,6 +416,9 @@ class Parser:
             w.lower = ("preceding", "0")
         else:
             v = self.eat().text
+            # the reference grammar also places OPEN after the bound value
+            # ('4s OPEN PRECEDING', test_window_exclude_current_time.yaml)
+            w.open_preceding = w.open_preceding or self.accept("OPEN")
             self.expect("PRECEDING")
             w.lower = ("preceding", v)
         self.expect("AND")

@@ -200,8 +200,9 @@ def test_load_options_preserve_value_case(eng, tmp_path):
 
 
 def test_lag_past_frame_consistent_batch_vs_request(eng, spark):
-    """lag with offset > frame size must be NULL in BOTH batch and request
-    mode (frame-relative semantics, DIVERGENCES #11) — regression for the
+    """lag is partition-relative and IGNORES frame bounds (reference
+    compiles it to its own ROWS(offset..current) window, DIVERGENCES #11);
+    batch and request mode must agree — regression for the
     native-vs-array path split."""
     eng.execute("CREATE TABLE ev2 (pk string, ts bigint, v double)")
     rows = [("a", t * 1000, float(t)) for t in range(1, 9)]
@@ -214,27 +215,29 @@ def test_lag_past_frame_consistent_batch_vs_request(eng, spark):
         "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)"
     )
     batch = {(r["pk"], r["ts"]): r["l4"] for r in dep.run_batch().collect()}
-    # offset 4 > frame of 3 rows -> NULL everywhere in batch
-    assert all(v is None for v in batch.values())
+    # offset 4 > frame of 3 rows: still the 4-rows-back value
+    assert batch[("a", 8000)] == 4.0 and batch[("a", 4000)] is None
 
     ev = eng.tables["ev2"]
     req = ev.where(F.col("ts") == 8000)
     hist = ev.where(F.col("ts") != 8000)
     got = dep.run_request(req, hist).collect()
-    assert len(got) == 1 and got[0]["l4"] is None
+    assert len(got) == 1 and got[0]["l4"] == batch[("a", 8000)]
 
 
-def test_lag_within_rows_range_frame(spark):
-    """ROWS_RANGE native lag: offsets resolving outside the time range are
-    NULL (frame-relative), inside are the plain lag."""
+def test_lag_ignores_range_bound_and_attributes(spark):
+    """Reference YAML window_attributes.yaml case 0: lag over a ROWS_RANGE
+    window with EXCLUDE CURRENT_ROW still returns the physically previous
+    row, even when the frame itself is empty."""
     from openmldb_spark.functions import aggregates as A
     from openmldb_spark.operators.window import WindowDef, window_agg
 
     rows = [("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 9000, 9.0), ("a", 10000, 10.0)]
     df = spark.createDataFrame(rows, "pk string, ts long, v double")
-    wd = WindowDef(partition_by=["pk"], order_by="ts", rows_range="3s")
-    out = window_agg(df, wd, {"l1": A.lag("v", 1)})
+    wd = WindowDef(partition_by=["pk"], order_by="ts", rows_range="3s",
+                   exclude_current_time=True, maxsize=2)
+    out = window_agg(df, wd, {"l1": A.lag("v", 1), "cnt": A.count_("v")})
     got = {r["ts"]: r["l1"] for r in out.collect()}
-    # at ts=9000 the previous row (2000) is outside the 3s range -> NULL
+    # previous physical row regardless of the 3s range
     assert got[1000] is None and got[2000] == 1.0
-    assert got[9000] is None and got[10000] == 9.0
+    assert got[9000] == 2.0 and got[10000] == 9.0

@@ -439,7 +439,7 @@ def test_udaf_ratio_cate_yaml_case66_full(spark):
     )
 
 
-def test_window_upper_bound_lag_frame_relative(spark):
+def test_window_upper_bound_lag_partition_relative(spark):
     rows = [("a", i, float(i)) for i in range(1, 6)]
     df = spark.createDataFrame(rows, "pk string, ts long, v double")
     out = sql(
@@ -450,6 +450,7 @@ def test_window_upper_bound_lag_frame_relative(spark):
         {"t": df},
     )
     got = {r["ts"]: r["l1"] for r in out.collect()}
-    # frame's last element is the previous row; lag(1) = one before that
-    assert got[1] is None and got[2] is None
-    assert got[3] == 1.0 and got[5] == 3.0
+    # lag ignores the frame entirely (reference compiles it to its own
+    # ROWS(1..current) window): always the physically previous row
+    assert got[1] is None
+    assert got[2] == 1.0 and got[3] == 2.0 and got[5] == 4.0
