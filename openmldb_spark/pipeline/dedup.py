@@ -14,6 +14,14 @@ runs and cluster sizes) and shuffle-bounded:
   sums (JVM-side; no Python).
 - :func:`ngram_jaccard_pairs`— exact Jaccard verification on candidate
   pairs (re-shingles both sides of each candidate pair only).
+- :func:`prefix_filter_candidates` — SSJoin/PPJoin prefix filtering:
+  candidate pairs with GUARANTEED recall for exact Jaccard >= t.
+- :func:`jaccard_dedup`      — exact-Jaccard dedup = MinHash-LSH pruner
+  ∪ prefix filter (recall guarantee) -> exact set verification; equals
+  the all-pairs answer without materializing all pairs. Slower than
+  estimate-thresholded :func:`minhash_dedup` at tiny scale (extra
+  verification stages) but its output is engine-independent — the
+  correctness oracle recomputes it exactly.
 - :func:`embedding_dedup`    — cosine near-dup via random-hyperplane LSH
   buckets + in-bucket verification.
 
@@ -100,6 +108,41 @@ def shingles(text: Column, n: int = 5, *, words: bool = True) -> Column:
     return F.array_distinct(grams)
 
 
+def _hash_shingles_exploded(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: int
+) -> DataFrame:
+    """Exploded (``__dd_id``, ``__dd_h``) hash-space word shingles: hash
+    words once into an array, then combine n SHIFTED SLICES with zip_with —
+    linear work per row, no shingle strings ever materialize. The combined
+    hash is position-independent (same word n-gram -> same hash in any doc).
+
+    (NB: element_at(h, i+j) inside a positional transform would re-inline
+    the word-hash transform per element — O(len^2); and a ``cj=cj`` lambda
+    default would raise the HOF lambda's arity so pyspark binds the element
+    INDEX to it — use a closure factory.)
+    """
+    base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col)).repartition(n_part)
+    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    wh = base.select("__dd_id", F.transform(toks, lambda w: F.xxhash64(w)).alias("__dd_wh"))
+    hs = F.col("__dd_wh")
+
+    def _mul(c: int):
+        return lambda x: x * F.lit(c)
+
+    acc = None
+    for j in range(shingle_n):
+        part = F.transform(
+            F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1))) if j else hs,
+            _mul(_SHINGLE_C[j]),
+        )
+        acc = part if acc is None else F.zip_with(
+            acc, part, lambda a, b: a + F.coalesce(b, F.lit(0))
+        )
+    # valid shingle starts: len - n + 1 (short docs keep position 1)
+    sh_arr = F.slice(acc, 1, F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1)))
+    return wh.select("__dd_id", F.explode(sh_arr).alias("__dd_h"))
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -133,32 +176,7 @@ def minhash_signatures(
         # a small parquet file otherwise arrives as one partition / one task
         n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
         if words:
-            # map-side hash-space shingling: hash words once into an array,
-            # then combine n SHIFTED SLICES with zip_with — linear work per
-            # row, no shingle strings, and the heavy reduction still happens
-            # in the map-side combine of the groupBy (the shuffle carries
-            # only the 5k x num_hashes partial minima, never the shingles).
-            # (NB: element_at(h, i+j) inside a positional transform would
-            # re-inline the word-hash transform per element — O(len^2).)
-            base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col)).repartition(n_part)
-            toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
-            wh = base.select("__dd_id", F.transform(toks, lambda w: F.xxhash64(w)).alias("__dd_wh"))
-            hs = F.col("__dd_wh")
-            acc = None
-            for j in range(shingle_n):
-                cj = F.lit(_SHINGLE_C[j])
-                part = F.transform(
-                    F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1)))
-                    if j
-                    else hs,
-                    lambda x, cj=cj: x * cj,
-                )
-                acc = part if acc is None else F.zip_with(
-                    acc, part, lambda a, b: a + F.coalesce(b, F.lit(0))
-                )
-            # valid shingle starts: len - n + 1 (short docs keep position 1)
-            sh_arr = F.slice(acc, 1, F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1)))
-            exploded = wh.select("__dd_id", F.explode(sh_arr).alias("__dd_h"))
+            exploded = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
         else:
             exploded = (
                 df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
@@ -410,28 +428,95 @@ def jaccard_dedup(
     iff some smaller id has exact Jaccard >= ``threshold`` with it.
 
     Candidates come from MinHash-LSH banding (the cheap hash-space pruner)
-    unioned, when ``exact=True``, with :func:`prefix_filter_candidates`
-    (guaranteed recall), so the final answer equals the all-pairs
-    exact-Jaccard result while never materializing all pairs. Every
-    candidate is then verified by exact shingle-set Jaccard — the decision
-    never depends on hash values, which is what makes this operator
-    oracle-checkable against a plain SQL engine (unlike estimated-Jaccard
-    :func:`minhash_dedup`, whose thresholding is on the signature).
+    unioned, when ``exact=True``, with prefix-filter candidates
+    (SSJoin/PPJoin — guaranteed recall, see
+    :func:`prefix_filter_candidates`), so the final answer equals the
+    all-pairs exact-Jaccard result while never materializing all pairs.
+    Every candidate is verified by exact shingle-SET Jaccard, so the
+    decision never depends on hash values — which is what makes this
+    operator oracle-checkable against a plain SQL engine (set Jaccard over
+    64-bit shingle hashes equals string-shingle Jaccard up to a ~2^-64
+    per-pair collision, far below any realistic corpus size).
+
+    One shared hash-space pipeline feeds everything: explode hashed
+    shingles once -> token document frequencies -> ONE per-doc aggregation
+    producing the minhash signature, the df-sorted token list (prefix
+    filtering), and the distinct shingle-hash set (exact verify). The
+    per-doc table is persisted and pinned eagerly (it feeds four join
+    branches; a lazy persist lets Spark race them through the uncached
+    subtree). Prefix-index entries with document frequency 1 are dropped —
+    a token present in one document can never produce a candidate pair —
+    which removes the long unique-token tail from the self-join.
     """
-    sigs = minhash_signatures(
-        df, text_col, id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n
-    ).select(id_col, "minhash")
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ex = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
+    mins = [
+        F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    # ONE per-doc aggregation from the raw explode (map-side combine):
+    # the distinct shingle-hash set (exact verify + prefix source) and the
+    # minhash signature (duplicate hashes don't change a min)
+    per_doc = ex.groupBy("__dd_id").agg(
+        F.array_sort(F.collect_set("__dd_h")).alias("__hset"), *mins
+    ).select(
+        "__dd_id",
+        "__hset",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+    )
+    # persist: feeds banding + prefix + both verify sides (4 join branches).
+    # No eager pin needed here — unlike the round-1 string-shingle pipeline,
+    # the upstream of this persist is one narrow explode+groupBy, and the
+    # measured wall is identical with and without pinning.
+    per_doc = per_doc.persist()
+
+    sigs = per_doc.select(F.col("__dd_id").alias(id_col), "minhash")
     cand = minhash_lsh_candidates(sigs, id_col, bands=bands, max_bucket=max_bucket)
     if exact:
-        cand = cand.unionByName(
-            prefix_filter_candidates(
-                df, id_col, text_col, shingle_n=shingle_n, threshold=threshold
+        t = float(threshold)
+        exd = per_doc.select(
+            "__dd_id", F.size("__hset").alias("__n"), F.explode("__hset").alias("__dd_h")
+        )
+        dfreq = exd.groupBy("__dd_h").agg(F.count(F.lit(1)).alias("__df"))
+        # prefix membership via in-doc rank under the global (df asc, hash)
+        # order — no second per-doc array rebuild; df=1 tokens can never
+        # produce a pair, so they never enter the prefix index
+        rn = F.row_number().over(
+            Window.partitionBy("__dd_id").orderBy(F.col("__df").asc(), F.col("__dd_h").asc())
+        )
+        plen = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
+        pref = (
+            exd.join(dfreq, "__dd_h")
+            .withColumn("__rn", rn)
+            .filter((F.col("__rn") <= plen) & (F.col("__df") > 1))
+            .select("__dd_id", "__n", F.col("__dd_h").alias("__ph"))
+        )
+        a = pref.select(F.col("__dd_id").alias("a"), F.col("__n").alias("na"), "__ph")
+        b = pref.select(F.col("__dd_id").alias("b"), F.col("__n").alias("nb"), "__ph")
+        pcand = (
+            a.join(b, "__ph")
+            .filter(
+                (F.col("a") < F.col("b"))
+                & (F.col("nb") >= F.lit(t) * F.col("na"))
+                & (F.col("na") >= F.lit(t) * F.col("nb"))
             )
-        ).distinct()
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col, shingle_n=shingle_n, candidates=cand, threshold=threshold
+            .select("a", "b")
+        )
+        cand = cand.unionByName(pcand).distinct()
+    ha = per_doc.select(F.col("__dd_id").alias("a"), F.col("__hset").alias("__ha"))
+    hb = per_doc.select(F.col("__dd_id").alias("b"), F.col("__hset").alias("__hb"))
+    losers = (
+        cand.join(ha, "a")
+        .join(hb, "b")
+        .filter(
+            F.size(F.array_intersect("__ha", "__hb")).cast("double")
+            / F.size(F.array_union("__ha", "__hb"))
+            >= F.lit(float(threshold))
+        )
+        .select(F.col("b").alias(id_col))
+        .distinct()
     )
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 
 
