@@ -68,6 +68,8 @@ class Engine:
         self.tables: dict[str, DataFrame] = {}
         self.table_defs: dict[str, TableDef] = {}
         self.deployments: dict[str, "SqlDeployment"] = {}
+        #: name -> (is_aggregate, return_type_ddl, source_file)
+        self.functions: dict[str, tuple[bool, str, str]] = {}
 
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -102,6 +104,12 @@ class Engine:
             return None
         if head == "CREATE" and second == "TABLE":
             return self._create_table(toks)
+        if head == "CREATE" and second in ("FUNCTION", "AGGREGATE"):
+            return self._create_function(sql_text)
+        if head == "DROP" and second == "FUNCTION":
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {toks[2].text}")
+            self.functions.pop(toks[2].text, None)
+            return None
         if head == "DROP" and second == "TABLE":
             self.tables.pop(toks[2].text, None)
             self.table_defs.pop(toks[2].text, None)
@@ -228,6 +236,63 @@ class Engine:
         self.tables[name] = delete_where(self.tables[name], cond)
         return None
 
+    def _create_function(self, sql_text: str):
+        """``CREATE [AGGREGATE] FUNCTION name(arg type, ...) RETURNS type
+        OPTIONS (FILE='fns.py' [, ENTRY='pyname'] [, TYPE='pandas'|'python'])``
+        (ref: docs/en/openmldb_sql/ddl/CREATE_FUNCTION.md — the reference
+        loads a C++ .so; the Spark-first equivalent loads a Python module
+        and registers the callable with ``spark.udf.register``).
+
+        TYPE='pandas' (default) expects a vectorized callable
+        (pandas Series -> Series, or Series -> scalar for AGGREGATE) and
+        registers an Arrow-batched pandas UDF — the fast path; 'python'
+        registers a row-at-a-time UDF (convenience only, ~10-100x slower).
+        """
+        m = re.match(
+            r"\s*CREATE\s+(AGGREGATE\s+)?FUNCTION\s+(\w+)\s*\(([^)]*)\)\s*"
+            r"RETURNS\s+(\w+)\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "CREATE [AGGREGATE] FUNCTION name(arg type, ...) RETURNS type "
+                "OPTIONS (FILE='...')"
+            )
+        is_agg = m.group(1) is not None
+        name, ret_s = m.group(2), m.group(4).lower()
+        opts = _parse_options(m.group(5) or "")
+        if ret_s not in _TYPES:
+            raise ValueError(f"unknown return type {ret_s!r}")
+        ret_ddl = _TYPES[ret_s]
+        path = opts.get("file")
+        if not path:
+            raise ValueError("CREATE FUNCTION requires OPTIONS (FILE='...')")
+        entry = opts.get("entry", name)
+        kind = opts.get("type", "pandas").lower()
+
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(f"__omsk_udf_{name}", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn = getattr(mod, entry)
+
+        from pyspark.sql.functions import PandasUDFType, pandas_udf, udf
+
+        if is_agg or kind == "pandas":
+            # for AGGREGATE the callable reduces a Series to a scalar; Spark
+            # infers GROUPED_AGG vs SCALAR from the registered eval type
+            wrapped = pandas_udf(
+                fn, ret_ddl,
+                PandasUDFType.GROUPED_AGG if is_agg else PandasUDFType.SCALAR,
+            )
+        else:
+            wrapped = udf(fn, ret_ddl)
+        self.spark.udf.register(name, wrapped)
+        self.functions[name] = (is_agg, ret_ddl, path)
+        return None
+
     def _load_data(self, sql_text: str):
         m = re.match(
             r"\s*LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)"
@@ -312,6 +377,14 @@ class Engine:
         if what == "DEPLOYMENTS":
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.deployments)] or [], "deployment string"
+            )
+        if what == "FUNCTIONS":
+            rows = [
+                (n, "AGGREGATE" if agg else "SCALAR", ret, path)
+                for n, (agg, ret, path) in sorted(self.functions.items())
+            ]
+            return self.spark.createDataFrame(
+                rows or [], "name string, kind string, return_type string, file string"
             )
         raise ValueError(f"SHOW {what} not supported")
 

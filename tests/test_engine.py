@@ -241,3 +241,32 @@ def test_lag_ignores_range_bound_and_attributes(spark):
     # previous physical row regardless of the 3s range
     assert got[1000] is None and got[2000] == 1.0
     assert got[9000] == 2.0 and got[10000] == 9.0
+
+
+def test_create_function_scalar_and_aggregate(eng, tmp_path):
+    """CREATE FUNCTION loads a Python module and registers pandas UDFs
+    (ref: docs/en/openmldb_sql/ddl/CREATE_FUNCTION.md — .so there, .py here)."""
+    p = tmp_path / "fns.py"
+    p.write_text(
+        "def cut2(s):\n"
+        "    return s.str.slice(0, 2)\n"
+        "def special_sum(v):\n"
+        "    return v.sum() + 1\n"
+    )
+    eng.execute("CREATE TABLE tf (id int, name string, v bigint)")
+    eng.execute(
+        "INSERT INTO tf VALUES (1, 'hello', 10), (2, 'world', 20), (3, 'hey', 5)"
+    )
+    eng.execute(f"CREATE FUNCTION cut2(x string) RETURNS string OPTIONS (FILE='{p}')")
+    eng.execute(
+        f"CREATE AGGREGATE FUNCTION special_sum(x bigint) RETURNS bigint "
+        f"OPTIONS (FILE='{p}')"
+    )
+    out = eng.execute("SELECT id, cut2(name) AS c FROM tf")
+    assert {r["id"]: r["c"] for r in out.collect()} == {1: "he", 2: "wo", 3: "he"}
+    out2 = eng.execute("SELECT special_sum(v) AS s FROM tf GROUP BY id % 1")
+    assert out2.collect()[0]["s"] == 36
+    fns = {r["name"]: r["kind"] for r in eng.execute("SHOW FUNCTIONS").collect()}
+    assert fns == {"cut2": "SCALAR", "special_sum": "AGGREGATE"}
+    eng.execute("DROP FUNCTION cut2")
+    assert "cut2" not in {r["name"] for r in eng.execute("SHOW FUNCTIONS").collect()}
