@@ -817,6 +817,33 @@ def q_sql_window(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", F.round("sv", 4).alias("sv"), "cnt")
 
 
+def q_sql_two_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Two named windows with different frames/orders in ONE select — the
+    reference's multi-window projection (concat-join shape); one Spark
+    shuffle per distinct partitioning."""
+    from openmldb_spark.sql import sql as osql
+
+    out = osql(
+        spark,
+        """
+        SELECT event_id, user_id,
+               sum(value) OVER w1 AS sv1, count(value) OVER w1 AS c1,
+               sum(value) OVER w2 AS sv2, lag(value, 2) OVER w2 AS l2
+        FROM events
+        WINDOW w1 AS (PARTITION BY user_id ORDER BY ts
+            ROWS_RANGE BETWEEN 30m PRECEDING AND CURRENT ROW),
+        w2 AS (PARTITION BY user_id ORDER BY event_id
+            ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        """,
+        {"events": load_table(spark, sf, "events")},
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("sv1", 4).alias("sv1"), "c1",
+        F.round("sv2", 4).alias("sv2"), F.round("l2", 4).alias("l2"),
+    )
+
+
 def q_sql_window_union(spark: SparkSession, sf: str) -> DataFrame:
     """Structural path: WINDOW ... UNION via SQL text (disjoint main/side)."""
     from openmldb_spark.sql import sql as osql
@@ -949,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_window_cate": q_udaf_window_cate,
         "udaf_ratio_cate": q_udaf_ratio_cate,
         "window_end_preceding": q_window_end_preceding,
+        "sql_two_windows": q_sql_two_windows,
         "feature_zero_lists": q_feature_zero_lists,
         "udaf_stats": q_udaf_stats,
         "udaf_top_freq": q_udaf_top_freq,
@@ -1290,6 +1318,18 @@ def oracle_sql() -> dict[str, str]:
                      k || ':' || CAST(list_sum(list_transform(list_filter(w, e -> e.k = k), e -> e.v)) AS VARCHAR)
                    ), 'string_agg', ',') AS top2_key
             FROM keyed
+        """,
+        "sql_two_windows": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER w1, 4) AS sv1,
+                   count(value) OVER w1 AS c1,
+                   round(sum(value) OVER w2, 4) AS sv2,
+                   round(lag(value, 2) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS l2
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                          RANGE BETWEEN 1800000 PRECEDING AND CURRENT ROW),
+                   w2 AS (PARTITION BY user_id ORDER BY event_id
+                          ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         """,
         "window_end_preceding": """
             SELECT event_id, user_id,

@@ -12,6 +12,17 @@ Scale: readers return lazy DataFrames — predicate pushdown and column
 pruning reach the scan (verify with ``.explain``: PushedFilters/ReadSchema).
 ``mode`` maps to Spark save modes; ``soft_copy`` (deep_copy=false) is a
 no-op for parquet reads (Spark never copies on read).
+
+Documented gaps (unreachable in this environment, by design):
+
+- ``tidb`` / ``iceberg`` LOAD DATA formats (reference
+  ``DataSourceUtil.scala:96,152-157``): both resolve through standard Spark
+  catalog/JDBC configuration (``spark.read.format("iceberg")`` /
+  ``.format("jdbc")``) — connector jars and endpoints, not engine code.
+  Tested formats here are csv/tsv/parquet/json/hive.
+- Kafka/Pulsar sources: see :mod:`openmldb_spark.streaming` — the
+  ``readStream.format("kafka")`` wiring exists but no broker is available
+  in this sandbox, so only file-source streams are exercised by tests.
 """
 
 from __future__ import annotations
