@@ -116,3 +116,89 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
         .withColumn("frame_ts_ms", F.col("frame_ts_ms") * every_ms)
         .select("media_id", "mime", "frame_ts_ms")
     )
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id string, mime string, n_bytes long, duration_ms int, "
+    "mfcc array<float>"
+)
+
+
+def _decode_audio_stub(payload: bytes) -> tuple[int, list[float]]:
+    """STUB audio decoder — deterministic fake (no audio libs here).
+    Derives (duration_ms, 13-dim mfcc-shaped vector) from a sha1 of the
+    payload. Replace with soundfile/librosa in production:
+
+        import soundfile as sf; data, rate = sf.read(io.BytesIO(payload)) ...
+    """
+    if not payload:
+        raise NotImplementedError("empty payload: real decoder required")
+    h = hashlib.sha1(payload).digest()
+    duration_ms = 1000 + int.from_bytes(h[:2], "big")
+    mfcc = [b / 255.0 - 0.5 for b in h[2:15]]
+    return duration_ms, mfcc
+
+
+def extract_audio_features(df: DataFrame) -> DataFrame:
+    """payload -> (duration, mfcc-shaped vector) via Arrow-batched
+    mapInPandas — same batch/memory profile as the image path."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                try:
+                    dur, mfcc = _decode_audio_stub(payload)
+                except NotImplementedError:
+                    dur, mfcc = None, None
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "mime": r["mime"],
+                        "n_bytes": len(payload),
+                        "duration_ms": dur,
+                        "mfcc": mfcc,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "mime", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = "media_id string, mime string, width int, height int, payload binary"
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plan: payload -> resized payload, via mapInPandas.
+
+    The pixel work is stubbed (deterministic truncate-or-pad so output
+    size tracks the target dims); the Spark-side contract is real: binary
+    in, binary out, one row per image, output partition sizing inherited
+    from the input (control with arrow.maxRecordsPerBatch as in the
+    module docstring). Swap the stub body for PIL's ``Image.resize``.
+    """
+    target = width * height // 8  # stub: bytes proportional to pixel count
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"] or b"")
+                if not payload:
+                    out = None
+                else:
+                    reps = -(-target // len(payload))  # ceil
+                    out = (payload * reps)[:target]
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "mime": r["mime"],
+                        "width": width,
+                        "height": height,
+                        "payload": out,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "mime", "payload").mapInPandas(run, RESIZED_SCHEMA)

@@ -198,3 +198,25 @@ def test_lsh_topk_join_plan_builds_without_driver_actions(spark, monkeypatch):
     )
     # schema access analyzes the plan without executing it
     assert set(["query_id", "neighbor_id", "cos", "rank"]) <= set(out.columns)
+
+
+def test_multimodal_audio_and_resize(spark):
+    from openmldb_spark.pipeline import multimodal as M
+
+    rows = [
+        ("m1", "audio/wav", b"payload-one"),
+        ("m2", "audio/wav", b""),
+        ("m3", "image/png", b"imagebytes"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, mime string, payload binary")
+    audio = {r["media_id"]: r for r in M.extract_audio_features(df).collect()}
+    assert audio["m1"]["duration_ms"] is not None and len(audio["m1"]["mfcc"]) == 13
+    assert audio["m2"]["duration_ms"] is None  # empty payload -> stub declines
+    # deterministic: same payload -> same features
+    audio2 = {r["media_id"]: r for r in M.extract_audio_features(df).collect()}
+    assert audio["m1"]["mfcc"] == audio2["m1"]["mfcc"]
+
+    resized = {r["media_id"]: r for r in M.resize_images(df, 32, 16).collect()}
+    assert resized["m3"]["width"] == 32 and resized["m3"]["height"] == 16
+    assert len(resized["m3"]["payload"]) == 32 * 16 // 8
+    assert resized["m2"]["payload"] is None
