@@ -90,6 +90,9 @@ def window_agg_skewed(
         exclude_current_row=wdef.exclude_current_row,
         exclude_current_time=wdef.exclude_current_time,
         maxsize=wdef.maxsize,
+        # an interval upper end only narrows frames, so the r-lookback
+        # replication above remains sufficient
+        end_range=wdef.end_range,
         tiebreak=wdef.tiebreak,
     )
     out = window_agg(work, inner, aggs)

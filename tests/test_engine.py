@@ -270,3 +270,26 @@ def test_create_function_scalar_and_aggregate(eng, tmp_path):
     assert fns == {"cut2": "SCALAR", "special_sum": "AGGREGATE"}
     eng.execute("DROP FUNCTION cut2")
     assert "cut2" not in {r["name"] for r in eng.execute("SHOW FUNCTIONS").collect()}
+
+
+def test_deploy_end_bound_batch_vs_request(eng, spark):
+    """Bounded upper frame ends survive the request-mode window rewrite
+    (UNION history + INSTANCE_NOT_IN_WINDOW) — batch == request."""
+    eng.execute("CREATE TABLE eb (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t)) for t in range(1, 10)]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO eb VALUES {vals}")
+    dep = eng.execute(
+        "DEPLOY fe SELECT pk, ts, sum(v) OVER w1 AS sv, count(v) OVER w1 AS cv "
+        "FROM eb WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS_RANGE BETWEEN 4s PRECEDING AND 2s PRECEDING)"
+    )
+    batch = {(r["pk"], r["ts"]): (r["sv"], r["cv"]) for r in dep.run_batch().collect()}
+    # ts=9000: frame [5000, 7000] -> v 5+6+7 = 18
+    assert batch[("a", 9000)] == (18.0, 3)
+    ev = eng.tables["eb"]
+    req = ev.where(F.col("ts") == 9000)
+    hist = ev.where(F.col("ts") != 9000)
+    got = dep.run_request(req, hist).collect()
+    assert len(got) == 1
+    assert (got[0]["sv"], got[0]["cv"]) == batch[("a", 9000)]

@@ -48,3 +48,18 @@ def test_equals_with_maxsize_and_exclude(spark, skewed):
     skw = {r["id"]: (r["s"], r["c"]) for r in window_agg_skewed(
         skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}, buckets=4).collect()}
     assert plain == skw
+
+
+def test_skew_split_preserves_end_bound(spark):
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+    from openmldb_spark.operators.window_skew import window_agg_skewed
+
+    rows = [("k", 1000 * i, float(i)) for i in range(1, 40)]
+    df = spark.createDataFrame(rows, "pk string, ts long, v double")
+    wd = WindowDef(partition_by=["pk"], order_by="ts", rows_range="10s", end_range="3s")
+    plain = {r["ts"]: r["s"] for r in window_agg(df, wd, {"s": A.sum_("v")}).collect()}
+    skewed = {r["ts"]: r["s"] for r in window_agg_skewed(df, wd, {"s": A.sum_("v")}, buckets=4).collect()}
+    assert plain == skewed
