@@ -70,6 +70,9 @@ class Engine:
         self.deployments: dict[str, "SqlDeployment"] = {}
         #: name -> (is_aggregate, return_type_ddl, source_file)
         self.functions: dict[str, tuple[bool, str, str]] = {}
+        #: session variables (SET / SHOW VARIABLES); engine-meaningful ones
+        #: only — unknown names are stored and echoed, like the reference
+        self.variables: dict[str, str] = {"execute_mode": "online"}
 
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -86,6 +89,9 @@ class Engine:
     def execute(self, sql_text: str):
         """Run one statement. Returns a DataFrame for queries/SHOW, None
         for DDL/DML side effects, a SqlDeployment for DEPLOY."""
+        # SET routes before tokenization (the '@@var' sigil isn't a token)
+        if re.match(r"\s*SET\b", sql_text, re.IGNORECASE):
+            return self._set(sql_text)
         toks = tokenize(sql_text)
         if not toks:
             return None
@@ -118,10 +124,33 @@ class Engine:
             return self._insert(toks)
         if head == "DELETE":
             return self._delete(sql_text)
+        if head == "TRUNCATE":
+            # TRUNCATE TABLE t | TRUNCATE t (TRUNCATE_TABLE_STATEMENT.md)
+            name = toks[2].text if second == "TABLE" else toks[1].text
+            if name not in self.tables:
+                raise ValueError(f"unknown table {name!r}")
+            self.tables[name] = self.tables[name].limit(0)
+            return None
+        if head in ("DESC", "DESCRIBE"):
+            return self._desc(toks[1].text)
+        if head == "CREATE" and second == "INDEX":
+            return self._create_index(sql_text)
+        if head == "DROP" and second == "INDEX":
+            # DROP INDEX table.index_name (DROP_INDEX_STATEMENT.md)
+            tail = render(toks[2:]).replace(" ", "")
+            tname, _, iname = tail.partition(".")
+            td = self.table_defs.get(tname)
+            if td is not None:
+                td.indexes = [i for i in td.indexes if i.name != iname]
+            return None
+        if head == "CALL":
+            return self._call(toks)
         if head == "LOAD":
             return self._load_data(sql_text)
         if head == "DEPLOY":
             return self._deploy(toks, sql_text)
+        if head == "SHOW" and second == "CREATE":
+            return self._show_create(toks[3].text)
         if head == "SHOW":
             return self._show(second)
         if head in ("SELECT", "WITH"):
@@ -235,6 +264,115 @@ class Engine:
         cond = F.expr(rewrite_expr(tokenize(cond_s)))
         self.tables[name] = delete_where(self.tables[name], cond)
         return None
+
+    def _desc(self, name: str) -> DataFrame:
+        """DESC t — column name/type/nullability plus index summaries
+        (ref: docs/en/openmldb_sql/ddl/DESC_STATEMENT.md)."""
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        rows = [
+            (f.name, f.dataType.simpleString(), "YES" if f.nullable else "NO")
+            for f in self.tables[name].schema.fields
+        ]
+        td = self.table_defs.get(name)
+        for idx in (td.indexes if td else []):
+            rows.append(
+                (
+                    f"__index__{idx.name}",
+                    f"keys={','.join(idx.keys)} ts={idx.ts_col} "
+                    f"ttl={idx.ttl} ttl_type={idx.ttl_type}",
+                    "",
+                )
+            )
+        return self.spark.createDataFrame(rows, "field string, type string, null string")
+
+    def _show_create(self, name: str) -> DataFrame:
+        """SHOW CREATE TABLE t (SHOW_CREATE_TABLE_STATEMENT.md)."""
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        cols = ", ".join(
+            f"{f.name} {f.dataType.simpleString()}"
+            for f in self.tables[name].schema.fields
+        )
+        td = self.table_defs.get(name)
+        idx_parts = [
+            f"INDEX(KEY={','.join(i.keys)}"
+            + (f", TS={i.ts_col}" if i.ts_col else "")
+            + (f", TTL={i.ttl}" if i.ttl else "")
+            + (f", TTL_TYPE={i.ttl_type}" if i.ttl else "")
+            + ")"
+            for i in (td.indexes if td else [])
+        ]
+        body = ", ".join([cols, *idx_parts])
+        ddl = f"CREATE TABLE {name} ({body})"
+        return self.spark.createDataFrame([(name, ddl)], "table string, create_sql string")
+
+    def _create_index(self, sql_text: str):
+        """CREATE INDEX idx ON t (keys) OPTIONS (ts=..., ttl=..., ttl_type=...)
+        (ref: CREATE_INDEX_STATEMENT.md). Index metadata only — layout is
+        applied on demand via catalog.layout_for_index / apply_ttl."""
+        m = re.match(
+            r"\s*CREATE\s+INDEX\s+(\w+)\s+ON\s+(\w+)\s*\(([^)]*)\)\s*"
+            r"(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("CREATE INDEX name ON table (keys) [OPTIONS(...)]")
+        iname, tname = m.group(1), m.group(2)
+        if tname not in self.tables:
+            raise ValueError(f"unknown table {tname!r}")
+        keys = [k.strip() for k in m.group(3).split(",") if k.strip()]
+        opts = _parse_options(m.group(4) or "")
+        idx = IndexDef(
+            iname,
+            keys,
+            opts.get("ts"),
+            opts.get("ttl"),
+            opts.get("ttl_type", "absolute").lower(),
+        )
+        td = self.table_defs.get(tname)
+        if td is None:
+            td = TableDef(tname, schema_ddl="")
+            self.table_defs[tname] = td
+        td.indexes.append(idx)
+        return None
+
+    def _set(self, sql_text: str):
+        """SET [@@[session.|global.]]var = value (SET_STATEMENT.md)."""
+        m = re.match(
+            r"\s*SET\s+(?:@@)?(?:(?:SESSION|GLOBAL)\.)?(\w+)\s*=\s*(.+?)\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError("SET [@@]var = value")
+        self.variables[m.group(1).lower()] = m.group(2).strip().strip("'\"")
+        return None
+
+    def _call(self, toks: list[Tok]) -> DataFrame:
+        """CALL deployment (v1, v2, ...) — one-row request-mode invocation;
+        arguments match the deployment's request-table schema
+        (ref: docs/en/openmldb_sql/dml/CALL_STATEMENT.md)."""
+        name = toks[1].text
+        dep = self.deployments.get(name)
+        if dep is None:
+            raise ValueError(f"unknown deployment {name!r}")
+        i = 2
+        if i >= len(toks) or toks[i].text != "(":
+            raise ValueError("CALL name (arg, ...)")
+        j = _match_paren(toks, i)
+        vals = [_literal(v) for v in _split_commas(toks[i + 1 : j])]
+        schema = dep.input_schema
+        if schema is None:
+            raise ValueError(f"deployment {name!r} has no input schema")
+        if len(vals) != len(schema.fields):
+            raise ValueError(
+                f"CALL {name}: {len(vals)} args != {len(schema.fields)} request columns"
+            )
+        row = [_coerce(v, f.dataType) for v, f in zip(vals, schema.fields)]
+        req = self.spark.createDataFrame([row], schema)
+        return dep.run_request(req)
 
     def _create_function(self, sql_text: str):
         """``CREATE [AGGREGATE] FUNCTION name(arg type, ...) RETURNS type
@@ -377,6 +515,10 @@ class Engine:
         if what == "DEPLOYMENTS":
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.deployments)] or [], "deployment string"
+            )
+        if what == "VARIABLES":
+            return self.spark.createDataFrame(
+                sorted(self.variables.items()), "variable_name string, value string"
             )
         if what == "FUNCTIONS":
             rows = [

@@ -293,3 +293,40 @@ def test_deploy_end_bound_batch_vs_request(eng, spark):
     got = dep.run_request(req, hist).collect()
     assert len(got) == 1
     assert (got[0]["sv"], got[0]["cv"]) == batch[("a", 9000)]
+
+
+def test_statement_surface_misc(eng, spark):
+    """TRUNCATE / DESC / SHOW CREATE TABLE / CREATE+DROP INDEX /
+    SET+SHOW VARIABLES / CALL."""
+    eng.execute("CREATE TABLE ms (pk string, ts bigint, v double, "
+                "INDEX(KEY=pk, TS=ts, TTL=30d, TTL_TYPE=absolute))")
+    eng.execute("INSERT INTO ms VALUES ('a', 1000, 1.0), ('a', 2000, 2.0)")
+
+    desc = eng.execute("DESC ms").collect()
+    fields = {r["field"]: r["type"] for r in desc}
+    assert fields["pk"] == "string" and fields["v"] == "double"
+    assert any(f.startswith("__index__") for f in fields)
+
+    ddl = eng.execute("SHOW CREATE TABLE ms").collect()[0]["create_sql"]
+    assert "CREATE TABLE ms" in ddl and "INDEX(KEY=pk" in ddl
+
+    eng.execute("CREATE INDEX i2 ON ms (pk) OPTIONS (ts=ts, ttl='2', ttl_type='latest')")
+    assert [i.name for i in eng.table_defs["ms"].indexes] == ["idx0", "i2"] or \
+           len(eng.table_defs["ms"].indexes) == 2
+    eng.execute("DROP INDEX ms.i2")
+    assert all(i.name != "i2" for i in eng.table_defs["ms"].indexes)
+
+    eng.execute("SET @@execute_mode = 'offline'")
+    vs = {r["variable_name"]: r["value"] for r in eng.execute("SHOW VARIABLES").collect()}
+    assert vs["execute_mode"] == "offline"
+
+    dep = eng.execute(
+        "DEPLOY dcall SELECT pk, ts, sum(v) OVER w1 AS sv FROM ms "
+        "WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS_RANGE BETWEEN 5s PRECEDING AND CURRENT ROW)"
+    )
+    out = eng.execute("CALL dcall ('a', 3000, 9.0)").collect()
+    assert len(out) == 1 and out[0]["sv"] == 1.0 + 2.0 + 9.0
+
+    eng.execute("TRUNCATE TABLE ms")
+    assert eng.execute("SELECT count(*) AS n FROM ms").collect()[0]["n"] == 0
