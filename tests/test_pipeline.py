@@ -220,3 +220,44 @@ def test_multimodal_audio_and_resize(spark):
     assert resized["m3"]["width"] == 32 and resized["m3"]["height"] == 16
     assert len(resized["m3"]["payload"]) == 32 * 16 // 8
     assert resized["m2"]["payload"] is None
+
+
+def test_jaccard_dedup_equals_all_pairs_bruteforce(spark):
+    """The exactness contract: MinHash-LSH ∪ prefix-filter candidates +
+    exact verification == brute-force all-pairs Jaccard dedup, on random
+    corpora (prefix filtering guarantees recall, so no probabilistic
+    argument is needed)."""
+    import itertools
+    import random
+
+    rng = random.Random(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(40):
+        base = [rng.choice(words) for _ in range(rng.randint(3, 12))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.4:  # near-dup with a small mutation
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(words)
+            docs.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in D.jaccard_dedup(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5, bands=4, num_hashes=16
+        ).select("doc_id").collect()
+    )
+
+    def grams(t, n=3):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    sets = {i: grams(t) for i, t in docs}
+    losers = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.5:
+            losers.add(b)
+    assert got == sorted(set(sets) - losers)
