@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "udaf_window_cate",
     "last_join",
     "window_union",
+    "window_end_preceding",
+    "udaf_ratio_cate",
     "sql_window",
     "sql_last_join",
     "long_window_preagg",
@@ -38,6 +40,7 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "text_stats",
     "embedding_topk",
+    "embedding_lsh_topk_join",
 ]
 
 

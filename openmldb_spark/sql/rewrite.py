@@ -229,6 +229,17 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
         t = tokens[i]
         nxt = tokens[i + 1] if i + 1 < n else None
         prev_dot = bool(out) and out[-1].text == "."
+        if (
+            t.kind == "name"
+            and t.text.lower() == "xor"
+            and (nxt is None or nxt.text != "(")
+            and not prev_dot
+        ):
+            # infix logical XOR (dialect) == '!=' on booleans, including
+            # three-valued NULL behavior (test_logic.yaml id 2)
+            out.append(Tok("op", "!="))
+            i += 1
+            continue
         if t.kind == "name" and nxt is not None and nxt.text == "(" and not prev_dot:
             # a call: find matching close paren
             depth = 0
