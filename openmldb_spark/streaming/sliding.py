@@ -40,11 +40,16 @@ def stream_window_agg(
     ts_col: str,
     value_col: str,
     range_ms: int,
+    end_ms: int = 0,
 ) -> DataFrame:
     """events (streaming DF) -> per-event sliding features
     (key, ts, value, w_sum, w_cnt, w_min, w_max, w_avg).
 
     ``ts_col`` must be epoch-ms long; the key column is cast to string.
+    ``end_ms`` is the bounded upper frame end (``AND end_ms PRECEDING``):
+    the frame is ``[t - range_ms, t - end_ms]`` — same semantics as the
+    batch window engine's ``end_range``, so streaming features stay
+    train/serve consistent with end-bounded batch windows.
     """
     out_schema = StructType(
         [
@@ -89,9 +94,10 @@ def stream_window_agg(
                 hist_ts.insert(i, t)
                 hist_vs.insert(i, v if v is not None else float("nan"))
                 lo = bisect.bisect_left(hist_ts, t - range_ms)
+                hi = bisect.bisect_right(hist_ts, t - end_ms) if end_ms else i + 1
                 w = [
                     x
-                    for x in hist_vs[lo : i + 1]
+                    for x in hist_vs[lo:hi]
                     if x == x  # NaN-safe: skip nulls
                 ]
                 cnt = len(w)

@@ -68,3 +68,40 @@ def test_stream_sliding_matches_batch(spark, tmp_path):
         (r["k"], r["ts"]): (r["s"], r["c"], r["mn"], r["mx"]) for r in ref.collect()
     }
     assert got == want
+
+
+def test_stream_sliding_end_bound_matches_batch(spark, tmp_path):
+    """end_ms (bounded upper frame end) must equal the batch engine's
+    end_range on the same data."""
+    rows = [("a", 1000, 1.0), ("a", 2000, 2.0), ("a", 3000, 3.0),
+            ("a", 4500, 4.0), ("b", 1000, 5.0), ("b", 3000, 6.0)]
+    schema = "k string, ts long, v double"
+    src = tmp_path / "stream2"
+    src.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    feats = stream_window_agg(stream, "k", "ts", "v", 3000, end_ms=1000)
+    q = (
+        feats.writeStream.format("memory")
+        .queryName("sliding_end_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["key"], r["ts"]): (r["w_sum"], r["w_cnt"])
+        for r in spark.sql("SELECT * FROM sliding_end_out").collect()
+    }
+    full = spark.createDataFrame(rows, schema)
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows_range=3000, end_range=1000)
+    ref = window_agg(full, wd, {"s": A.sum_("v"), "c": A.count_("v")})
+    want = {(r["k"], r["ts"]): (r["s"], r["c"]) for r in ref.collect()}
+    assert got == want
