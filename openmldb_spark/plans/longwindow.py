@@ -140,16 +140,33 @@ def request_long_window(
     )
 
     # ---- edge buckets: raw rows of b_lo and b_hi inside the range ---------
-    # prune the history scan to the union of edge-bucket ids (broadcast
-    # semi-join -> dynamic partition pruning when stored bucket-partitioned)
+    # prune the history scan to the union of edge-bucket ids. When the
+    # history table is STORED partitioned by a ``bucket`` column (the
+    # recommended layout), the distinct edge-bucket ids — metadata-scale:
+    # at most 2 per distinct request time-bucket — are collected and
+    # applied as a STATIC ``isin`` filter, which Spark turns into real
+    # partition pruning (PartitionFilters on the scan): the job reads ~2
+    # buckets per request bucket instead of the whole table. Above a
+    # 10k-id cap (degenerate request spread) it falls back to the
+    # broadcast semi-join, which prunes rows after the scan.
     edge_ids = (
-        req.select(F.explode(F.array("__b_lo", "__b_hi")).alias("bucket")).distinct()
+        req.select(F.explode(F.array("__b_lo", "__b_hi")).alias("__edge_b")).distinct()
     )
-    hist = (
-        history.withColumn("__hb", (F.col(ts_col) / bucket_ms).cast("long"))
-        .join(F.broadcast(edge_ids), F.col("__hb") == F.col("bucket"), "left_semi")
-        .alias("__hist")
-    )
+    hist = None
+    if "bucket" in history.columns:
+        ids = [r[0] for r in edge_ids.limit(10_001).collect()]
+        if len(ids) <= 10_000:
+            hist = (
+                history.filter(F.col("bucket").isin(ids))
+                .withColumn("__hb", F.col("bucket").cast("long"))
+                .alias("__hist")
+            )
+    if hist is None:
+        hist = (
+            history.withColumn("__hb", (F.col(ts_col) / bucket_ms).cast("long"))
+            .join(F.broadcast(edge_ids), F.col("__hb") == F.col("__edge_b"), "left_semi")
+            .alias("__hist")
+        )
     edge_cond = (
         ((F.col("__hist.__hb") == F.col("__req.__b_lo"))
          | (F.col("__hist.__hb") == F.col("__req.__b_hi")))

@@ -87,3 +87,36 @@ def test_preagg_is_smaller_and_complete(spark, hist):
         pre.agg(F.sum("sum_v")).collect()[0][0]
         == hist.agg(F.sum("v")).collect()[0][0]
     )
+
+
+def test_bucket_partitioned_history_prunes_partitions(spark, tmp_path):
+    """The recommended storage layout (parquet partitioned by bucket):
+    edge-bucket reads must turn into real partition pruning on the scan."""
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.plans.longwindow import preaggregate, request_long_window
+
+    rows = [("k%d" % (i % 3), 1000 * i, float(i)) for i in range(1, 300)]
+    hist = spark.createDataFrame(rows, "pk string, ts long, v double")
+    d = str(tmp_path / "hist_bucketed")
+    (hist.withColumn("bucket", (F.col("ts") / 10000).cast("long"))
+         .write.partitionBy("bucket").mode("overwrite").parquet(d))
+    stored = spark.read.parquet(d)
+
+    pre = preaggregate(stored, ["pk"], "ts", "v", 10000)
+    reqs = spark.createDataFrame([("k1", 250000, 1.0)], "pk string, ts long, v double")
+    out = request_long_window(reqs, stored, pre, ["pk"], "ts", "v", 50000, 10000, "sum")
+
+    # correctness: history-only sum over [t-range, t] (the caller folds the
+    # request row itself, as in the engine's serving path)
+    want = sum(v for pk, ts, v in rows if pk == "k1" and 200000 <= ts <= 250000)
+    got = out.collect()[0]["agg_v"]
+    assert got == want
+
+    # the history scan carries a PartitionFilters bucket IN (...) predicate
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    pruned = [
+        l for l in plan.splitlines()
+        if "PartitionFilters" in l and "bucket" in l and " IN " in l
+    ]
+    assert pruned, "expected a static bucket IN partition filter on the history scan"
