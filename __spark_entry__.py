@@ -103,20 +103,23 @@ def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
     return R.distinct_(li.select("l_returnflag", "l_linestatus"))
 
 
-def q_union_all(spark: SparkSession, sf: str) -> DataFrame:
-    """SetOperation UNION ALL."""
+def q_set_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """SetOperationNode — all four variants in one tagged result: UNION ALL,
+    UNION DISTINCT, EXCEPT, INTERSECT (ref parses all, executes UNION only —
+    SetOperationPlan.scala:25-27; we execute all, DIVERGENCES #8)."""
     o = load_table(spark, sf, "orders")
     hi = o.where(F.col("o_totalprice") > 250000).select("o_orderkey", "o_orderstatus")
     urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
-    return R.union_(hi, urgent)
 
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.select(F.lit(op).alias("op"), "o_orderkey", "o_orderstatus")
 
-def q_union_distinct(spark: SparkSession, sf: str) -> DataFrame:
-    """SetOperation UNION DISTINCT."""
-    o = load_table(spark, sf, "orders")
-    hi = o.where(F.col("o_totalprice") > 250000).select("o_orderkey", "o_orderstatus")
-    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey", "o_orderstatus")
-    return R.union_(hi, urgent, distinct=True)
+    return (
+        tag(R.union_(hi, urgent), "uall")
+        .unionByName(tag(R.union_(hi, urgent, distinct=True), "udst"))
+        .unionByName(tag(R.except_(hi, urgent), "exc"))
+        .unionByName(tag(R.intersect_(hi, urgent), "int"))
+    )
 
 
 def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
@@ -252,35 +255,31 @@ def q_window_rows_range(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_window_open_preceding(spark: SparkSession, sf: str) -> DataFrame:
-    """OPEN 10m PRECEDING: exclusive lower bound (kOpenPreceding)."""
-    e = load_table(spark, sf, "events").withColumn("ts_ms", _ts_ms("ts"))
-    wd = WindowDef(partition_by=["user_id"], order_by="ts_ms", rows_range="10m", open_preceding=True)
-    out = window_agg(e, wd, {"sum_v": A.sum_("value")})
-    return out.select("event_id", "user_id", F.round("sum_v", 4).alias("sum_v"))
-
-
-def q_window_exclude_current_row(spark: SparkSession, sf: str) -> DataFrame:
+def q_window_exclude(spark: SparkSession, sf: str) -> DataFrame:
     """EXCLUDE CURRENT_ROW on a RANGE frame (peers stay — DuckDB EXCLUDE
-    CURRENT ROW semantics, physical_op.h:1174-1187)."""
-    e = load_table(spark, sf, "events").withColumn("ts_ms", _ts_ms("ts"))
-    wd = WindowDef(
+    CURRENT ROW, physical_op.h:1174-1187) + EXCLUDE CURRENT_TIME
+    (kExcludeCurrentTime: same-ts peers out, current row in — DuckDB
+    EXCLUDE TIES) in one query, two chained window_aggs."""
+    e = (
+        load_table(spark, sf, "events")
+        .withColumn("ts_ms", _ts_ms("ts"))
+        # second-granularity ordering manufactures real ts ties for the
+        # EXCLUDE CURRENT_TIME arm
+        .withColumn("ts_sec", (_ts_ms("ts") / 1000).cast("long"))
+    )
+    wd_xr = WindowDef(
         partition_by=["user_id"], order_by="ts_ms", rows_range="10m", exclude_current_row=True
     )
-    out = window_agg(e, wd, {"sum_v": A.sum_("value"), "cnt": A.count_("value")})
-    return out.select("event_id", "user_id", F.round("sum_v", 4).alias("sum_v"), "cnt")
-
-
-def q_window_exclude_current_time(spark: SparkSession, sf: str) -> DataFrame:
-    """EXCLUDE CURRENT_TIME (kExcludeCurrentTime): same-ts peers out, current
-    row in — DuckDB EXCLUDE TIES."""
-    e = load_table(spark, sf, "events").withColumn("ts_sec", (_ts_ms("ts") / 1000).cast("long"))
-    # second-granularity ordering manufactures real ts ties to exercise the path
-    wd = WindowDef(
+    out = window_agg(e, wd_xr, {"sv_xr": A.sum_("value"), "cnt_xr": A.count_("value")})
+    wd_xt = WindowDef(
         partition_by=["user_id"], order_by="ts_sec", rows_range=3600, exclude_current_time=True
     )
-    out = window_agg(e, wd, {"sum_v": A.sum_("value"), "cnt": A.count_("value")})
-    return out.select("event_id", "user_id", F.round("sum_v", 4).alias("sum_v"), "cnt")
+    out = window_agg(out, wd_xt, {"sv_xt": A.sum_("value"), "cnt_xt": A.count_("value")})
+    return out.select(
+        "event_id", "user_id",
+        F.round("sv_xr", 4).alias("sv_xr"), "cnt_xr",
+        F.round("sv_xt", 4).alias("sv_xt"), "cnt_xt",
+    )
 
 
 def q_window_maxsize(spark: SparkSession, sf: str) -> DataFrame:
@@ -293,7 +292,9 @@ def q_window_maxsize(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_window_offset_fns(spark: SparkSession, sf: str) -> DataFrame:
-    """lag / first_value / last_value over frames (window_functions_def.cc)."""
+    """lag / first_value / last_value / nth_value_where over frames
+    (window_functions_def.cc:207-344; nth_value_where idx from frame start,
+    negative idx from frame end)."""
     e = load_table(spark, sf, "events")
     wd = WindowDef(partition_by=["user_id"], order_by="event_id", rows=5)
     out = window_agg(
@@ -304,6 +305,8 @@ def q_window_offset_fns(spark: SparkSession, sf: str) -> DataFrame:
             "lag3": A.lag("value", 3),
             "fv": A.first_value("value"),
             "lv": A.last_value("value"),
+            "nvw2": A.nth_value_where("value", 2, F.col("value") > 50),
+            "nvwm1": A.nth_value_where("value", -1, F.col("value") > 50),
         },
     )
     return out.select(
@@ -313,6 +316,8 @@ def q_window_offset_fns(spark: SparkSession, sf: str) -> DataFrame:
         F.round("lag3", 4).alias("lag3"),
         F.round("fv", 4).alias("fv"),
         F.round("lv", 4).alias("lv"),
+        F.round("nvw2", 4).alias("nvw2"),
+        F.round("nvwm1", 4).alias("nvwm1"),
     )
 
 
@@ -430,19 +435,25 @@ def q_udaf_window_cate(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("event_id", "user_id", "sum_cate", "cnt_cate", "top2_key")
 
 
-def q_window_end_preceding(spark: SparkSession, sf: str) -> DataFrame:
-    """Bounded frame upper ends — BETWEEN x PRECEDING AND y PRECEDING on
-    both ROWS and ROWS_RANGE frames (ref grammar exercised by
-    cases/function/function/test_udaf_function.yaml:2700,2737)."""
-    e = load_table(spark, sf, "events")
+def q_window_frame_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-default frame bounds in one query: bounded upper ends — BETWEEN x
+    PRECEDING AND y PRECEDING on ROWS and ROWS_RANGE frames (ref grammar,
+    test_udaf_function.yaml:2700,2737) — plus OPEN ... PRECEDING (exclusive
+    lower bound, kOpenPreceding node_enum.h:248-266)."""
+    e = load_table(spark, sf, "events").withColumn("ts_ms", _ts_ms("ts"))
     wd_r = WindowDef(partition_by=["user_id"], order_by="ts", rows_range="30m", end_range="10m")
     out = window_agg(e, wd_r, {"sv_r": A.sum_("value"), "cnt_r": A.count_("value")})
     wd_n = WindowDef(partition_by=["user_id"], order_by="event_id", rows=5, end_rows=2)
     out = window_agg(out, wd_n, {"sv_n": A.sum_("value"), "cnt_n": A.count_("value")})
+    wd_o = WindowDef(
+        partition_by=["user_id"], order_by="ts_ms", rows_range="10m", open_preceding=True
+    )
+    out = window_agg(out, wd_o, {"sv_o": A.sum_("value")})
     return out.select(
         "event_id", "user_id",
         F.round("sv_r", 4).alias("sv_r"), "cnt_r",
         F.round("sv_n", 4).alias("sv_n"), "cnt_n",
+        F.round("sv_o", 4).alias("sv_o"),
     )
 
 
@@ -561,9 +572,15 @@ def q_ttl_latest(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup on text: keep min doc_id per distinct text."""
+    """Exact dedup (keep min doc_id per distinct text) + per-kept-doc SimHash
+    fingerprint with the portable (md5-derived) token hash, so DuckDB
+    recomputes the exact 64-bit fingerprint per doc — one query covers both
+    the exact_dedup and simhash operators (full value-hash oracle). The
+    default xxhash64 simhash path is exercised by unit tests."""
     d = load_table(spark, sf, "documents")
-    return D.exact_dedup(d, ["text"], id_col="doc_id").select("doc_id", "lang", "source", "n_chars")
+    kept = D.exact_dedup(d, ["text"], id_col="doc_id")
+    fp = D.simhash(kept, "text", token_hash=D.portable_token_hash)
+    return fp.select("doc_id", "lang", "source", "n_chars", "simhash")
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
@@ -579,16 +596,6 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     return D.jaccard_dedup(
         d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.7
     ).select("doc_id", "lang", "source")
-
-
-def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document SimHash fingerprints with the portable (md5-derived)
-    token hash, so DuckDB recomputes the exact 64-bit fingerprint per doc —
-    full value-hash oracle coverage for the simhash operator (VERDICT r1
-    item 1). The default xxhash64 path is exercised by unit tests."""
-    d = load_table(spark, sf, "documents")
-    fp = D.simhash(d, "text", token_hash=D.portable_token_hash)
-    return fp.select("doc_id", "simhash")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -642,8 +649,11 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("media_id", "mime", "n_bytes")
 
 
-def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality-signal columns over documents (portable formulas).
+def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
+    """The full text-analysis surface in one projection: quality signals
+    (token/punct/digit/stopword ratios + score), stopword-vote language ID
+    vs the labeled lang column, md5 fingerprint, and BPE-ish token count.
+    Pure Catalyst projections, zero shuffle.
 
     The small-SF parquet arrives as one split; the regex-heavy projection
     is CPU-bound, so spread it (at real scale the file count does this)."""
@@ -657,26 +667,9 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
         "digit_ratio",
         "stopword_ratio",
         "quality_score",
-    )
-
-
-def q_lang_id(spark: SparkSession, sf: str) -> DataFrame:
-    """Stopword-vote language ID vs the labeled lang column."""
-    d = load_table(spark, sf, "documents").repartition(32)
-    return d.select(
-        "doc_id",
         "lang",
         T.lang_id(F.col("text")).alias("lang_guess"),
-    )
-
-
-def q_fingerprint_tokens(spark: SparkSession, sf: str) -> DataFrame:
-    """md5 fingerprint + exact/BPE-ish token counts."""
-    d = load_table(spark, sf, "documents").repartition(32)
-    return d.select(
-        "doc_id",
         T.fingerprint(F.col("text")).alias("fp"),
-        T.token_count(F.col("text")).alias("n_tok"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)).cast("long").alias("n_bpeish"),
     )
 
@@ -949,8 +942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_agg": q_group_agg,
         "having": q_having,
         "distinct": q_distinct,
-        "union_all": q_union_all,
-        "union_distinct": q_union_distinct,
+        "set_ops": q_set_ops,
         "sort_limit": q_sort_limit,
         "left_join": q_left_join,
         "join_agg": q_join_agg,
@@ -960,9 +952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window engine
         "window_rows": q_window_rows,
         "window_rows_range": q_window_rows_range,
-        "window_open_preceding": q_window_open_preceding,
-        "window_exclude_current_row": q_window_exclude_current_row,
-        "window_exclude_current_time": q_window_exclude_current_time,
+        "window_exclude": q_window_exclude,
         "window_maxsize": q_window_maxsize,
         "window_offset_fns": q_window_offset_fns,
         "window_union": q_window_union,
@@ -975,7 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_cate": q_udaf_cate,
         "udaf_window_cate": q_udaf_window_cate,
         "udaf_ratio_cate": q_udaf_ratio_cate,
-        "window_end_preceding": q_window_end_preceding,
+        "window_frame_bounds": q_window_frame_bounds,
         "sql_two_windows": q_sql_two_windows,
         "feature_zero_lists": q_feature_zero_lists,
         "udaf_stats": q_udaf_stats,
@@ -998,13 +988,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
-        "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "fingerprint_tokens": q_fingerprint_tokens,
+        "text_features": q_text_features,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_topk_join": q_embedding_lsh_topk_join,
