@@ -1025,15 +1025,18 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey HAVING count(*) >= 5
         """,
         "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
-        "union_all": """
-            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000
+        "set_ops": """
+            WITH hi AS (SELECT o_orderkey, o_orderstatus FROM orders
+                        WHERE o_totalprice > 250000),
+                 urgent AS (SELECT o_orderkey, o_orderstatus FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+            SELECT 'uall' AS op, * FROM (SELECT * FROM hi UNION ALL SELECT * FROM urgent)
             UNION ALL
-            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
-        """,
-        "union_distinct": """
-            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_totalprice > 250000
-            UNION
-            SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+            SELECT 'udst' AS op, * FROM (SELECT * FROM hi UNION SELECT * FROM urgent)
+            UNION ALL
+            SELECT 'exc' AS op, * FROM (SELECT * FROM hi EXCEPT SELECT * FROM urgent)
+            UNION ALL
+            SELECT 'int' AS op, * FROM (SELECT * FROM hi INTERSECT SELECT * FROM urgent)
         """,
         "sort_limit": """
             SELECT o_orderkey, o_totalprice FROM orders
@@ -1114,29 +1117,19 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                          RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
         """,
-        "window_open_preceding": """
-            SELECT event_id, user_id, round(sum(value) OVER w, 4) AS sum_v
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                         RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)
-        """,
-        "window_exclude_current_row": """
+        "window_exclude": """
             SELECT event_id, user_id,
-                   round(sum(value) OVER w, 4) AS sum_v,
-                   count(value) OVER w AS cnt
+                   round(sum(value) OVER wxr, 4) AS sv_xr,
+                   count(value) OVER wxr AS cnt_xr,
+                   round(sum(value) OVER wxt, 4) AS sv_xt,
+                   count(value) OVER wxt AS cnt_xt
             FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                         RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
-                         EXCLUDE CURRENT ROW)
-        """,
-        "window_exclude_current_time": """
-            SELECT event_id, user_id,
-                   round(sum(value) OVER w, 4) AS sum_v,
-                   count(value) OVER w AS cnt
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
-                         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-                         EXCLUDE TIES)
+            WINDOW wxr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                           RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
+                           EXCLUDE CURRENT ROW),
+                   wxt AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+                           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+                           EXCLUDE TIES)
         """,
         "window_maxsize": """
             WITH framed AS (
@@ -1160,14 +1153,22 @@ def oracle_sql() -> dict[str, str]:
             FROM capped
         """,
         "window_offset_fns": """
-            SELECT event_id, user_id,
-                   round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS lag1,
-                   round(lag(value, 3) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS lag3,
-                   round(first_value(value) OVER w, 4) AS fv,
-                   round(last_value(value) OVER w, 4) AS lv
-            FROM events
-            WINDOW w AS (PARTITION BY user_id ORDER BY event_id
-                         ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            WITH framed AS (
+              SELECT event_id, user_id,
+                     round(lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS lag1,
+                     round(lag(value, 3) OVER (PARTITION BY user_id ORDER BY event_id), 4) AS lag3,
+                     round(first_value(value) OVER w, 4) AS fv,
+                     round(last_value(value) OVER w, 4) AS lv,
+                     list_filter(list(value) OVER w,
+                                 x -> coalesce(x > 50, false)) AS mv
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+            )
+            SELECT event_id, user_id, lag1, lag3, fv, lv,
+                   round(CASE WHEN len(mv) >= 2 THEN mv[2] END, 4) AS nvw2,
+                   round(CASE WHEN len(mv) >= 1 THEN mv[len(mv)] END, 4) AS nvwm1
+            FROM framed
         """,
         "window_union": """
             WITH u AS (
@@ -1318,17 +1319,20 @@ def oracle_sql() -> dict[str, str]:
                    w2 AS (PARTITION BY user_id ORDER BY event_id
                           ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         """,
-        "window_end_preceding": """
+        "window_frame_bounds": """
             SELECT event_id, user_id,
                    round(sum(value) OVER wr, 4) AS sv_r,
                    count(value) OVER wr AS cnt_r,
                    round(sum(value) OVER wn, 4) AS sv_n,
-                   count(value) OVER wn AS cnt_n
+                   count(value) OVER wn AS cnt_n,
+                   round(sum(value) OVER wo, 4) AS sv_o
             FROM events
             WINDOW wr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                           RANGE BETWEEN 1800000 PRECEDING AND 600000 PRECEDING),
                    wn AS (PARTITION BY user_id ORDER BY event_id
-                          ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING)
+                          ROWS BETWEEN 5 PRECEDING AND 2 PRECEDING),
+                   wo AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                          RANGE BETWEEN 599999 PRECEDING AND CURRENT ROW)
         """,
         "udaf_ratio_cate": """
             WITH base AS (
@@ -1411,29 +1415,6 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, lang, source FROM documents
             WHERE doc_id NOT IN (SELECT b FROM losers)
-        """,
-        "dedup_simhash": """
-            WITH toks AS (
-              SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\s+'),
-                                 x -> x <> '') AS t
-              FROM documents
-            ), th AS (
-              SELECT doc_id, unnest(t) AS tok FROM toks
-            ), hh AS (
-              SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h FROM th
-            ), bits AS (
-              SELECT doc_id, h, unnest(range(0, 60)) AS j FROM hh
-            ), votes AS (
-              SELECT doc_id, j,
-                     sum(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-              FROM bits GROUP BY 1, 2
-            ), fp AS (
-              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
-              FROM votes GROUP BY 1
-            )
-            SELECT d.doc_id, CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
-            FROM documents d LEFT JOIN fp USING (doc_id)
         """,
         "dedup_ngram_jaccard": """
             WITH toks AS (
@@ -1633,8 +1614,31 @@ def oracle_sql() -> dict[str, str]:
             FROM kept GROUP BY user_id
         """,
         "dedup_exact": """
-            SELECT doc_id, lang, source, n_chars FROM documents
-            QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            WITH kept AS (
+              SELECT doc_id, lang, source, n_chars, text FROM documents
+              QUALIFY row_number() OVER (PARTITION BY text ORDER BY doc_id) = 1
+            ), toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS t
+              FROM kept
+            ), th AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks
+            ), hh AS (
+              SELECT doc_id, (('0x' || substr(md5(tok), 1, 15))::BIGINT) AS h FROM th
+            ), bits AS (
+              SELECT doc_id, h, unnest(range(0, 60)) AS j FROM hh
+            ), votes AS (
+              SELECT doc_id, j,
+                     sum(CASE WHEN (h // (1::BIGINT << j)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+              FROM bits GROUP BY 1, 2
+            ), fp AS (
+              SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+              FROM votes GROUP BY 1
+            )
+            SELECT k.doc_id, k.lang, k.source, k.n_chars,
+                   CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
+            FROM kept k LEFT JOIN fp USING (doc_id)
         """,
         "text_stats": """
             WITH t AS (
