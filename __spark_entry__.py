@@ -1640,14 +1640,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(fp.simhash, 0) AS BIGINT) AS simhash
             FROM kept k LEFT JOIN fp USING (doc_id)
         """,
-        "text_stats": """
+        "text_features": """
             WITH t AS (
-              SELECT doc_id, text,
+              SELECT doc_id, text, lang,
                      list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
                      length(text) AS n_chars
               FROM documents
             ), m AS (
-              SELECT doc_id, n_chars, len(toks) AS n_tokens,
+              SELECT doc_id, lang, text, n_chars, len(toks) AS n_tokens,
                      CASE WHEN len(toks) > 0
                           THEN list_sum(list_transform(toks, x -> length(x))) * 1.0 / len(toks)
                           ELSE 0.0 END AS atl,
@@ -1657,7 +1657,11 @@ def oracle_sql() -> dict[str, str]:
                         / (CASE WHEN n_chars > 0 THEN n_chars ELSE 1 END) AS dr,
                      len(list_filter(toks, x -> list_contains(
                         ['the','and','of','to','in','is','that','it','was','for'], lower(x)))) * 1.0
-                        / (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS sr
+                        / (CASE WHEN len(toks) > 0 THEN len(toks) ELSE 1 END) AS sr,
+                     len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], lower(x)))) AS s_en,
+                     len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], lower(x)))) AS s_de,
+                     len(list_filter(toks, x -> list_contains(['le','la','les','et','des','est','dans','que','une','pour'], lower(x)))) AS s_fr,
+                     len(list_filter(toks, x -> list_contains(['el','la','los','las','es','en','que','una','por','con'], lower(x)))) AS s_es
               FROM t
             )
             SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -1669,38 +1673,18 @@ def oracle_sql() -> dict[str, str]:
                      (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END) +
                      (CASE WHEN round(pr, 4) <= 0.2 THEN 0.2 ELSE 0.0 END) +
                      (CASE WHEN round(dr, 4) <= 0.3 THEN 0.1 ELSE 0.0 END) +
-                     (CASE WHEN round(sr, 4) >= 0.05 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score
-            FROM m
-        """,
-        "lang_id": """
-            WITH t AS (
-              SELECT doc_id, lang,
-                     list_transform(list_filter(string_split_regex(text, '\\s+'), x -> x <> ''),
-                                    x -> lower(x)) AS toks
-              FROM documents
-            ), scores AS (
-              SELECT doc_id, lang,
-                len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','that','it','was','for'], x))) AS s_en,
-                len(list_filter(toks, x -> list_contains(['der','die','und','das','ist','nicht','ein','mit','auf','sich'], x))) AS s_de,
-                len(list_filter(toks, x -> list_contains(['le','la','les','et','des','est','dans','que','une','pour'], x))) AS s_fr,
-                len(list_filter(toks, x -> list_contains(['el','la','los','las','es','en','que','una','por','con'], x))) AS s_es
-              FROM t
-            )
-            SELECT doc_id, lang,
+                     (CASE WHEN round(sr, 4) >= 0.05 THEN 0.3 ELSE 0.0 END) AS DOUBLE), 4) AS quality_score,
+                   lang,
                    CASE
                      WHEN s_es > s_fr AND s_es > s_de AND s_es > s_en THEN 'es'
                      WHEN s_fr > s_de AND s_fr > s_en THEN 'fr'
                      WHEN s_de > s_en THEN 'de'
                      WHEN s_en > 0 THEN 'en'
                      ELSE 'und'
-                   END AS lang_guess
-            FROM scores
-        """,
-        "fingerprint_tokens": """
-            SELECT doc_id, md5(text) AS fp,
-                   CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tok,
+                   END AS lang_guess,
+                   md5(text) AS fp,
                    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish
-            FROM documents
+            FROM m
         """,
         "embedding_lsh_topk_join": """
             WITH P AS (

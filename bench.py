@@ -30,7 +30,7 @@ BENCH_QUERIES = [
     "udaf_window_cate",
     "last_join",
     "window_union",
-    "window_end_preceding",
+    "window_frame_bounds",
     "udaf_ratio_cate",
     "sql_window",
     "sql_last_join",
@@ -38,7 +38,7 @@ BENCH_QUERIES = [
     "feature_signature",
     "dedup_exact",
     "dedup_minhash",
-    "text_stats",
+    "text_features",
     "embedding_topk",
     "embedding_lsh_topk_join",
 ]
@@ -48,6 +48,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="openmldb_spark_bench")
     qs = entry.queries()
+    # fail fast (before any timing work) if the query registry drifted —
+    # a rename in queries() must never crash the harness mid-run
+    missing = [n for n in BENCH_QUERIES if n not in qs]
+    if missing:
+        raise SystemExit(f"bench.py: BENCH_QUERIES missing from queries(): {missing}")
 
     # warm the JVM + file cache with a cheap action
     qs["const_project"](spark, sf_dir).collect()

@@ -552,7 +552,12 @@ def simhash(
     """
     if token_hash is None:
         token_hash = F.xxhash64
-    toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
+    # NULL text fingerprints as 0 (same as empty) — parity with the SQL
+    # oracle's `coalesce(simhash, 0)` convention for missing docs
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda x: x != "",
+    )
     hashes = F.transform(toks, lambda t: token_hash(t))
 
     zero = F.array_repeat(F.lit(0), bits)
