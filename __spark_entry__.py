@@ -584,14 +584,16 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH + prefix-filter near-dup removal, exact-verified.
+    """Near-dup removal by exact word-5-gram Jaccard, prefix-filtered.
 
-    The full MinHash pipeline runs (signatures -> banding -> buckets ->
-    candidates), unioned with prefix-filter candidates (SSJoin — guaranteed
-    recall for J >= t), then every candidate is verified by EXACT word-5-gram
+    Candidates come from the SSJoin prefix index (guaranteed recall for
+    J >= t — the MinHash-banding arm was provably redundant here and was
+    cut per VERDICT r3 item 3; `jaccard_dedup(exact=False)` and
+    `minhash_dedup` keep the banding path, unit-tested in
+    tests/test_pipeline.py), then every candidate is verified by EXACT
     Jaccard. The output therefore equals the all-pairs exact-Jaccard dedup,
-    which DuckDB recomputes independently — making this hash-heavy operator
-    fully oracle-checkable (rows+schema+hash), per VERDICT r1 item 1."""
+    which DuckDB recomputes independently — making this operator fully
+    oracle-checkable (rows+schema+hash), per VERDICT r1 item 1."""
     d = load_table(spark, sf, "documents")
     return D.jaccard_dedup(
         d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.7

