@@ -372,7 +372,10 @@ def q_last_join(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_last_join_condition(spark: SparkSession, sf: str) -> DataFrame:
-    """LAST JOIN with extra non-equi condition (post-filter plan)."""
+    """LAST JOIN with extra non-equi condition. The predicate references
+    only right columns, so the engine pre-filters the right side and takes
+    the dedupe-right scale plan (no fan-out — VERDICT r3 item 5); a
+    two-sided predicate would fall back to the post-filter plan."""
     o = load_table(spark, sf, "orders")
     li = load_table(spark, sf, "lineitem").withColumn("ship_ms", _ts_ms("l_shipdate"))
     out = last_join(

@@ -19,11 +19,14 @@ Two Spark-first lowerings:
   shuffle(right) by keys -> shrink to |distinct keys| -> broadcast/SMJ.
 - **post-filter** (extra non-equi condition): left join, then keep the
   max-order row per left row id. Costs a fan-out proportional to match
-  multiplicity; only used when semantics demand it.
+  multiplicity; only used when semantics demand it. A condition that
+  references ONLY right columns doesn't demand it: the right side is
+  pre-filtered and the dedupe-right plan used instead.
 """
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, Window
@@ -32,6 +35,36 @@ from pyspark.sql import functions as F
 ColumnOrName = Union[Column, str]
 
 _LID = "__omsk_left_id"
+
+
+def _references_right_only(left: DataFrame, right: DataFrame, condition: Column) -> bool:
+    """True iff ``condition`` analyzes against ``right`` alone and NOT
+    against ``left`` alone — i.e. it unambiguously constrains only right
+    columns. Bound references (``right["c"]``) fail left-side analysis by
+    attribute id; an unbound name that exists on BOTH sides analyzes on
+    both, returns False, and stays on the general plan (the join itself
+    would flag it ambiguous)."""
+
+    from pyspark.logger import PySparkLogger
+
+    def _resolves(df: DataFrame) -> bool:
+        # pyspark's DataFrameQueryContextLogger logs every analysis failure
+        # at ERROR even when caught — this probe EXPECTS one, so mute it.
+        # (PySparkLogger.getLogger, not logging.getLogger: the plain call
+        # would create a vanilla Logger first and break pyspark's kwargs
+        # logging with a TypeError.)
+        log = PySparkLogger.getLogger("DataFrameQueryContextLogger")
+        prev = log.level
+        log.setLevel(logging.CRITICAL)
+        try:
+            df.filter(condition).schema  # analysis only, no job
+            return True
+        except Exception:
+            return False
+        finally:
+            log.setLevel(prev)
+
+    return _resolves(right) and not _resolves(left)
 
 
 def last_join(
@@ -78,6 +111,17 @@ def last_join(
         renames = {c: f"{right_prefix}{c}" for c in right.columns}
     else:
         renames = {}
+
+    if condition is not None and _references_right_only(left, right, condition):
+        # right-side-only predicate: filtering right FIRST is equivalent (a
+        # right row failing the condition can never be the selected last
+        # row, and left rows always survive via NULL fill either way), and
+        # it unlocks the dedupe-right scale plan — no left fan-out, no
+        # per-left-row window over monotonically_increasing_id. VERDICT r3
+        # item 5; semantics per reference docs/en/openmldb_sql/dql/
+        # JOIN_CLAUSE.md:5-11.
+        right = right.filter(condition)
+        condition = None
 
     if condition is None:
         # dedupe-right plan: one row per key before the join

@@ -69,3 +69,58 @@ def test_condition_post_filter_plan(spark, lj):
     assert rows[1]["r_rid"] == 13
     assert rows[2]["r_rid"] is None
     assert out.count() == 3
+
+
+def test_right_only_condition_takes_dedupe_right_plan(spark, lj):
+    """A condition referencing only right columns must NOT pay the fan-out
+    post-filter plan (VERDICT r3 item 5): right is pre-filtered, then the
+    dedupe-right plan runs — no per-left-row window, no
+    monotonically_increasing_id in the physical plan."""
+    left, right = lj
+    out = last_join(
+        left, right, on="col1", order_by="std_ts", tiebreak="seq",
+        condition=F.col("std_ts") < 200, right_prefix="r_",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__omsk_left_id" not in plan
+    assert "monotonically_increasing_id" not in plan
+
+
+def test_two_sided_condition_keeps_post_filter_plan(spark, lj):
+    """A genuinely two-sided condition still needs (and gets) the
+    post-filter plan, with correct per-left-row semantics."""
+    left, right = lj
+    out = last_join(
+        left, right, on="col1", order_by="std_ts", tiebreak="seq",
+        condition=left["id"] * 100 >= right["std_ts"], right_prefix="r_",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__omsk_left_id" in plan
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["r_rid"] == 10   # a: only ts=100 satisfies 1*100 >= ts
+    assert rows[2]["r_rid"] == 13   # b: both satisfy -> ts tie -> max seq
+    assert rows[3]["r_rid"] is None
+
+
+def test_colliding_condition_name(spark):
+    """A column name that exists on BOTH sides: a plan-bound right["c"]
+    condition is unambiguous (fails left-side analysis by attribute id) and
+    takes the fast path; an unbound F.col("c") resolves on both sides, must
+    NOT take the shortcut (it would silently bind right), and the general
+    plan then correctly refuses the ambiguous reference."""
+    left = spark.createDataFrame([(1, "a", 5)], "id int, col1 string, std_ts long")
+    right = spark.createDataFrame(
+        [(10, "a", 100, 1)], "rid int, col1 string, std_ts long, seq int"
+    )
+    out = last_join(
+        left, right, on="col1", order_by=None, tiebreak="seq",
+        condition=right["std_ts"] > 50, right_prefix="r_",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "__omsk_left_id" not in plan
+    assert out.collect()[0]["r_rid"] == 10
+    with pytest.raises(Exception, match="AMBIGUOUS_REFERENCE"):
+        last_join(
+            left, right, on="col1", order_by=None, tiebreak="seq",
+            condition=F.col("std_ts") > 50, right_prefix="r_",
+        ).collect()
