@@ -339,40 +339,40 @@ def _lag_col(
 
     UNION windows with INSTANCE_NOT_IN_WINDOW keep the union composition
     (previous rows are drawn from union-side rows + the current row, the
-    request-mode REQUEST_UNION shape): a bounded collect (offset +
-    lookback_slack physical rows) is filtered to eligible rows and indexed
-    from the end — the slack bounds interleaved main rows, mirroring
-    DIVERGENCES #6's pragmatic bound.
+    request-mode REQUEST_UNION shape). For offset >= 1 the answer is the
+    offset-th most recent UNION row at-or-before the current row (counting
+    the current row as position 0) — exactly ``lag(union_only, offset)
+    IGNORE NULLS``: the strictly-before non-null scan lands on union rank
+    u-offset for union rows (u counts the current row) and u-offset+1 for
+    main rows, matching the REQUEST_UNION frame in both cases. Exact and
+    linear — replaced the bounded collect that silently truncated after
+    ``lookback_slack`` interleaved main rows (VERDICT r3 item 7); the
+    struct wrapper keeps union rows with NULL values occupying their slot.
     """
     if offset == 0:
         return v  # at(col, 0) == current row
     if not instance_not_in_window:
         return F.lag(v, offset).over(plain_ws)
-    lag_w = (
-        Window.partitionBy(*parts)
-        .orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
-        .rowsBetween(-(offset + wdef.lookback_slack), 0)
-    )
-    le = F.collect_list(
-        F.struct(
-            F.col(_ORD).alias("o"),
-            F.col(_RID).alias("r"),
-            F.col(_FLAG).alias("g"),
-            v.alias("v"),
-        )
-    ).over(lag_w)
-    le = F.array_sort(
-        le,
-        lambda a, b: F.when(a["o"] < b["o"], -1)
-        .when(a["o"] > b["o"], 1)
-        .when(a["r"] < b["r"], -1)
-        .when(a["r"] > b["r"], 1)
-        .otherwise(0),
-    )
-    cur_rid = F.col(_RID)
-    le = F.filter(le, lambda e: (e["g"] == F.lit(0)) | (e["r"] == cur_rid))
-    vals = F.transform(le, lambda e: e["v"])
-    return F.when(F.size(vals) > offset, F.element_at(vals, F.size(vals) - offset))
+    lag_w = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+    vu = F.when(F.col(_FLAG) == F.lit(0), F.struct(v.alias("v")))
+    return _lag_ignore_nulls(vu, offset).over(lag_w)["v"]
+
+
+def _lag_ignore_nulls(v: Column, offset: int) -> Column:
+    """``lag(v, offset) IGNORE NULLS`` — the Scala ``functions.lag`` has an
+    ignoreNulls overload (since Spark 3.2) that pyspark doesn't surface (as
+    of 4.1), so cross the py4j bridge for it. Codegen'd offset-window
+    function; no frame, no collect."""
+    from pyspark.sql import SparkSession
+
+    try:
+        from pyspark.sql.classic.column import Column as _JCol
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql.column import Column as _JCol  # type: ignore
+
+    spark = SparkSession.getActiveSession()
+    jc = spark._jvm.org.apache.spark.sql.functions.lag(v._jc, offset, None, True)
+    return _JCol(jc)
 
 
 def _and_all(conds) -> Column:

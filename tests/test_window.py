@@ -152,3 +152,58 @@ def test_parse_interval():
     assert parse_interval_ms("2d") == 172_800_000
     assert parse_interval_ms("250ms") == 250
     assert parse_interval_ms(99) == 99
+
+
+def test_union_lag_survives_many_interleaved_main_rows(spark):
+    """Boundary pinned (VERDICT r3 item 7): union-window lag under
+    INSTANCE_NOT_IN_WINDOW must see past ANY number of interleaved main
+    rows — the old bounded collect silently truncated after
+    lookback_slack=256 of them. 600 main rows now sit between the current
+    main row and the union rows it lags to."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef
+    from openmldb_spark.operators.window_union import window_union
+
+    # union history: two rows at ts 0 and 1; then 600 main rows at ts 2..601
+    rows = [(i, "k", i + 2, 1000 + i) for i in range(600)]
+    main = spark.createDataFrame(rows, "id long, pk1 string, ts long, col1 long")
+    side = spark.createDataFrame(
+        [(9000, "k", 0, 111), (9001, "k", 1, 222)],
+        "id long, pk1 string, ts long, col1 long",
+    )
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", unbounded=True)
+    out = window_union(
+        main, [side], wd,
+        {"l1": A.lag("col1", 1), "l2": A.lag("col1", 2)},
+        instance_not_in_window=True,
+    )
+    r = {x["id"]: x for x in out.collect()}
+    # EVERY main row (even the 600th, with 599 interleaved main rows in
+    # between) lags to the union history, never to another main row
+    for i in (0, 1, 257, 599):
+        assert r[i]["l1"] == 222, f"id={i}"
+        assert r[i]["l2"] == 111, f"id={i}"
+
+
+def test_union_lag_null_value_occupies_slot(spark):
+    """A union row whose value is NULL still occupies its lag slot (the
+    ignore-nulls rewrite wraps values in a struct so only MAIN rows are
+    skipped, not null values)."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef
+    from openmldb_spark.operators.window_union import window_union
+
+    main = spark.createDataFrame([(1, "k", 10, 5)], "id long, pk1 string, ts long, col1 long")
+    side = spark.createDataFrame(
+        [(90, "k", 1, 7), (91, "k", 2, None)],
+        "id long, pk1 string, ts long, col1 long",
+    )
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", unbounded=True)
+    out = window_union(
+        main, [side], wd,
+        {"l1": A.lag("col1", 1), "l2": A.lag("col1", 2)},
+        instance_not_in_window=True,
+    )
+    r = out.collect()[0]
+    assert r["l1"] is None   # nearest union row has NULL value -> NULL, not 7
+    assert r["l2"] == 7
