@@ -41,8 +41,18 @@ def window_union(
     # aggregates' inputs are arbitrary exprs over the schema, so side tables
     # must share the main schema (reference requires matching schemas)
     flagged = main.withColumn(_FLAG, F.lit(1))
+    # main may carry engine-appended columns (e.g. outputs of an earlier
+    # named window applied in the same SELECT) that the union tables never
+    # had — NULL-fill those; the dialect's schema-match requirement applies
+    # to the USER table schema, and union rows' agg inputs only read shared
+    # columns
+    mtypes = {f.name: f.dataType for f in main.schema.fields}
     for u in unions:
-        flagged = flagged.unionByName(u.select(*main.columns).withColumn(_FLAG, F.lit(0)))
+        proj = [
+            F.col(c) if c in u.columns else F.lit(None).cast(mtypes[c]).alias(c)
+            for c in main.columns
+        ]
+        flagged = flagged.unionByName(u.select(*proj).withColumn(_FLAG, F.lit(0)))
     out = window_agg(
         flagged,
         wdef,

@@ -26,7 +26,7 @@ _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|--[^\n]*|\#[^\n]*)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
-  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?[a-zA-Z]*)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?[a-zA-Z]*|\.\d+[a-zA-Z]*|\d+(?:[eE][+-]?\d+)?[a-zA-Z]*)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
   | (?P<op><>|!=|<=|>=|\|\||->|[-+*/%(),.;=<>!&|^~\[\]{}?:])
     """,

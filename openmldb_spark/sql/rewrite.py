@@ -220,6 +220,10 @@ def _split_top_commas(tokens: list[Tok]) -> list[list[Tok]]:
     return args
 
 
+#: numeric literal body (after stripping a trailing f/F float suffix)
+_NUM_BODY_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
+
+
 def rewrite_tokens(tokens: list[Tok]) -> str:
     """Rewrite one expression token slice into Spark SQL text."""
     out: list[Tok] = []
@@ -229,6 +233,11 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
         t = tokens[i]
         nxt = tokens[i + 1] if i + 1 < n else None
         prev_dot = bool(out) and out[-1].text == "."
+        if t.kind == "num" and t.text[-1] in "fF" and _NUM_BODY_RE.fullmatch(t.text[:-1]):
+            # dialect FLOAT literal suffix: 0.0f / 1.5F / 2f
+            out.append(Tok("name", f"CAST({t.text[:-1]} AS FLOAT)"))
+            i += 1
+            continue
         if (
             t.kind == "name"
             and t.text.lower() == "xor"
