@@ -371,6 +371,47 @@ def q_last_join(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_last_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST JOIN routed through the bucketed index layout (the batch
+    analogue of the reference's key index — PartitionProviderNode,
+    `hybridse/include/vm/catalog.h` partition handlers): both sides are
+    persisted bucketed by the join key (catalog.save_bucketed), so the
+    dedupe-right window AND the join itself run with ZERO Exchange nodes
+    (plan-asserted in tests/test_bucketed.py). The bucketed write is the
+    once-per-table layout cost the reference pays at CREATE INDEX time;
+    every subsequent join/window on the key rides it for free. Result is
+    identical to `last_join` (shared oracle shape)."""
+    from openmldb_spark.catalog import IndexDef, save_bucketed
+
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    li = (
+        load_table(spark, sf, "lineitem")
+        .withColumn("ship_ms", _ts_ms("l_shipdate"))
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_linenumber", "ship_ms")
+    )
+    save_bucketed(o, "omsk_bkt_orders", IndexDef("i", keys=["o_orderkey"]), buckets=16)
+    save_bucketed(
+        li,
+        "omsk_bkt_lineitem",
+        IndexDef("i", keys=["l_orderkey"], ts_col="ship_ms"),
+        buckets=16,
+    )
+    out = last_join(
+        spark.table("omsk_bkt_orders"),
+        spark.table("omsk_bkt_lineitem"),
+        on=[("o_orderkey", "l_orderkey")],
+        order_by="ship_ms",
+        tiebreak=["l_linenumber", "l_partkey"],
+    )
+    return out.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        "l_partkey",
+        F.round("l_quantity", 2).alias("last_qty"),
+        "ship_ms",
+    )
+
+
 def q_last_join_condition(spark: SparkSession, sf: str) -> DataFrame:
     """LAST JOIN with extra non-equi condition. The predicate references
     only right columns, so the engine pre-filters the right side and takes
@@ -964,6 +1005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_union_instance_not_in": q_window_union_instance_not_in,
         # last join
         "last_join": q_last_join,
+        "last_join_bucketed": q_last_join_bucketed,
         "last_join_condition": q_last_join_condition,
         # UDAF library
         "udaf_where": q_udaf_where,
@@ -1208,6 +1250,17 @@ def oracle_sql() -> dict[str, str]:
             FROM w WHERE flag = 1
         """,
         "last_join": """
+            WITH latest AS (
+              SELECT l_orderkey, l_partkey, l_quantity, epoch_ms(l_shipdate) AS ship_ms
+              FROM lineitem
+              QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY epoch_ms(l_shipdate) DESC, l_linenumber DESC, l_partkey DESC) = 1
+            )
+            SELECT o_orderkey, round(o_totalprice, 2) AS total,
+                   l_partkey, round(l_quantity, 2) AS last_qty, ship_ms
+            FROM orders LEFT JOIN latest ON o_orderkey = l_orderkey
+        """,
+        "last_join_bucketed": """
             WITH latest AS (
               SELECT l_orderkey, l_partkey, l_quantity, epoch_ms(l_shipdate) AS ship_ms
               FROM lineitem
