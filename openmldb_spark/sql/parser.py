@@ -28,7 +28,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?[a-zA-Z]*|\.\d+[a-zA-Z]*|\d+(?:[eE][+-]?\d+)?[a-zA-Z]*)
   | (?P<name>[A-Za-z_][A-Za-z_0-9]*|`[^`]*`)
-  | (?P<op><>|!=|<=|>=|\|\||->|[-+*/%(),.;=<>!&|^~\[\]{}?:])
+  | (?P<op><>|!=|<=|>=|==|\|\||->|[-+*/%(),.;=<>!&|^~\[\]{}?:])
     """,
     re.VERBOSE,
 )
