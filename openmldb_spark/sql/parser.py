@@ -233,8 +233,15 @@ class Parser:
                 all_ = True
             else:
                 self.accept("DISTINCT")
-            rhs = self.parse_select()
-            body = SetOp(op, all_, Query(body), Query(rhs))
+            if self.at("("):
+                # parenthesized right arm: `... union all (select ... union
+                # all select ...)` — nested set ops group to the right
+                self.expect("(")
+                rq = self.parse_query()
+                self.expect(")")
+            else:
+                rq = Query(self.parse_select())
+            body = SetOp(op, all_, Query(body), rq)
         q = Query(body, ctes)
         if self.accept("LIMIT"):
             q.limit = int(self.eat().text)
