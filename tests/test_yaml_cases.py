@@ -55,6 +55,10 @@ def _parse_value(tok: str, typ: str):
         return float(tok)
     if typ == "bool":
         return tok.lower() == "true"
+    if typ == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(tok)
     return tok
 
 
