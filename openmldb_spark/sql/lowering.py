@@ -407,6 +407,15 @@ class Lowerer:
                 kw["end_rows"] = int(uval)
             else:
                 kw["end_range"] = uval
+        elif ukind == "open_preceding":
+            # OPEN excludes the endpoint: rows `n OPEN` == (n+1) PRECEDING;
+            # integer-ms ranges `t OPEN` == (t+1ms) PRECEDING exactly
+            from openmldb_spark.operators.window import parse_interval_ms
+
+            if w.frame_kind == "rows":
+                kw["end_rows"] = int(uval) + 1
+            else:
+                kw["end_range"] = str(parse_interval_ms(uval) + 1)
         return WindowDef(
             partition_by=parts,
             order_by=ord_col,

@@ -434,10 +434,14 @@ class Parser:
         else:
             # `BETWEEN x PRECEDING AND y PRECEDING` — bounded upper end
             # (reference YAML uses e.g. `10s preceding and 1s preceding`);
-            # `0 PRECEDING` == CURRENT ROW
+            # `0 PRECEDING` == CURRENT ROW. `y OPEN PRECEDING` excludes the
+            # endpoint (test_current_row.yaml ids 12/13).
             v = self.eat().text
+            open_upper = self.accept("OPEN")
             self.expect("PRECEDING")
-            if v not in ("0",):
+            if open_upper:
+                w.upper = ("open_preceding", v)
+            elif v not in ("0",):
                 w.upper = ("preceding", v)
         # attributes, any order
         while True:
