@@ -571,7 +571,7 @@ def _derived_name(expr: list[Tok]) -> str:
     qualified) column ref names its last component, like Spark/the
     reference; anything else keeps its rendered text."""
     if all(t.kind == "name" or t.text == "." for t in expr) and expr[-1].kind == "name":
-        return expr[-1].text
+        return expr[-1].text.strip("`")
     return render(expr)
 
 

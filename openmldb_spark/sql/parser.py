@@ -296,6 +296,11 @@ class Parser:
             items.append(self.parse_select_item())
             if not self.accept(","):
                 break
+            # tolerate a trailing comma before FROM/WINDOW/... (the
+            # reference corpus has them, e.g. udaf_query.yaml id 7)
+            nxt = self.peek()
+            if nxt is None or nxt.upper in _CLAUSE_STOPS:
+                break
         return items
 
     def parse_select_item(self) -> SelectItem:

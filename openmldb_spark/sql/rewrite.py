@@ -173,6 +173,9 @@ def _agg_where(agg: str):
 
 
 TEMPLATES: dict[str, object] = {
+    # example expr udf the reference registers by default (x + 1; udaf_query
+    # cases use it as an aggregate input)
+    "inc": lambda x: f"(({x}) + 1)",
     "strcmp": _t_strcmp,
     "truncate": _t_truncate,
     "earth_distance": _t_earth_distance,
