@@ -244,12 +244,26 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
         if (
             t.kind == "name"
             and t.text.lower() == "xor"
-            and (nxt is None or nxt.text != "(")
             and not prev_dot
+            and bool(out)
         ):
             # infix logical XOR (dialect) == '!=' on booleans, including
-            # three-valued NULL behavior (test_logic.yaml id 2)
-            out.append(Tok("op", "!="))
+            # three-valued NULL behavior (test_logic.yaml id 2). Infix
+            # position = something already rendered on the left; `xor(`
+            # with nothing before it stays a call.
+            if not (nxt is not None and nxt.text == "(" and len(out) == 0):
+                out.append(Tok("op", "!="))
+                i += 1
+                continue
+        if (
+            t.kind == "name"
+            and t.text.lower() == "mod"
+            and not prev_dot
+            and bool(out)
+            and (nxt is None or nxt.text != "(")
+        ):
+            # infix MOD (dialect) -> '%' (Spark has only the call form)
+            out.append(Tok("op", "%"))
             i += 1
             continue
         if t.kind == "name" and nxt is not None and nxt.text == "(" and not prev_dot:
