@@ -183,7 +183,9 @@ def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec
     return df, framed, base
 
 
-def _collect_window(wdef: WindowDef, parts: list[Column]) -> WindowSpec:
+def _collect_window(
+    wdef: WindowDef, parts: list[Column], *, unbounded_rows: bool = False
+) -> WindowSpec:
     """The bounded frame the array path collects over (superset of the real
     frame; element filters narrow it down).
 
@@ -191,10 +193,17 @@ def _collect_window(wdef: WindowDef, parts: list[Column]) -> WindowSpec:
     inclusive, like the native path and the reference's stored-rows model
     (same-ts rows are all "stored" regardless of tie order). MAXSIZE then
     caps to the most recent rows of that peer-inclusive set.
+
+    ``unbounded_rows`` lifts the physical bound on ROWS frames — used by
+    INSTANCE_NOT_IN_WINDOW, where interleaved main rows would otherwise
+    consume frame slots before the eligibility filter runs (the collect is
+    then union-rows-only, so memory stays proportional to eligible rows).
     """
     base = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
     slack = wdef.lookback_slack if wdef.exclude_current_time else 0
     if wdef.rows is not None:
+        if unbounded_rows:
+            return base.rowsBetween(Window.unboundedPreceding, 0)
         return base.rowsBetween(-(wdef.rows + slack), 0)
     if wdef.unbounded:
         return base.rowsBetween(Window.unboundedPreceding, 0)
@@ -267,7 +276,23 @@ def window_agg(
         for i, (name, spec) in enumerate(array_specs.items()):
             for fk, fexpr in spec.fields.items():
                 struct_fields.append(fexpr.alias(f"f{i}_{fk}"))
-        elems = F.collect_list(F.struct(*struct_fields)).over(_collect_window(wdef, parts))
+        struct_col = F.struct(*struct_fields)
+        if instance_not_in_window:
+            # collect ONLY union-side rows (collect_list skips the nulls),
+            # over an unbounded frame for ROWS — a physical-slot bound
+            # can't account for interleaved ineligible main rows (same fix
+            # as _lag_col) — then append the current row's own struct when
+            # it's a main row. The eligibility filter below then never has
+            # anything to drop, and the take_last bound re-applies the
+            # frame size to ELIGIBLE rows.
+            elems = F.collect_list(
+                F.when(F.col(_FLAG) == F.lit(0), struct_col)
+            ).over(_collect_window(wdef, parts, unbounded_rows=True))
+            elems = F.when(
+                F.col(_FLAG) == F.lit(1), F.concat(elems, F.array(struct_col))
+            ).otherwise(elems)
+        else:
+            elems = F.collect_list(struct_col).over(_collect_window(wdef, parts))
         # pin (ord, rid) element order — RANGE-frame collects otherwise leave
         # same-ts peers in shuffle order (nondeterministic across runs)
         elems = F.array_sort(

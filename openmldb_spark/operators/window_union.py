@@ -41,17 +41,26 @@ def window_union(
     # aggregates' inputs are arbitrary exprs over the schema, so side tables
     # must share the main schema (reference requires matching schemas)
     flagged = main.withColumn(_FLAG, F.lit(1))
-    # main may carry engine-appended columns (e.g. outputs of an earlier
-    # named window applied in the same SELECT) that the union tables never
-    # had — NULL-fill those; the dialect's schema-match requirement applies
-    # to the USER table schema, and union rows' agg inputs only read shared
-    # columns
+    # main may carry ENGINE-appended columns (double-underscore names, e.g.
+    # outputs of an earlier named window applied in the same SELECT) that
+    # the union tables never had — NULL-fill those and only those; a USER
+    # column missing from a union table is a schema mismatch and raises,
+    # matching the reference (test_window_union.yaml ids 1-3 expect
+    # failure there)
     mtypes = {f.name: f.dataType for f in main.schema.fields}
     for u in unions:
-        proj = [
-            F.col(c) if c in u.columns else F.lit(None).cast(mtypes[c]).alias(c)
-            for c in main.columns
-        ]
+        proj = []
+        for c in main.columns:
+            if c in u.columns:
+                proj.append(F.col(c))
+            elif c.startswith("__"):
+                proj.append(F.lit(None).cast(mtypes[c]).alias(c))
+            else:
+                raise ValueError(
+                    f"WINDOW UNION table is missing column {c!r} of the main "
+                    "table (union table schemas must match; alias columns in "
+                    "a subquery to align them)"
+                )
         flagged = flagged.unionByName(u.select(*proj).withColumn(_FLAG, F.lit(0)))
     out = window_agg(
         flagged,

@@ -207,3 +207,29 @@ def test_union_lag_null_value_occupies_slot(spark):
     r = out.collect()[0]
     assert r["l1"] is None   # nearest union row has NULL value -> NULL, not 7
     assert r["l2"] == 7
+
+
+def test_union_rows_frame_survives_many_interleaved_main_rows(spark):
+    """ROWS-frame aggregates under INSTANCE_NOT_IN_WINDOW must see past any
+    number of interleaved main rows (the physical-slot collect truncated
+    after wdef.rows of them — found by ported test_window_union.yaml id 13,
+    fixed alongside the lag rewrite)."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef
+    from openmldb_spark.operators.window_union import window_union
+
+    # 2 union rows, then 500 main rows between them and the probe row
+    rows = [(i, "k", i + 10, i) for i in range(500)]
+    main = spark.createDataFrame(rows, "id long, pk1 string, ts long, col1 long")
+    side = spark.createDataFrame(
+        [(900, "k", 1, 7), (901, "k", 2, 11)],
+        "id long, pk1 string, ts long, col1 long",
+    )
+    wd = WindowDef(partition_by=["pk1"], order_by="ts", rows=2)
+    out = window_union(
+        main, [side], wd, {"s": A.sum_("col1")}, instance_not_in_window=True
+    )
+    r = {x["id"]: x["s"] for x in out.collect()}
+    # every main row's frame = last 2 union rows + itself
+    assert r[0] == 7 + 11 + 0
+    assert r[499] == 7 + 11 + 499

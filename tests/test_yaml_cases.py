@@ -101,9 +101,14 @@ def test_yaml_case(spark, path, case):
     from openmldb_spark.sql import sql
 
     tables = {inp["name"]: _build_df(spark, inp) for inp in case["inputs"]}
-    got_df = sql(spark, case["sql"], tables)
-
     exp = case["expect"]
+    if exp.get("error"):
+        # negative case (reference `expect: success: false`): the query
+        # must be rejected at plan/analysis time or fail on execution
+        with pytest.raises(Exception):
+            sql(spark, case["sql"], tables).collect()
+        return
+    got_df = sql(spark, case["sql"], tables)
     exp_schema = _parse_schema(exp["schema"])
     exp_rows = _parse_rows(exp["data"], exp_schema)
 
