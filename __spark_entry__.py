@@ -381,7 +381,20 @@ def q_last_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
     once-per-table layout cost the reference pays at CREATE INDEX time;
     every subsequent join/window on the key rides it for free. Result is
     identical to `last_join` (shared oracle shape)."""
+    import shutil
+    from pathlib import Path
+
     from openmldb_spark.catalog import IndexDef, save_bucketed
+
+    # a fresh session gets a fresh metastore, but the managed-table
+    # locations under spark-warehouse/ survive — drop both, or saveAsTable
+    # refuses with LOCATION_ALREADY_EXISTS (a persistent metastore
+    # deployment just uses mode=overwrite)
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    for t in ("omsk_bkt_orders", "omsk_bkt_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(Path(wh) / t, ignore_errors=True)
 
     o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
     li = (
