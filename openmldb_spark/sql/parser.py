@@ -4,7 +4,9 @@ Grammar pinned from the reference docs (``docs/en/openmldb_sql/dql/``):
 SELECT_STATEMENT.md (no top-level ORDER BY), JOIN_CLAUSE.md (LAST/LEFT only),
 WINDOW_CLAUSE.md (ROWS / ROWS_RANGE, PRECEDING..CURRENT only, UNION tables,
 MAXSIZE / EXCLUDE CURRENT_TIME / EXCLUDE CURRENT_ROW / INSTANCE_NOT_IN_WINDOW,
-OPEN bounds), plus WITH / UNION [ALL|DISTINCT] / LIMIT.
+OPEN lower AND upper bounds), plus WITH / UNION [ALL|DISTINCT] (parenthesized
+arms allowed) / LIMIT. Dialect lexical extras: float-suffix literals (0.0f),
+==, infix MOD/XOR, backtick quoting, trailing select-list commas.
 
 Scalar expressions are NOT parsed into an AST here — they are kept as token
 slices and handed to Spark's own SQL expression parser (``F.expr``) after
