@@ -115,6 +115,55 @@ _AGGS: dict[str, tuple[object, str]] = {
 }
 
 
+def _split_nested_aggs(
+    tokens: list[Tok], gen
+) -> tuple[list[Tok], dict[str, "A.AggSpec"]]:
+    """Split a scalar-over-aggregates expression (fz_sql shape:
+    ``identity(case when lag(d1, 1) != null then distinct_count(d1) else
+    bigint(1) end) OVER w``) into a residual scalar token stream and the
+    nested aggregate calls it references, each replaced by a generated
+    placeholder column name. Placeholders are filled by the window pass;
+    the residual is evaluated as a plain projection afterwards."""
+    from openmldb_spark.sql.rewrite import _split_top_commas
+
+    out: list[Tok] = []
+    subaggs: dict[str, "A.AggSpec"] = {}
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < n else None
+        prev_dot = bool(out) and out[-1].text == "."
+        if (
+            t.kind == "name"
+            and t.text.lower() in _AGGS
+            and nxt is not None
+            and nxt.text == "("
+            and not prev_dot
+        ):
+            depth, j = 0, i + 1
+            while j < n:
+                if tokens[j].text == "(":
+                    depth += 1
+                elif tokens[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if j >= n:  # unbalanced — leave as-is
+                out.append(t)
+                i += 1
+                continue
+            args = [a for a in _split_top_commas(tokens[i + 2 : j]) if a]
+            nm = f"__omsqlw_{next(gen)}"
+            subaggs[nm] = _build_agg(OverCall(t.text.lower(), args, window=""))
+            out.append(Tok("name", nm))
+            i = j + 1
+            continue
+        out.append(t)
+        i += 1
+    return out, subaggs
+
+
 def _build_agg(call: OverCall) -> "A.AggSpec":
     if call.func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
         return A.count_all()
@@ -306,15 +355,34 @@ class Lowerer:
         # group over-calls per window, apply window ops one window at a time
         gen = itertools.count()
         out_names: dict[int, str] = {}  # select-item index -> appended col
+        composite: dict[int, list[Tok]] = {}  # item index -> residual tokens
         per_window: dict[str, dict[str, "A.AggSpec"]] = {}
         for idx, it in enumerate(sel.items):
             if it.over is None:
                 continue
             if it.over.window not in sel.windows:
                 raise ValueError(f"unknown window {it.over.window!r}")
-            name = f"__omsqlw_{next(gen)}"
-            out_names[idx] = name
-            per_window.setdefault(it.over.window, {})[name] = _build_agg(it.over)
+            if it.over.func in _AGGS or it.over.func == "count":
+                name = f"__omsqlw_{next(gen)}"
+                out_names[idx] = name
+                per_window.setdefault(it.over.window, {})[name] = _build_agg(it.over)
+                continue
+            # composite: a scalar expression wrapping nested aggregates —
+            # `identity(case when lag(..) .. then distinct_count(..) ..)
+            # OVER w` (fz_sql shape). Each nested aggregate becomes its own
+            # window column; the scalar shell evaluates in the final
+            # projection.
+            # it.expr still carries the trailing `OVER wname` (parser keeps
+            # the full slice); _extract_over guarantees it's the last two
+            # tokens
+            residual, subaggs = _split_nested_aggs(it.expr[:-2], gen)
+            if not subaggs:
+                raise ValueError(
+                    f"aggregate {it.over.func!r} is not a window function of "
+                    "the dialect"
+                )
+            per_window.setdefault(it.over.window, {}).update(subaggs)
+            composite[idx] = residual
 
         skew_buckets = int(sel.config.get("skew_buckets", 0))
         for wname, aggs in per_window.items():
@@ -366,6 +434,8 @@ class Lowerer:
             pretty = it.alias or _derived_name(it.expr)
             if idx in out_names:
                 cols.append(F.col(out_names[idx]).alias(pretty))
+            elif idx in composite:
+                cols.append(F.expr(rewrite_expr(composite[idx])).alias(pretty))
             else:
                 cols.append(F.expr(rewrite_expr(it.expr)).alias(pretty))
         df = df.select(*cols)

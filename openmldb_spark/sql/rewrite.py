@@ -173,9 +173,10 @@ def _agg_where(agg: str):
 
 
 TEMPLATES: dict[str, object] = {
-    # example expr udf the reference registers by default (x + 1; udaf_query
-    # cases use it as an aggregate input)
+    # example expr udfs the reference registers by default (udaf_query /
+    # fz_sql cases use them around aggregate inputs/outputs)
     "inc": lambda x: f"(({x}) + 1)",
+    "identity": lambda x: f"({x})",
     "strcmp": _t_strcmp,
     "truncate": _t_truncate,
     "earth_distance": _t_earth_distance,
