@@ -565,12 +565,14 @@ def _extract_over(expr: list[Tok]) -> tuple[Optional[OverCall], list[Tok]]:
     if len(tail) != 1 or tail[0].kind != "name":
         raise SyntaxError("only named-window OVER references are supported")
     wname = tail[0].text
-    # head must be  name ( ... )
-    if not (len(head) >= 3 and head[0].kind == "name" and head[1].text == "(" and head[-1].text == ")"):
-        raise SyntaxError(f"cannot parse windowed call: {render(head)}")
-    fname = head[0].text.lower()
-    args = _split_args(head[2:-1])
-    return OverCall(fname, args, wname), expr
+    # plain form:  name ( ... ) OVER w
+    if len(head) >= 3 and head[0].kind == "name" and head[1].text == "(" and head[-1].text == ")":
+        fname = head[0].text.lower()
+        args = _split_args(head[2:-1])
+        return OverCall(fname, args, wname), expr
+    # composite form: an arbitrary expression of aggregates, e.g.
+    # `(sum(a) + count(b)) OVER w` — lowering splits the nested aggregates
+    return OverCall("", [], wname), expr
 
 
 def _split_args(tokens: list[Tok]) -> list[list[Tok]]:
