@@ -772,6 +772,22 @@ def q_embedding_lsh_topk_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
 
 
+def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF centroid-bucket top-k join — the inverted-file ANN scale path
+    (pipeline/similarity.ivf_topk_join): md5-hash-sampled centroids,
+    argmax-cosine assignment, nprobe-bucket candidates, all sequential JVM
+    folds — bit-reproducible in DuckDB (full rows+schema+hash oracle, the
+    same portability contract as embedding_lsh_topk_join)."""
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 30)
+    out = S.ivf_topk_join(
+        emb, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=5, n_centroids=16,
+        nprobe=4, seed=42,
+    )
+    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+
+
 def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
     """Training-instance formatters (feature_signature_def.cc): libsvm +
     csv instances from signed columns."""
@@ -1055,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_topk_join": q_embedding_lsh_topk_join,
+        "embedding_ivf_topk_join": q_embedding_ivf_topk_join,
     }
 
 
@@ -1295,6 +1312,55 @@ def oracle_sql() -> dict[str, str]:
             FROM j
             QUALIFY row_number() OVER (PARTITION BY o_orderkey
                      ORDER BY ship_ms DESC NULLS LAST, l_linenumber DESC NULLS LAST, l_partkey DESC NULLS LAST) = 1
+        """,
+        "embedding_ivf_topk_join": """
+            WITH hashed AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     ('0x' || substr(md5('42|' || vec_id), 1, 15))::BIGINT AS h
+              FROM embeddings
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv
+              FROM (SELECT h, vec_id, v FROM hashed ORDER BY h, vec_id LIMIT 16)
+            ), ev AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+              FROM hashed
+            ), cn AS (
+              SELECT cidx, cv,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm
+              FROM cent
+            ), paired AS (
+              SELECT e.vec_id, c.cidx,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(e.v, c.cv),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                         (a, b) -> a + b) / (e.nrm * c.cnrm) AS ccos
+              FROM ev e CROSS JOIN cn c
+            ), ca AS (
+              SELECT vec_id, cidx FROM paired
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cidx ASC) = 1
+            ), qa AS (
+              SELECT vec_id, cidx FROM paired WHERE vec_id < 30
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cidx ASC) <= 4
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(eq.v, ec.v),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                         (a, b) -> a + b) / (eq.nrm * ec.nrm) AS cos
+              FROM qa q JOIN ca c USING (cidx)
+              JOIN ev eq ON eq.vec_id = q.vec_id
+              JOIN ev ec ON ec.vec_id = c.vec_id
+              WHERE q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
         """,
         "udaf_where": """
             SELECT l_returnflag,

@@ -342,3 +342,203 @@ def lsh_topk_join(
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k — the inverted-file ANN scale
+    path next to :func:`lsh_topk`'s hyperplane one.
+
+    Every corpus vector belongs to the bucket of its nearest centroid
+    (argmax cosine over a broadcast centroid matrix, computed inline per
+    Arrow batch); each query probes its ``nprobe`` nearest centroids and
+    exact-scores only those buckets' members. ``nprobe == n_centroids``
+    degenerates to brute force; the dial trades recall for the fraction
+    of the corpus scored (~nprobe/n_centroids on balanced buckets).
+
+    Centroids are hash-sampled corpus vectors — the ``n_centroids`` rows
+    with smallest ``xxhash64(seed|id)``, a deterministic sampling that is
+    stable across runs and cluster sizes (TakeOrdered: no full sort). At
+    real scale swap in k-means-trained centroids for tighter buckets; the
+    plumbing (assign/probe/score) is identical.
+
+    Queries are broadcast (the serving shape); the corpus streams through
+    exactly once, one numpy matmul per batch, never materializing the
+    corpus×query cross join. Output schema matches
+    :func:`brute_force_topk`; fewer than k rows per query can return when
+    the probed buckets are small.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    cent_rows = (
+        corpus.select(corpus_id, corpus_vec)
+        .withColumn("__h", F.xxhash64(F.concat_ws("|", F.lit(seed), F.col(corpus_id))))
+        .orderBy("__h")
+        .limit(int(n_centroids))
+        .collect()
+    )
+    Cen = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    cen_n = np.linalg.norm(Cen, axis=1, keepdims=True)
+    cen_n[cen_n == 0.0] = 1.0
+    CenN = Cen / cen_n
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    npb = min(int(nprobe), CenN.shape[0])
+    # per-query probe set: nprobe nearest centroids by cosine
+    qc = Qn @ CenN.T                       # (n_queries, n_centroids)
+    probes = np.argsort(-qc, axis=1)[:, :npb]
+    bc = spark.sparkContext.broadcast((qids, Qn, probes, CenN))
+
+    id_t = _id_sql_type(corpus, corpus_id)
+    out_schema = f"query_id {_id_sql_type(queries, query_id)}, neighbor_id {id_t}, cos double"
+
+    def score(batches: Iterator["object"]) -> Iterator["object"]:
+        import pandas as pd
+
+        qids_l, Qn_l, probes_l, CenN_l = bc.value
+        qarr = np.asarray(qids_l)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.asarray(list(pdf[corpus_vec]), dtype=np.float64)
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            cn[cn == 0.0] = 1.0
+            Cn = C / cn
+            assign = np.argmax(Cn @ CenN_l.T, axis=1)  # (batch,) bucket ids
+            cids = pdf[corpus_id].to_numpy()
+            outs = []
+            for qi in range(len(qarr)):
+                mask = np.isin(assign, probes_l[qi])
+                if not mask.any():
+                    continue
+                cos = Cn[mask] @ Qn_l[qi]
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qarr[qi],
+                            "neighbor_id": cids[mask],
+                            "cos": cos,
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs)
+
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    scored = (
+        corpus.select(corpus_id, corpus_vec)
+        .repartition(n_part)
+        .mapInPandas(score, out_schema)
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    exclude_self: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k as a centroid-bucket equi-join — the
+    corpus-vs-corpus scale path (no driver collect anywhere), and the
+    oracle-checkable sibling of :func:`ivf_topk`.
+
+    Centroids are the ``n_centroids`` corpus rows with smallest portable
+    md5 hash (computable identically in any SQL engine); every corpus row
+    joins the tiny broadcast centroid table, keeps its argmax-cosine
+    centroid (ties broken by centroid index — same rule as numpy argmax),
+    and every query keeps its ``nprobe`` best centroids. Candidates come
+    from the centroid-index equi-join; cosines are sequential JVM folds
+    (``F.aggregate``), so scores and ranks are bit-reproducible in the
+    DuckDB oracle — the same portability contract as
+    ``lsh_topk_join(portable=True)``.
+
+    Shuffles: TakeOrdered for centroids, one broadcast-join + window per
+    side for assignment, one equi-join on centroid index, one rank window.
+    Per-centroid bucket size is the only fan-out; ``max_bucket`` drops
+    degenerate buckets.
+    """
+    spark = corpus.sparkSession  # noqa: F841  (parallel with lsh_topk_join)
+
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col("__cent_src"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    cent = (
+        corpus.select(F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("__cent_v"))
+        .withColumn("__h", h)
+        .orderBy("__h", "__cent_src")
+        .limit(int(n_centroids))
+    )
+    cent = (
+        cent.withColumn(
+            "__cidx",
+            F.row_number().over(Window.orderBy("__h", "__cent_src")) - 1,
+        )
+        .select("__cidx", "__cent_v")
+    )
+
+    def assign(df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int) -> DataFrame:
+        proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+        paired = proj.crossJoin(F.broadcast(cent)).select(
+            out_id,
+            "__v",
+            "__cidx",
+            cosine(F.col("__v"), F.col("__cent_v")).alias("__ccos"),
+        )
+        w = Window.partitionBy(out_id).orderBy(F.col("__ccos").desc(), F.col("__cidx").asc())
+        return (
+            paired.withColumn("__crn", F.row_number().over(w))
+            .filter(F.col("__crn") <= keep)
+            .drop("__ccos", "__crn")
+        )
+
+    ca = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1).withColumnRenamed("__v", "__cv")
+    qa = assign(queries, query_id, query_vec, "query_id", min(int(nprobe), int(n_centroids)))
+    qa = qa.withColumnRenamed("__v", "__qv")
+    if max_bucket is not None:
+        ca = ca.withColumn(
+            "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__cidx"))
+        ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
+
+    scored = qa.join(ca, "__cidx").select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -333,3 +333,73 @@ def test_jaccard_dedup_hot_token_df_cap(spark):
         ).select("doc_id").collect()
     )
     assert uncapped == [0, 100]
+
+
+def test_ivf_topk_full_probe_equals_bruteforce(spark):
+    """nprobe == n_centroids scores every bucket -> exact brute force."""
+    import random
+
+    from openmldb_spark.pipeline import similarity as S
+
+    rng = random.Random(3)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding",
+              query_id="vec_id", query_vec="embedding", k=4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.brute_force_topk(df, q, **kw).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in S.ivf_topk(df, q, n_centroids=6, nprobe=6, **kw).collect()}
+    assert ivf == exact
+
+
+def test_ivf_topk_clustered_recall(spark):
+    """On well-separated clusters a single-probe IVF search still finds the
+    exact in-cluster neighbors (the point of the bucket structure)."""
+    import random
+
+    from openmldb_spark.pipeline import similarity as S
+
+    rng = random.Random(9)
+    rows = []
+    for c in range(4):                       # 4 orthogonal-ish clusters
+        base = [0.0] * 8
+        base[c * 2] = 1.0
+        for i in range(25):
+            rows.append(
+                (c * 100 + i,
+                 [b + rng.uniform(-0.05, 0.05) for b in base])
+            )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id").isin(0, 100, 200, 300))
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding",
+              query_id="vec_id", query_vec="embedding", k=5)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.brute_force_topk(df, q, **kw).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in S.ivf_topk(df, q, n_centroids=12, nprobe=3, **kw).collect()}
+    # every exact neighbor is in the same cluster as its query, and a
+    # 3-probe search over 12 hash-sampled centroids must recover them all
+    hits = sum(1 for key, nb in exact.items() if ivf.get(key) == nb)
+    assert hits / len(exact) >= 0.9, f"recall {hits}/{len(exact)}"
+
+
+def test_ivf_topk_join_full_probe_equals_bruteforce(spark):
+    """Join-variant IVF with nprobe == n_centroids probes every bucket —
+    exact brute force, with zero driver-side collects in the plan."""
+    import random
+
+    from openmldb_spark.pipeline import similarity as S
+
+    rng = random.Random(5)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 5)
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding",
+              query_id="vec_id", query_vec="embedding", k=4)
+    exact = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in S.brute_force_topk(df, q, **kw).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in S.ivf_topk_join(df, q, n_centroids=5, nprobe=5, **kw).collect()}
+    assert ivf == exact
