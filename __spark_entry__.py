@@ -86,17 +86,6 @@ def q_group_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_having(spark: SparkSession, sf: str) -> DataFrame:
-    """GROUP BY + HAVING (filter over aggregate)."""
-    o = load_table(spark, sf, "orders")
-    return R.group_agg(
-        o,
-        ["o_custkey"],
-        {"n_orders": F.count(F.lit(1)), "total": F.round(F.sum("o_totalprice"), 4)},
-        having=F.count(F.lit(1)) >= 5,
-    )
-
-
 def q_distinct(spark: SparkSession, sf: str) -> DataFrame:
     """PhysicalDistinctNode."""
     li = load_table(spark, sf, "lineitem")
@@ -834,33 +823,21 @@ def q_long_window_preagg(spark: SparkSession, sf: str) -> DataFrame:
 # ===========================================================================
 
 
-def q_sql_scalars(spark: SparkSession, sf: str) -> DataFrame:
-    """Text path: dialect scalar names (lcase/strcmp/if_null/truncate)
-    rewritten to Spark SQL and executed by Catalyst."""
-    from openmldb_spark.sql import sql as osql
-
-    return osql(
-        spark,
-        """
-        SELECT c_custkey, lcase(c_name) AS lname,
-               strcmp(c_mktsegment, 'BUILDING') AS cmp,
-               if_null(c_name, 'x') AS nn,
-               substr(c_name, 2, 6) AS mid,
-               truncate(c_acctbal) AS tb
-        FROM customer WHERE c_acctbal > 0
-        """,
-        {"customer": load_table(spark, sf, "customer")},
-    )
-
-
 def q_sql_group(spark: SparkSession, sf: str) -> DataFrame:
-    """Text path: GROUP BY + HAVING + count_where rewrite."""
+    """Text path: GROUP BY + HAVING + count_where rewrite, plus the dialect
+    scalar-name rewrites (lcase/strcmp/if_null/truncate) that the retired
+    sql_scalars gate query used to cover — folded here to keep the registry
+    within the driver's 50-row artifact cap (round-5 item 1)."""
     from openmldb_spark.sql import sql as osql
 
     return osql(
         spark,
         """
-        SELECT event_type, count(*) AS n, round(sum(value), 4) AS sv,
+        SELECT event_type, lcase(event_type) AS lt,
+               strcmp(event_type, 'click') AS cmpc,
+               substr(if_null(event_type, 'x'), 1, 3) AS pre,
+               count(*) AS n, round(sum(value), 4) AS sv,
+               truncate(avg(value)) AS ta,
                count_where(value, value > 100) AS big
         FROM events GROUP BY event_type HAVING count(*) > 10
         """,
@@ -1015,7 +992,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_project_filter": q_scan_project_filter,
         "const_project": q_const_project,
         "group_agg": q_group_agg,
-        "having": q_having,
         "distinct": q_distinct,
         "set_ops": q_set_ops,
         "sort_limit": q_sort_limit,
@@ -1052,7 +1028,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # long-window pre-agg
         "long_window_preagg": q_long_window_preagg,
         # SQL front end
-        "sql_scalars": q_sql_scalars,
         "sql_group": q_sql_group,
         "sql_window": q_sql_window,
         "sql_window_union": q_sql_window_union,
@@ -1096,10 +1071,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS count_order
             FROM lineitem WHERE epoch_ms(l_shipdate) <= 904694400000
             GROUP BY l_returnflag, l_linestatus
-        """,
-        "having": """
-            SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
-            FROM orders GROUP BY o_custkey HAVING count(*) >= 5
         """,
         "distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         "set_ops": """
@@ -1645,18 +1616,14 @@ def oracle_sql() -> dict[str, str]:
               AND epoch_ms(e.ts) BETWEEN r.t - 21600000 AND r.t
             GROUP BY r.event_id, r.user_id
         """,
-        "sql_scalars": """
-            SELECT c_custkey, lower(c_name) AS lname,
-                   CASE WHEN c_mktsegment < 'BUILDING' THEN -1
-                        WHEN c_mktsegment > 'BUILDING' THEN 1
-                        WHEN c_mktsegment = 'BUILDING' THEN 0 END AS cmp,
-                   coalesce(c_name, 'x') AS nn,
-                   substr(c_name, 2, 6) AS mid,
-                   CAST(trunc(c_acctbal) AS DOUBLE) AS tb
-            FROM customer WHERE c_acctbal > 0
-        """,
         "sql_group": """
-            SELECT event_type, count(*) AS n, round(CAST(sum(value) AS DOUBLE), 4) AS sv,
+            SELECT event_type, lower(event_type) AS lt,
+                   CASE WHEN event_type < 'click' THEN -1
+                        WHEN event_type > 'click' THEN 1
+                        WHEN event_type = 'click' THEN 0 END AS cmpc,
+                   substr(coalesce(event_type, 'x'), 1, 3) AS pre,
+                   count(*) AS n, round(CAST(sum(value) AS DOUBLE), 4) AS sv,
+                   CAST(trunc(avg(value)) AS DOUBLE) AS ta,
                    count(CASE WHEN value > 100 THEN value END) AS big
             FROM events GROUP BY event_type HAVING count(*) > 10
         """,

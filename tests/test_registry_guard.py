@@ -14,6 +14,18 @@ import __spark_entry__ as entry
 import bench
 
 
+def test_registry_fits_driver_row_cap():
+    # Round 4 proved the driver records at most 50 CORRECTNESS rows: the
+    # registry grew to 52 and the two newest entries silently lost their
+    # driver rows. Growth past 50 must force an explicit retire/merge
+    # decision, never a silent truncation of the gate.
+    n = len(entry.queries())
+    assert n <= 50, (
+        f"queries() has {n} entries but the driver artifact caps at 50 — "
+        "retire or merge a redundant gate query before adding more"
+    )
+
+
 def test_bench_queries_subset_of_queries():
     qs = set(entry.queries())
     missing = [n for n in bench.BENCH_QUERIES if n not in qs]
