@@ -477,19 +477,22 @@ def ivf_topk_join(
     oracle-checkable sibling of :func:`ivf_topk`.
 
     Centroids are the ``n_centroids`` corpus rows with smallest portable
-    md5 hash (computable identically in any SQL engine); every corpus row
-    joins the tiny broadcast centroid table, keeps its argmax-cosine
-    centroid (ties broken by centroid index — same rule as numpy argmax),
-    and every query keeps its ``nprobe`` best centroids. Candidates come
-    from the centroid-index equi-join; cosines are sequential JVM folds
-    (``F.aggregate``), so scores and ranks are bit-reproducible in the
-    DuckDB oracle — the same portability contract as
-    ``lsh_topk_join(portable=True)``.
+    md5 hash (computable identically in any SQL engine), collapsed to a
+    single broadcast row holding an array of (index, vector) structs;
+    every row picks its centroids with a per-row ``array_sort`` over that
+    array ((cos desc, centroid index asc) — same tie rule as numpy
+    argmax), so assignment is zero-shuffle: no crossJoin fan-out, no
+    row_number window keyed by row id (round-4's scale-killer). Cosines
+    are sequential JVM folds (``F.aggregate``), so scores and ranks are
+    bit-reproducible in the DuckDB oracle — the same portability contract
+    as ``lsh_topk_join(portable=True)``.
 
-    Shuffles: TakeOrdered for centroids, one broadcast-join + window per
-    side for assignment, one equi-join on centroid index, one rank window.
-    Per-centroid bucket size is the only fan-out; ``max_bucket`` drops
-    degenerate buckets.
+    Shuffles: TakeOrdered + a ≤n_centroids-row sort/agg for the centroid
+    array, broadcast of the query side of the centroid-index equi-join
+    (the corpus never shuffles on bucket), one rank window on
+    (query_id). Per-centroid bucket size is the only fan-out;
+    ``max_bucket`` drops degenerate buckets via a tiny count-agg +
+    broadcast join (never a window over the vector payload).
     """
     spark = corpus.sparkSession  # noqa: F841  (parallel with lsh_topk_join)
 
@@ -512,30 +515,55 @@ def ivf_topk_join(
         .select("__cidx", "__cent_v")
     )
 
+    # Collapse the centroid table to ONE row holding an array of
+    # (index, vector) structs, broadcast it, and pick each row's centroids
+    # with a per-row array sort — the ×n_centroids crossJoin fan-out and the
+    # row_number shuffle of the full (id, vector) payload keyed by row id
+    # (round-4's scale-killer) are gone: assignment is now zero-shuffle.
+    cent_arr = cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__cidx").alias("i"), F.col("__cent_v").alias("v")))
+        ).alias("__cents")
+    )
+
     def assign(df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int) -> DataFrame:
         proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-        paired = proj.crossJoin(F.broadcast(cent)).select(
-            out_id,
-            "__v",
-            "__cidx",
-            cosine(F.col("__v"), F.col("__cent_v")).alias("__ccos"),
+        # (cos desc, centroid index asc) — same total order the old
+        # row_number window used, so picks and ties are unchanged.
+        ranked = F.array_sort(
+            F.transform(
+                F.col("__cents"),
+                lambda c: F.struct(
+                    cosine(F.col("__v"), c["v"]).alias("c"), c["i"].alias("i")
+                ),
+            ),
+            lambda x, y: F.when(x["c"] > y["c"], F.lit(-1))
+            .when(x["c"] < y["c"], F.lit(1))
+            .otherwise(x["i"].cast("int") - y["i"].cast("int")),
         )
-        w = Window.partitionBy(out_id).orderBy(F.col("__ccos").desc(), F.col("__cidx").asc())
         return (
-            paired.withColumn("__crn", F.row_number().over(w))
-            .filter(F.col("__crn") <= keep)
-            .drop("__ccos", "__crn")
+            proj.crossJoin(F.broadcast(cent_arr))
+            .select(out_id, "__v", F.explode(F.slice(ranked, 1, keep)).alias("__pick"))
+            .select(out_id, "__v", F.col("__pick.i").alias("__cidx"))
         )
 
     ca = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1).withColumnRenamed("__v", "__cv")
     qa = assign(queries, query_id, query_vec, "query_id", min(int(nprobe), int(n_centroids)))
     qa = qa.withColumnRenamed("__v", "__qv")
     if max_bucket is not None:
-        ca = ca.withColumn(
-            "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__cidx"))
-        ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
+        # bucket sizes via partial-agg (map-side combine shuffles only
+        # ≤ n_centroids count rows) + broadcast join back — not a window
+        # over the full (id, vector) payload.
+        bsize = ca.groupBy("__cidx").agg(F.count(F.lit(1)).alias("__bsize"))
+        ca = (
+            ca.join(F.broadcast(bsize), "__cidx")
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
 
-    scored = qa.join(ca, "__cidx").select(
+    # queries are the small side (serving shape) — broadcast them so the
+    # corpus assignment never shuffles on __cidx either.
+    scored = ca.join(F.broadcast(qa), "__cidx").select(
         "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
     )
     if exclude_self:
