@@ -387,15 +387,27 @@ def _lag_ignore_nulls(v: Column, offset: int) -> Column:
     """``lag(v, offset) IGNORE NULLS`` — the Scala ``functions.lag`` has an
     ignoreNulls overload (since Spark 3.2) that pyspark doesn't surface (as
     of 4.1), so cross the py4j bridge for it. Codegen'd offset-window
-    function; no frame, no collect."""
+    function; no frame, no collect.
+
+    Classic-JVM only: relies on ``spark._jvm`` / ``Column._jc``, which do
+    not exist under Spark Connect — fail loudly there instead of with an
+    opaque AttributeError (ADVICE r4). Revisit once pyspark surfaces the
+    ignoreNulls overload natively."""
     from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if getattr(spark, "_jvm", None) is None or not hasattr(v, "_jc"):
+        raise NotImplementedError(
+            "lag(... IGNORE NULLS) needs the classic py4j bridge "
+            "(Scala functions.lag ignoreNulls overload); not available "
+            "under Spark Connect until pyspark exposes it"
+        )
 
     try:
         from pyspark.sql.classic.column import Column as _JCol
     except ImportError:  # pre-4.0 layout
         from pyspark.sql.column import Column as _JCol  # type: ignore
 
-    spark = SparkSession.getActiveSession()
     jc = spark._jvm.org.apache.spark.sql.functions.lag(v._jc, offset, None, True)
     return _JCol(jc)
 

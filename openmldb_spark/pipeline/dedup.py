@@ -447,21 +447,24 @@ def jaccard_dedup(
     64-bit shingle hashes equals string-shingle Jaccard up to a ~2^-64
     per-pair collision, far below any realistic corpus size).
 
-    Prefix-index hygiene: df=1 tokens are dropped (can never pair), and
-    tokens with document frequency above ``max_token_df`` (default:
-    ``max_bucket``) are dropped too — the boilerplate guard. A token in d
-    docs' prefixes contributes O(d^2) join pairs; one boilerplate shingle
-    at 100 TB would otherwise go quadratic, exactly the failure
-    ``max_bucket`` guards against on the banding path. Trade-off: a pair
-    whose ENTIRE prefix overlap is capped hot tokens is missed
-    (DIVERGENCES #14); rare-token-first ordering makes that pathological.
+    Prefix-index hygiene: df=1 tokens are always dropped (they can never
+    pair — recall-safe). ``max_token_df`` additionally drops tokens whose
+    document frequency exceeds it — the boilerplate guard for 100 TB
+    corpora, where a token in d docs' prefixes contributes O(d^2) join
+    pairs. The cap is **opt-in** on the exact path (default None): it
+    breaks the prefix lemma's 100%-recall guarantee for pairs whose entire
+    prefix overlap is capped hot tokens (DIVERGENCES #14), so turning it
+    on silently would make "exact" quietly approximate and would drift
+    from the all-pairs SQL oracle as document frequencies grow with scale
+    (ADVICE r4). On the banding path (``exact=False``) recall is already
+    probabilistic and ``max_bucket`` plays the same role.
     """
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     ex = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
     if exact:
         t = float(threshold)
-        cap = int(max_token_df) if max_token_df is not None else int(max_bucket)
+        cap = int(max_token_df) if max_token_df is not None else None
         # per-doc distinct shingle-hash set: prefix source + exact verify.
         # persisted — it feeds the prefix index and both verify sides.
         per_doc = ex.groupBy("__dd_id").agg(
@@ -479,14 +482,13 @@ def jaccard_dedup(
             Window.partitionBy("__dd_id").orderBy(F.col("__df").asc(), F.col("__dd_h").asc())
         )
         plen = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
+        filt = (F.col("__rn") <= plen) & (F.col("__df") > 1)
+        if cap is not None:
+            filt = filt & (F.col("__df") <= F.lit(cap))
         pref = (
             exd.join(dfreq, "__dd_h")
             .withColumn("__rn", rn)
-            .filter(
-                (F.col("__rn") <= plen)
-                & (F.col("__df") > 1)
-                & (F.col("__df") <= F.lit(cap))
-            )
+            .filter(filt)
             .select("__dd_id", "__n", F.col("__dd_h").alias("__ph"))
         )
         a = pref.select(F.col("__dd_id").alias("a"), F.col("__n").alias("na"), "__ph")

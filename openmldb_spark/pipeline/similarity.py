@@ -398,7 +398,9 @@ def ivf_topk(
     qrows = queries.select(query_id, query_vec).collect()
     qids = [r[0] for r in qrows]
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_n = np.linalg.norm(Q, axis=1, keepdims=True)
+    q_n[q_n == 0.0] = 1.0  # all-zero query: cos 0 everywhere, not NaN ranks
+    Qn = Q / q_n
     npb = min(int(nprobe), CenN.shape[0])
     # per-query probe set: nprobe nearest centroids by cosine
     qc = Qn @ CenN.T                       # (n_queries, n_centroids)

@@ -250,12 +250,13 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
         ):
             # infix logical XOR (dialect) == '!=' on booleans, including
             # three-valued NULL behavior (test_logic.yaml id 2). Infix
-            # position = something already rendered on the left; `xor(`
-            # with nothing before it stays a call.
-            if not (nxt is not None and nxt.text == "(" and len(out) == 0):
-                out.append(Tok("op", "!="))
-                i += 1
-                continue
+            # position = something already rendered on the left. A
+            # parenthesized right operand (`a xor (b)`) still renders
+            # validly as `a != (b)`; Spark has no call-form xor to
+            # preserve, so infix is the only live reading here.
+            out.append(Tok("op", "!="))
+            i += 1
+            continue
         if (
             t.kind == "name"
             and t.text.lower() == "mod"

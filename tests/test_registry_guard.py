@@ -45,3 +45,30 @@ def test_every_query_has_oracle_or_documented_exemption():
     oracles = set(entry.oracle_sql())
     unexplained = qs - oracles - exempt
     assert not unexplained, f"queries() entries with no oracle and no exemption: {unexplained}"
+
+
+def test_coverage_md_query_names_exist():
+    # COVERAGE.md cites driver gate queries in the last column of its
+    # tables; a rename/retire in queries() must update the doc (round-4
+    # verdict found five stale names). Scan last-column backticked tokens
+    # that look like registry names; test/module/file refs are excluded by
+    # shape (dots, slashes, colons, parens, test_ prefix).
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "COVERAGE.md")
+    with open(path) as f:
+        lines = f.readlines()
+    qs = set(entry.queries())
+    stale = []
+    for ln in lines:
+        if not ln.strip().startswith("|"):
+            continue
+        cells = [c.strip() for c in ln.strip().strip("|").split("|")]
+        if len(cells) < 2:
+            continue
+        for tok in re.findall(r"`([a-z][a-z0-9_]*)`", cells[-1]):
+            if tok.startswith("test_"):
+                continue
+            if tok not in qs:
+                stale.append(tok)
+    assert not stale, f"COVERAGE.md cites query names not in queries(): {sorted(set(stale))}"
