@@ -7,6 +7,16 @@ Queries chosen to cover the engine's hot paths: scan+group-agg (Catalyst
 hash agg), sliding windows (native WindowExec), array-eval windows (MAXSIZE),
 LAST JOIN (dedupe-right plan), window-union, minhash dedup (HOF pipeline),
 embedding top-k (broadcast NL join), text quality (pure projection).
+
+Adjudication of the r2->r4 last_join drift (0.818s -> 2.082s on an
+unchanged plan): reproducible, not host noise — the row_number-window
+dedupe's generated code needed ~6 executions to JIT-warm (fresh-JVM reps
+measured [3.5, 2.9, 3.5, 3.4, 4.1, 3.4, 1.3, 1.1]s at sf0.1), so
+best-of-2 always sampled the cold tier. Fixed at the root in round 5: the
+dedupe-right plan now uses max_by(payload, (order, tiebreaks)) — a hash
+aggregate with map-side partial combine that both JIT-warms immediately
+(fresh-JVM best-of-3: 0.44s) and shuffles at most one candidate per key
+per input partition instead of every right row.
 """
 
 from __future__ import annotations

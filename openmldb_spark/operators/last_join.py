@@ -13,10 +13,13 @@ reference's own Spark lowering does the same with dropDuplicates,
 Two Spark-first lowerings:
 
 - **dedupe-right** (used when the join condition is keys-only): reduce the
-  right side to one row per key via ``row_number() == 1`` *before* the join,
-  then a plain left join. The heavy table never fans out; the deduped right
-  is usually small enough for AQE to broadcast. This is the 100 TB path:
-  shuffle(right) by keys -> shrink to |distinct keys| -> broadcast/SMJ.
+  right side to one row per key via ``max_by(payload, (order, tiebreaks))``
+  *before* the join, then a plain left join. The aggregate partial-combines
+  map-side (the shuffle carries at most one candidate per key per input
+  partition — a row_number window would shuffle every row and sort); the
+  deduped right is usually small enough for AQE to broadcast. This is the
+  100 TB path: partial-agg(right) -> shrink to |distinct keys| ->
+  broadcast/SMJ.
 - **post-filter** (extra non-equi condition): left join, then keep the
   max-order row per left row id. Costs a fan-out proportional to match
   multiplicity; only used when semantics demand it. A condition that
@@ -124,13 +127,43 @@ def last_join(
         condition = None
 
     if condition is None:
-        # dedupe-right plan: one row per key before the join
-        w = Window.partitionBy(*[r for _, r in pairs]).orderBy(*order_cols)
-        deduped = (
-            right.withColumn("__omsk_rn", F.row_number().over(w))
-            .filter(F.col("__omsk_rn") == 1)
-            .drop("__omsk_rn")
-        )
+        # dedupe-right plan: one row per key before the join, via
+        # max_by(payload, (order, tiebreaks)) — a hash aggregate with
+        # map-side partial combine, so the shuffle carries at most one
+        # candidate row per key per input partition. (Rounds 1-4 used a
+        # row_number window here: that shuffles EVERY right row and sorts
+        # each partition — strictly worse at scale, and its codegen took
+        # ~6 executions to JIT-warm, which is what the r2→r4 last_join
+        # bench drift was.) Struct comparison is field-by-field with NULL
+        # smallest, so max picks exactly the row row_number(desc_nulls_last)
+        # ranked first: the isNotNull flag makes any non-null order value
+        # beat every null one, ties fall through to the tiebreak fields.
+        ord_fields: list[Column] = []
+        if order_by is not None:
+            ord_fields.append(F.col(order_by).isNotNull().alias("__nn"))
+            ord_fields.append(F.col(order_by).alias("__o"))
+        ord_fields.extend(F.col(t).alias(f"__t{i}") for i, t in enumerate(tiebreaks))
+        # keys come back from the groupBy output (so Catalyst keeps the
+        # hash-partitioning on them — struct-field extraction would hide
+        # it and re-shuffle the join, breaking the bucketed zero-Exchange
+        # layout); only non-key columns ride in the max_by payload.
+        keyset = {r for _, r in pairs}
+        nonkey_idx = [i for i, c in enumerate(right.columns) if c not in keyset]
+        if nonkey_idx:
+            # positional __f{i} payload fields: robust to duplicate column
+            # names on the right (the SQL front end's subqueries allow them)
+            payload = F.struct(*[right[i].alias(f"__f{i}") for i in nonkey_idx])
+            agged = right.groupBy(*[F.col(r) for _, r in pairs]).agg(
+                F.max_by(payload, F.struct(*ord_fields)).alias("__omsk_s")
+            )
+            deduped = agged.select(
+                *[
+                    F.col(c) if c in keyset else F.col(f"__omsk_s.__f{i}").alias(c)
+                    for i, c in enumerate(right.columns)
+                ]
+            )
+        else:
+            deduped = right.distinct()
         for old, new in renames.items():
             deduped = deduped.withColumnRenamed(old, new)
         cond = None

@@ -524,15 +524,46 @@ class Lowerer:
 
         equi = self._equi_right_keys(j.on, ralias)
         if equi is not None:
-            # scale plan: dedupe right to one row per key, then plain left
-            # join — no per-left-row shuffle, broadcast-able by AQE
-            w = Window.partitionBy(*[F.col(f"{ralias}.{c}") for c in equi]).orderBy(
-                *order_cols
+            # scale plan: dedupe right to one row per key via
+            # max_by(payload, (order, ~hash)) — partial map-side combine
+            # (at most one candidate per key per input partition reaches
+            # the shuffle; the old row_number window shuffled every row),
+            # then plain left join — broadcast-able by AQE. Struct-max
+            # picks exactly the window's rank-1 row: isNotNull flag =
+            # desc_nulls_last, bitwise NOT flips the hash so max(~h) is
+            # the window's asc-first h (no negation overflow: ~x = -x-1
+            # is strictly order-reversing on longs).
+            ord_fields: list[Column] = []
+            for ob in j.order_by or []:
+                e = F.expr(rewrite_expr(ob))
+                ord_fields.append(e.isNotNull())
+                ord_fields.append(e)
+            ord_fields.append(F.bitwise_not(tiebreak))
+            ord_struct = F.struct(
+                *[f.alias(f"__o{i}") for i, f in enumerate(ord_fields)]
             )
+            # keys come back from the groupBy output so their partitioning
+            # survives to the join (struct-field extraction would hide it
+            # and force a re-shuffle); non-keys ride in the payload.
+            keyset = set(equi)
+            nonkey_idx = [i for i, c in enumerate(rcols) if c not in keyset]
+            if not nonkey_idx:
+                dd = right.distinct().alias(ralias)
+                return left.join(dd, F.expr(rewrite_expr(j.on)), "left")
+            # positional payload fields: the dialect permits DUPLICATE
+            # projected names in the right subquery (last_join_where.yaml
+            # id 1 projects c4 twice) — name-based struct extraction would
+            # be ambiguous, positional __f{i} aliases re-created as the
+            # original names are not.
+            payload = F.struct(*[right[i].alias(f"__f{i}") for i in nonkey_idx])
+            sel = [
+                F.col(c) if c in keyset else F.col(f"__omsk_s.__f{i}").alias(c)
+                for i, c in enumerate(rcols)
+            ]
             dd = (
-                right.withColumn(_RN, F.row_number().over(w))
-                .filter(F.col(_RN) == 1)
-                .drop(_RN)
+                right.groupBy(*[F.col(f"{ralias}.{c}") for c in equi])
+                .agg(F.max_by(payload, ord_struct).alias("__omsk_s"))
+                .select(*sel)
                 .alias(ralias)
             )
             return left.join(dd, F.expr(rewrite_expr(j.on)), "left")
