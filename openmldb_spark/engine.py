@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import copy
 import re
-from typing import Optional
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -564,15 +564,36 @@ class SqlDeployment:
         t = engine.tables.get(self.request_table)
         self.input_schema = t.schema if t is not None else None
 
-    def run_batch(self, history: Optional[DataFrame] = None) -> DataFrame:
+    def _query_with_params(self, parameters: Optional[Sequence]) -> P.Query:
+        """The deployed query, with positional ``?`` placeholders bound to
+        ``parameters`` (reference parameterized-query surface: the SDK
+        binds a parameter row per execution against the same deployed
+        plan; here binding = literal fold + re-parse of the stored text,
+        so each call can carry different parameter values)."""
+        if parameters is None:
+            return copy.deepcopy(self.query)
+        return P.parse(P.substitute_params(self.sql_text, parameters))
+
+    def run_batch(
+        self,
+        history: Optional[DataFrame] = None,
+        parameters: Optional[Sequence] = None,
+    ) -> DataFrame:
         """Batch mode = request mode for every stored row: the SQL runs
         unchanged with the main table bound to ``history``."""
         tables = dict(self.engine.tables)
         if history is not None:
             tables[self.request_table] = history
-        return Lowerer(self.engine.spark, tables).query(self.query, {})
+        return Lowerer(self.engine.spark, tables).query(
+            self._query_with_params(parameters), {}
+        )
 
-    def run_request(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
+    def run_request(
+        self,
+        requests: DataFrame,
+        history: Optional[DataFrame] = None,
+        parameters: Optional[Sequence] = None,
+    ) -> DataFrame:
         """Request mode: each request row's window frames see stored
         history + the request row itself, nothing else (RequestUnion
         merge). Request rows must not already be stored in history, same
@@ -584,7 +605,7 @@ class SqlDeployment:
                 f"{self.input_schema.simpleString()}"
             )
         hist = history if history is not None else self.engine.tables[self.request_table]
-        q = copy.deepcopy(self.query)
+        q = self._query_with_params(parameters)
         body = q.body
         if body.joins or body.where is not None:
             # the window runs over the POST-join/filter relation (batch =

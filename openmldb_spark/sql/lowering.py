@@ -20,7 +20,7 @@ No Python UDFs on either path.
 from __future__ import annotations
 
 import itertools
-from typing import Optional, Union
+from typing import Optional, Sequence, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -695,11 +695,16 @@ def sql(
     spark: SparkSession,
     text: str,
     tables: Optional[dict[str, DataFrame]] = None,
+    parameters: Optional[Sequence] = None,
 ) -> DataFrame:
     """Compile one dialect SELECT statement to a DataFrame.
 
     ``tables`` maps table names to DataFrames; unresolved names fall back to
-    ``spark.table`` (the session catalog).
+    ``spark.table`` (the session catalog). ``parameters`` binds positional
+    ``?`` placeholders (reference parameterized-query surface) — folded to
+    literals pre-parse so Catalyst pushes them down like any constant.
     """
+    if parameters is not None:
+        text = P.substitute_params(text, parameters)
     q = P.parse(text)
     return Lowerer(spark, tables).query(q, {})

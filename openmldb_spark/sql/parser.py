@@ -602,3 +602,77 @@ def _unquote(name: str) -> str:
 
 def parse(sql: str) -> Query:
     return Parser(tokenize(sql)).parse_query()
+
+
+def render_literal(v) -> str:
+    """One python value -> SQL literal text (for `?` parameter binding)."""
+    import datetime
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        if v != v or v in (float("inf"), float("-inf")):
+            raise ValueError(f"non-finite parameter {v!r} has no SQL literal")
+        return repr(v)
+    if isinstance(v, datetime.datetime):
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, str):
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    raise TypeError(f"unsupported parameter type {type(v).__name__}")
+
+
+def substitute_params(text: str, params) -> str:
+    """Bind positional ``?`` placeholders to ``params`` as SQL literals —
+    the prepared-query surface of the reference
+    (``cases/query/parameterized_query.yaml``; its SDK binds a parameter
+    row against ? markers). Spark-first lowering: parameters are folded to
+    constant literals BEFORE parse, so Catalyst constant-folds them and
+    pushes parameterized predicates down to the scan exactly like
+    hand-written literals (the reference's planner similarly resolves
+    ?N against its parameter row at compile time).
+
+    Quoted strings (single or double, with doubled-quote or backslash
+    escapes) are skipped, so a literal '?' in the query text is never
+    substituted."""
+    params = list(params)
+    out: list[str] = []
+    i, n, used = 0, len(text), 0
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == ch:
+                    if j + 1 < n and text[j + 1] == ch:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(text[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "?":
+            if used >= len(params):
+                raise ValueError(
+                    f"query has more than {len(params)} '?' placeholders"
+                )
+            out.append(render_literal(params[used]))
+            used += 1
+            i += 1
+            continue
+        out.append(ch)
+        i += 1
+    if used != len(params):
+        raise ValueError(
+            f"query has {used} '?' placeholders but {len(params)} parameters"
+        )
+    return "".join(out)

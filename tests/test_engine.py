@@ -330,3 +330,45 @@ def test_statement_surface_misc(eng, spark):
 
     eng.execute("TRUNCATE TABLE ms")
     assert eng.execute("SELECT count(*) AS n FROM ms").collect()[0]["n"] == 0
+
+def test_deploy_parameterized_request_and_batch(eng, spark):
+    """`?` placeholders in a deployed SELECT bind per call (the reference's
+    parameterized-query surface, cases/query/parameterized_query.yaml):
+    same deployment, different parameter rows, both request and batch
+    modes — and arity mismatches fail loudly."""
+    eng.execute("CREATE TABLE pev (pk string, ts bigint, v double)")
+    rows = [("a", t * 1000, float(t)) for t in range(1, 6)] + [
+        ("b", t * 1000, 10.0 * t) for t in range(1, 4)
+    ]
+    vals = ", ".join(f"('{p}', {t}, {v})" for p, t, v in rows)
+    eng.execute(f"INSERT INTO pev VALUES {vals}")
+
+    dep = eng.execute(
+        "DEPLOY pf SELECT pk, ts, sum(v) OVER w1 AS sv "
+        "FROM pev WHERE v > ? WINDOW w1 AS (PARTITION BY pk ORDER BY ts "
+        "ROWS_RANGE BETWEEN 3s PRECEDING AND CURRENT ROW)"
+    )
+
+    # batch: the param prunes rows before the window (v > 2 vs v > 0)
+    b2 = {(r["pk"], r["ts"]): r["sv"] for r in dep.run_batch(parameters=[2.0]).collect()}
+    b0 = {(r["pk"], r["ts"]): r["sv"] for r in dep.run_batch(parameters=[0.0]).collect()}
+    assert ("a", 1000) not in b2 and ("a", 1000) in b0
+    assert b2[("a", 5000)] == 3.0 + 4.0 + 5.0  # rows v<=2 pruned, 3s frame
+    assert b0[("a", 5000)] == 2.0 + 3.0 + 4.0 + 5.0
+
+    # request mode: same binding flows through the history-union rewrite
+    ev = eng.tables["pev"]
+    req = ev.where((F.col("pk") == "a") & (F.col("ts") == 5000))
+    hist = ev.where(~((F.col("pk") == "a") & (F.col("ts") == 5000)))
+    got2 = dep.run_request(req, hist, parameters=[2.0]).collect()
+    got0 = dep.run_request(req, hist, parameters=[0.0]).collect()
+    assert len(got2) == 1 and got2[0]["sv"] == b2[("a", 5000)]
+    assert len(got0) == 1 and got0[0]["sv"] == b0[("a", 5000)]
+
+    # arity mismatch fails loudly, both directions
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        dep.run_batch(parameters=[])
+    with _pt.raises(ValueError):
+        dep.run_batch(parameters=[1.0, 2.0])

@@ -96,19 +96,28 @@ def _eq(a, b, typ):
     return a == b
 
 
+def _parse_parameters(p):
+    """Reference `parameters:` block ({columns: ['p1 int', ...], rows:
+    [[...]]}) -> a positional value list for `?` binding (single row)."""
+    types = [c.strip().rsplit(None, 1)[1] for c in p["columns"]]
+    row = p["rows"][0]
+    return [None if v is None else _parse_value(str(v), t) for v, t in zip(row, types)]
+
+
 @pytest.mark.parametrize("path,case", _load_cases())
 def test_yaml_case(spark, path, case):
     from openmldb_spark.sql import sql
 
-    tables = {inp["name"]: _build_df(spark, inp) for inp in case["inputs"]}
+    tables = {inp["name"]: _build_df(spark, inp) for inp in case.get("inputs", [])}
+    params = _parse_parameters(case["parameters"]) if "parameters" in case else None
     exp = case["expect"]
     if exp.get("error"):
         # negative case (reference `expect: success: false`): the query
         # must be rejected at plan/analysis time or fail on execution
         with pytest.raises(Exception):
-            sql(spark, case["sql"], tables).collect()
+            sql(spark, case["sql"], tables, parameters=params).collect()
         return
-    got_df = sql(spark, case["sql"], tables)
+    got_df = sql(spark, case["sql"], tables, parameters=params)
     exp_schema = _parse_schema(exp["schema"])
     exp_rows = _parse_rows(exp["data"], exp_schema)
 
