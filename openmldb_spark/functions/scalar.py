@@ -269,7 +269,12 @@ REGISTRY: dict[str, Callable[..., Column]] = {
     "int16": lambda x: _c(x).cast("short"),
     "bool": lambda x: _c(x).cast("boolean"),
     "date": lambda x: _c(x).cast("date"),
-    "timestamp": lambda x: _c(x).cast("timestamp"),
+    # integer input = ms since epoch (dialect timestamps are int64 ms);
+    # string/date parse/cast directly — mirror of sql.rewrite._t_timestamp
+    "timestamp": lambda x: F.coalesce(
+        F.timestamp_millis(_c(x).cast("string").try_cast("long")),
+        _c(x).cast("string").try_cast("timestamp"),
+    ),
     # date/time (ref :2264-2707)
     "year": F.year,
     "month": F.month,

@@ -388,7 +388,10 @@ class Lowerer:
         for wname, aggs in per_window.items():
             w = sel.windows[wname]
             wdef = self._window_def(df, w)
-            if w.union_tables:
+            if w.union_tables or w.instance_not_in_window:
+                # INSTANCE_NOT_IN_WINDOW without UNION tables (fz_sql.yaml
+                # id 2): frames see only the current row — the flag-column
+                # plan with an empty union list expresses exactly that.
                 unions = [self.table_ref(u, env) for u in w.union_tables]
                 df = window_union(
                     df, unions, wdef, aggs,
@@ -418,8 +421,6 @@ class Lowerer:
                 )
                 df = window_agg_skewed(df, named, aggs, buckets=skew_buckets)
             else:
-                if w.instance_not_in_window:
-                    raise ValueError("INSTANCE_NOT_IN_WINDOW requires UNION tables")
                 df = window_agg(df, wdef, aggs)
 
         # final projection
@@ -428,6 +429,11 @@ class Lowerer:
             if it.star:
                 if it.star_qualifier:
                     cols.append(F.col(f"{it.star_qualifier}.*"))
+                elif len(df.columns) == len(base_cols):
+                    # a join can legally carry duplicate column names (fz_sql
+                    # id 5 — out0.c1 and out1.c1): name-based F.col would be
+                    # ambiguous, so expand the bare star wholesale
+                    cols.append(F.col("*"))
                 else:
                     cols.extend(F.col(c) for c in base_cols)
                 continue

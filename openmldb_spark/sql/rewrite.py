@@ -162,6 +162,20 @@ def _t_date_format(ts: str, fmt: str) -> str:
     return f"DATE_FORMAT({ts}, {fmt})"
 
 
+def _t_timestamp(x: str) -> str:
+    # dialect cast (ref default_udf_library.cc:2089-2263): an integer input
+    # is ms since epoch (dialect timestamps are int64 ms in this engine);
+    # string/date/timestamp inputs parse/cast directly. Spark's bare
+    # CAST(bigint AS TIMESTAMP) reads seconds, so dispatch at runtime via a
+    # string round-trip — both arms analyze for any input type and exactly
+    # one is non-null per row.
+    s = f"CAST(({x}) AS STRING)"
+    return (
+        f"COALESCE(TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)), "
+        f"TRY_CAST({s} AS TIMESTAMP))"
+    )
+
+
 def _agg_where(agg: str):
     # GROUP BY-context *_where family (ref :2904-3025). The window path
     # lowers these structurally (functions.aggregates); this text form keeps
@@ -191,6 +205,7 @@ TEMPLATES: dict[str, object] = {
     "list_except_by_value": _t_list_except_by_value,
     "array_combine": _t_array_combine,
     "date_format": _t_date_format,
+    "timestamp": _t_timestamp,
     "distinct_count": lambda x: f"COUNT(DISTINCT {x})",
     "sum_where": _agg_where("SUM"),
     "count_where": _agg_where("COUNT"),
