@@ -118,6 +118,14 @@ def test_yaml_case(spark, path, case):
             sql(spark, case["sql"], tables, parameters=params).collect()
         return
     got_df = sql(spark, case["sql"], tables, parameters=params)
+    if "rowcount" in exp:
+        # count-only assertion: for constructs whose row CHOICE is
+        # storage-order-defined in the reference (LIMIT N < matching rows)
+        # and nondeterministic on Spark
+        if "schema" in exp:
+            assert got_df.columns == [n for n, _ in _parse_schema(exp["schema"])]
+        assert got_df.count() == exp["rowcount"]
+        return
     exp_schema = _parse_schema(exp["schema"])
     exp_rows = _parse_rows(exp["data"], exp_schema)
 
