@@ -51,3 +51,39 @@ def request_mode_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def ann_serving_stream(
+    query_stream: DataFrame,
+    corpus: DataFrame,
+    topk_fn: Callable[[DataFrame, DataFrame], DataFrame],
+    sink: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: Optional[str] = None,
+    trigger_seconds: int = 10,
+):
+    """Serve ANN top-k for arriving query vectors (the request-mode story
+    for the similarity family): each micro-batch of query rows is evaluated
+    by ``topk_fn(corpus, batch_df)`` against the static (or slowly-refreshed)
+    corpus state table.
+
+    ``topk_fn`` is a partial of :func:`~openmldb_spark.pipeline.similarity.
+    ivf_topk` / ``lsh_topk`` / ``brute_force_topk`` with everything but
+    (corpus, queries) bound — the BATCH plan runs per micro-batch, so
+    stream results equal batch results by construction (the same
+    broadcast-queries serving shape those functions already use).
+
+    Returns the StreamingQuery (call ``.awaitTermination()``).
+    """
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink(topk_fn(corpus, batch_df), batch_id)
+
+    writer = query_stream.writeStream.foreachBatch(run_batch).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -403,3 +403,58 @@ def test_ivf_topk_join_full_probe_equals_bruteforce(spark):
     ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
            for r in S.ivf_topk_join(df, q, n_centroids=5, nprobe=5, **kw).collect()}
     assert ivf == exact
+
+
+def _tiny_png(pixels, width, height):
+    """Synthesize a valid RGB PNG in pure Python (zlib+struct — no PIL),
+    so the real-decoder path stops being dead code the moment PIL appears.
+    ``pixels`` is a flat list of (r, g, b) tuples, row-major."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        raw = tag + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raster = b""
+    for y in range(height):
+        raster += b"\x00"  # filter: none
+        for x in range(width):
+            raster += bytes(pixels[y * width + x])
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_image_decode_contract_real_png(spark):
+    """A real 2x1 PNG through extract_image_features: the contract shape
+    (8-dim feat, non-null dims) holds on both the stub and the PIL path; on
+    the PIL path the decoded dims must be the true pixel dims."""
+    png = _tiny_png([(255, 0, 0), (0, 0, 255)], width=2, height=1)
+    rows = [("p1", "image", "image/png", bytearray(png), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (out,) = M.extract_image_features(df).collect()
+    assert out["n_bytes"] == len(png)
+    assert out["width"] is not None and out["height"] is not None
+    assert len(out["feat"]) == 8
+    if M._PILImage is not None:  # real decoder present: dims are exact
+        assert (out["width"], out["height"]) == (2, 1)
+        # red+blue 2x1: grayscale mean strictly inside (0, 1)
+        assert 0.0 < out["feat"][4] < 1.0
+
+
+def test_image_resize_contract_real_png(spark):
+    png = _tiny_png([(10, 20, 30)], width=1, height=1)
+    rows = [("p1", "image", "image/png", bytearray(png), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (out,) = M.resize_images(df, 4, 4).collect()
+    assert out["payload"] is not None
+    assert (out["width"], out["height"]) == (4, 4)
+    if M._PILImage is not None:  # real path re-encodes as PNG
+        assert bytes(out["payload"][:8]) == b"\x89PNG\r\n\x1a\n"

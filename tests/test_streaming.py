@@ -63,3 +63,56 @@ def test_stream_matches_batch(spark, tmp_path):
         ("b", 4000): 2.0 * 2 + 2.0 * 3 + 8.0,
     }
     assert feats == expected
+
+
+def test_ann_serving_stream_matches_batch(spark, tmp_path):
+    """IVF top-k served over a query stream == the same ivf_topk call in
+    batch (the foreachBatch loop runs the identical plan per micro-batch)."""
+    import functools
+    import math
+
+    from openmldb_spark.pipeline.similarity import ivf_topk
+    from openmldb_spark.streaming import ann_serving_stream
+
+    corpus = spark.createDataFrame(
+        [(i, [math.cos(i * 0.31), math.sin(i * 0.31), 0.1 * (i % 5)]) for i in range(40)],
+        "vec_id long, v array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(100 + i, [math.cos(i * 0.31), math.sin(i * 0.31), 0.05]) for i in range(5)],
+        "vec_id long, v array<float>",
+    )
+    topk = functools.partial(
+        ivf_topk,
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v",
+        k=3, n_centroids=8, nprobe=8, seed=7, exclude_self=False,
+    )
+    expected = {
+        (r["query_id"], r["neighbor_id"]) for r in topk(corpus, queries).collect()
+    }
+    assert expected, "batch ivf_topk returned nothing"
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    queries.coalesce(1).write.parquet(str(qdir / "batch0"))
+    stream = (
+        spark.readStream.schema("vec_id long, v array<float>")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(qdir))
+    )
+    got: list = []
+    q = ann_serving_stream(
+        stream,
+        corpus,
+        topk,
+        sink=lambda df, bid: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_ann"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while not got and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert {(r["query_id"], r["neighbor_id"]) for r in got} == expected
