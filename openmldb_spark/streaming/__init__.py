@@ -16,9 +16,10 @@ without streaming deps.
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def request_mode_stream(
@@ -82,6 +83,81 @@ def ann_serving_stream(
         sink(topk_fn(corpus, batch_df), batch_id)
 
     writer = query_stream.writeStream.foreachBatch(run_batch).trigger(
+        processingTime=f"{trigger_seconds} seconds"
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
+def long_window_serving_stream(
+    event_stream: DataFrame,
+    history: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    range_ms: int,
+    bucket_ms: int,
+    agg: str,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: Optional[str] = None,
+    trigger_seconds: int = 10,
+):
+    """Pre-agg maintenance on ingest (SURVEY §4.3, reference
+    ``src/storage/aggregator.cc``: AggrBuffer updated per insert): each
+    micro-batch of events is folded into the maintained per-(key, bucket)
+    pre-agg table via ``preagg_merge`` and appended to raw history, then the
+    batch's own rows are served as request rows by ``request_long_window``
+    from full pre-agg buckets + the two raw edge buckets — never a full
+    R-range scan.
+
+    Exactness assumes event-time arrives in order across batches (the
+    reference's tablet insert path assumes the same); a late row would need
+    watermarked re-serving, which is out of scope here.
+
+    Local demo keeps state as persisted DataFrames; at scale the loop is
+    identical with history appended to a bucket-partitioned table and the
+    pre-agg merge written per batch (both stores are what
+    ``request_long_window`` already prunes against).
+
+    Returns the StreamingQuery (call ``.awaitTermination()``).
+    """
+    from openmldb_spark.plans.longwindow import (
+        preagg_merge,
+        preaggregate,
+        request_long_window,
+    )
+
+    state = {
+        "history": history.persist(),
+        "preagg": preaggregate(history, keys, ts_col, value_col, bucket_ms).persist(),
+    }
+
+    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        batch = batch_df.persist()
+        new_hist = state["history"].unionByName(batch).persist()
+        new_pre = preagg_merge(
+            state["preagg"],
+            preaggregate(batch, keys, ts_col, value_col, bucket_ms),
+            keys,
+        ).persist()
+        new_pre.count()  # materialize before the old state is dropped
+        old_hist, old_pre = state["history"], state["preagg"]
+        state["history"], state["preagg"] = new_hist, new_pre
+        reqs = batch.withColumn("__req_id", F.monotonically_increasing_id())
+        feats = request_long_window(
+            reqs, new_hist, new_pre, list(keys), ts_col, value_col,
+            range_ms, bucket_ms, agg, request_id="__req_id",
+        ).drop("__req_id")
+        sink(feats, batch_id)
+        old_hist.unpersist()
+        old_pre.unpersist()
+        batch.unpersist()
+
+    writer = event_stream.writeStream.foreachBatch(run_batch).trigger(
         processingTime=f"{trigger_seconds} seconds"
     )
     if checkpoint_dir:

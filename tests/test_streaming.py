@@ -116,3 +116,68 @@ def test_ann_serving_stream_matches_batch(spark, tmp_path):
     finally:
         q.stop()
     assert {(r["query_id"], r["neighbor_id"]) for r in got} == expected
+
+
+def test_long_window_serving_stream_matches_batch(spark, tmp_path):
+    """Pre-agg maintenance on ingest: events stream in two ordered
+    micro-batches, each batch's rows are served from the incrementally
+    merged pre-agg + edge buckets — values must equal the batch sliding
+    window over the full final history."""
+    from pyspark.sql import Window
+
+    from openmldb_spark.streaming import long_window_serving_stream
+
+    B, R = 1000, 3500
+    hist_rows = [("a", t, float(t % 7)) for t in range(1000, 9000, 700)] + [
+        ("b", t, float(t % 5)) for t in range(1200, 9000, 1100)
+    ]
+    history = spark.createDataFrame(hist_rows, "uid string, ts long, v double")
+    b1 = [("a", 9100, 1.0), ("b", 9200, 2.0), ("a", 9650, 3.0)]
+    b2 = [("a", 10400, 4.0), ("b", 11050, 5.0)]
+
+    ev_dir = tmp_path / "events"
+    ev_dir.mkdir()
+    spark.createDataFrame(b1, "uid string, ts long, v double").coalesce(1).write.parquet(
+        str(ev_dir / "b1")
+    )
+    time.sleep(1.1)  # distinct mtimes: maxFilesPerTrigger picks oldest first
+    spark.createDataFrame(b2, "uid string, ts long, v double").coalesce(1).write.parquet(
+        str(ev_dir / "b2")
+    )
+    stream = (
+        spark.readStream.schema("uid string, ts long, v double")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(ev_dir))
+    )
+    got: list = []
+    q = long_window_serving_stream(
+        stream, history, ["uid"], "ts", "v", R, B, "sum",
+        sink=lambda df, bid: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt_lw"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 90
+        while len(got) < len(b1) + len(b2) and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert len(got) == len(b1) + len(b2)
+
+    full = history.unionByName(
+        spark.createDataFrame(b1 + b2, "uid string, ts long, v double")
+    )
+    w = (
+        Window.partitionBy("uid")
+        .orderBy("ts")
+        .rangeBetween(-R, Window.currentRow)
+    )
+    want = {
+        (r["uid"], r["ts"]): r["sv"]
+        for r in full.withColumn("sv", F.sum("v").over(w)).collect()
+    }
+    for r in got:
+        assert abs(r["agg_v"] - want[(r["uid"], r["ts"])]) < 1e-9, (
+            r, want[(r["uid"], r["ts"])]
+        )
