@@ -553,7 +553,9 @@ def last_value(value: ColumnOrName, ignore_nulls: bool = False) -> AggSpec:
         vals = F.transform(e, f("v"))
         if ignore_nulls:
             vals = _nn(vals)
-        return F.element_at(vals, F.size(vals))
+        # empty frame (bounded upper end / all-null + ignore_nulls):
+        # element_at index 0 is invalid in Spark — guard to NULL
+        return F.when(F.size(vals) > 0, F.element_at(vals, F.size(vals)))
 
     return AggSpec(
         "last_value",

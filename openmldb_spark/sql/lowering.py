@@ -81,8 +81,9 @@ _AGGS: dict[str, tuple[object, str]] = {
     "entropy": (A.entropy, "c"),
     "lag": (A.lag, "ci"),
     "at": (A.lag, "ci"),
-    "first_value": (A.first_value, "c"),
-    "last_value": (A.last_value, "c"),
+    # optional trailing bool = ignore-nulls flag (test_window.yaml id 38)
+    "first_value": (A.first_value, "cB"),
+    "last_value": (A.last_value, "cB"),
     "nth_value_where": (A.nth_value_where, "cic"),
     "sum_cate": (A.sum_cate, "cc"),
     "count_cate": (A.count_cate, "cc"),
@@ -173,13 +174,21 @@ def _build_agg(call: OverCall) -> "A.AggSpec":
         raise ValueError(
             f"aggregate {call.func!r} is not a window function of the dialect"
         ) from None
-    if len(call.args) != len(kinds):
+    required = sum(1 for k in kinds if k.islower())
+    if not (required <= len(call.args) <= len(kinds)):
+        want = str(required) if required == len(kinds) else f"{required}..{len(kinds)}"
         raise ValueError(
-            f"{call.func} expects {len(kinds)} args, got {len(call.args)}"
+            f"{call.func} expects {want} args, got {len(call.args)}"
         )
     py_args = []
     for kind, toks in zip(kinds, call.args):
-        if kind == "c":
+        kind = kind.lower()
+        if kind == "b":
+            lit = render(toks).strip().lower()
+            if lit not in ("true", "false"):
+                raise ValueError(f"{call.func}: expected a bool literal, got {lit}")
+            py_args.append(lit == "true")
+        elif kind == "c":
             py_args.append(F.expr(rewrite_expr(toks)))
         elif kind == "i":
             # render() space-joins tokens: a negative literal is '- 1'
