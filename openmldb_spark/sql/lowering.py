@@ -469,14 +469,38 @@ class Lowerer:
             raise ValueError(f"window {w.name}: ORDER BY is required")
         parts = [F.expr(rewrite_expr(p)) for p in w.partition_by]
         ord_sql = rewrite_expr(w.order_by)
+        if not w.partition_by:
+            # dialect rule: PARTITION BY is required
+            # (test_window_row_range.yaml id 32 expects failure)
+            raise ValueError(f"window {w.name}: PARTITION BY is required")
+        if w.partition_by:
+            pt = df.select(
+                *[F.expr(rewrite_expr(p)).alias(f"__p{i}") for i, p in enumerate(w.partition_by)]
+            ).dtypes
+            for _, pdt in pt:
+                if pdt in ("timestamp", "timestamp_ntz"):
+                    # dialect rule: a timestamp column cannot be a window
+                    # partition key (test_window_row_range.yaml ids 33-35
+                    # expect failure on PARTITION BY c7)
+                    raise ValueError(
+                        f"window {w.name}: PARTITION BY key cannot be timestamp"
+                    )
         dtype = df.select(F.expr(ord_sql).alias("__t")).dtypes[0][1]
         ord_col = F.expr(ord_sql)
         if dtype in ("timestamp", "timestamp_ntz"):
             ord_col = F.unix_millis(ord_col.cast("timestamp"))
-        elif dtype == "date":
-            ord_col = F.unix_millis(ord_col.cast("timestamp"))
-        else:
+        elif dtype in ("bigint", "int", "smallint"):
+            # integral order keys are raw range units (id 8-2: int ORDER BY
+            # succeeds even off-index)
             ord_col = ord_col.cast("long")
+        else:
+            # dialect rule (WINDOW_CLAUSE.md; test_window_row_range.yaml ids
+            # 7/9-11 expect failure): window ORDER BY must be timestamp or
+            # integral — float/double/string/date/bool rejected
+            raise ValueError(
+                f"window {w.name}: ORDER BY must be timestamp or an integer "
+                f"type, got {dtype}"
+            )
 
         kw: dict[str, object] = {}
         kind, val = w.lower

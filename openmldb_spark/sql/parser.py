@@ -99,6 +99,9 @@ class OverCall:
     func: str
     args: list[list[Tok]]               # top-level-comma-split arg token lists
     window: str                          # named window reference
+    #: anonymous inline spec tokens: `OVER (PARTITION BY ... ROWS ...)` —
+    #: parse_select registers it under a generated name and rewrites this
+    inline: Optional[list[Tok]] = None
 
 
 @dataclass
@@ -273,6 +276,32 @@ class Parser:
                 sel.windows[w.name] = w
                 if not self.accept(","):
                     break
+        # anonymous inline windows: register each `OVER (...)` spec under a
+        # generated name and normalize the item to `... OVER __anon_wN`
+        for n, it in enumerate(sel.items):
+            if it.over is None or it.over.inline is None:
+                continue
+            name = f"__anon_w{n}"
+            sub = Parser(it.over.inline)
+            sub.expect("(")
+            sel.windows[name] = sub.parse_window_body(name)
+            if sub.peek() is not None:
+                raise SyntaxError(
+                    f"trailing tokens after inline window: {sub.peek().text!r}"
+                )
+            it.over.window = name
+            it.over.inline = None
+            # truncate the expr's `OVER ( ... )` tail to `OVER name` so the
+            # composite path's expr[:-2] invariant holds
+            depth = 0
+            for i, t in enumerate(it.expr):
+                if t.text == "(":
+                    depth += 1
+                elif t.text == ")":
+                    depth -= 1
+                elif depth == 0 and t.upper == "OVER":
+                    it.expr = it.expr[: i + 1] + [Tok("name", name)]
+                    break
         if self.accept("LIMIT"):
             sel.limit = int(self.eat().text)
         if self.accept("CONFIG"):      # CONFIG (k='v', ...) — execution hints
@@ -391,6 +420,11 @@ class Parser:
         name = self.eat().text
         self.expect("AS")
         self.expect("(")
+        return self.parse_window_body(name)
+
+    def parse_window_body(self, name: str) -> WindowClause:
+        """Window spec after the opening '(' — shared by named WINDOW-clause
+        definitions and anonymous inline `OVER (...)` specs."""
         union_tables: list[TableRef] = []
         if self.accept("UNION"):
             while True:
@@ -442,11 +476,17 @@ class Parser:
             # `BETWEEN x PRECEDING AND y PRECEDING` — bounded upper end
             # (reference YAML uses e.g. `10s preceding and 1s preceding`);
             # `0 PRECEDING` == CURRENT ROW. `y OPEN PRECEDING` excludes the
-            # endpoint (test_current_row.yaml ids 12/13).
+            # endpoint (test_current_row.yaml ids 12/13). A NEGATIVE upper
+            # offset clamps to CURRENT ROW — the reference's storage
+            # iterator never reads past the instance row
+            # (test_window_row_range.yaml id 45: `-1 PRECEDING`).
+            neg = self.accept("-")
             v = self.eat().text
             open_upper = self.accept("OPEN")
             self.expect("PRECEDING")
-            if open_upper:
+            if neg:
+                pass  # clamped: upper stays CURRENT ROW
+            elif open_upper:
                 w.upper = ("open_preceding", v)
             elif v not in ("0",):
                 w.upper = ("preceding", v)
@@ -562,17 +602,25 @@ def _extract_over(expr: list[Tok]) -> tuple[Optional[OverCall], list[Tok]]:
         return None, expr
     head = expr[:over_i]
     tail = expr[over_i + 1:]
-    if len(tail) != 1 or tail[0].kind != "name":
+    inline: Optional[list[Tok]] = None
+    if len(tail) >= 2 and tail[0].text == "(":
+        # anonymous window: OVER (PARTITION BY ... ORDER BY ... frame)
+        # (test_window_row_range.yaml id 28) — registered under a generated
+        # name by parse_select
+        inline = tail
+        wname = ""
+    elif len(tail) != 1 or tail[0].kind != "name":
         raise SyntaxError("only named-window OVER references are supported")
-    wname = tail[0].text
+    else:
+        wname = tail[0].text
     # plain form:  name ( ... ) OVER w
     if len(head) >= 3 and head[0].kind == "name" and head[1].text == "(" and head[-1].text == ")":
         fname = head[0].text.lower()
         args = _split_args(head[2:-1])
-        return OverCall(fname, args, wname), expr
+        return OverCall(fname, args, wname, inline=inline), expr
     # composite form: an arbitrary expression of aggregates, e.g.
     # `(sum(a) + count(b)) OVER w` — lowering splits the nested aggregates
-    return OverCall("", [], wname), expr
+    return OverCall("", [], wname, inline=inline), expr
 
 
 def _split_args(tokens: list[Tok]) -> list[list[Tok]]:

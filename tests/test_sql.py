@@ -236,15 +236,16 @@ def test_window_config_skew_buckets(spark, t1):
 
 
 def test_window_cate(spark, t1):
+    # PARTITION BY is mandatory in the dialect (test_window_row_range.yaml
+    # id 32) — a constant key gives the same one-global-partition semantics
     out = sql(
         spark,
         "SELECT id, sum_cate(col1, pk1) OVER w1 AS c FROM t1 WINDOW w1 AS "
-        "(ORDER BY ts ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)",
+        "(PARTITION BY 0 ORDER BY ts ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)",
         {"t1": t1},
     )
-    # global window (no partition): id 9 sees all rows except id=5? no —
-    # ts ordering: id5 ts=...460000 is the max; id9 ts=450000. Frame for the
-    # LAST row by (ts, rid) = all 9 rows -> A:1+2+3+4+5=15, B:6+7+8+9=30
+    # one global partition: ts ordering puts id5 (ts=...460000) last; its
+    # frame = all 9 rows -> A:1+2+3+4+5=15, B:6+7+8+9=30
     assert by_id(out, "c")[5] == "A:15,B:30"
 
 
