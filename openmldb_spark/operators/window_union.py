@@ -27,6 +27,12 @@ from openmldb_spark.functions.aggregates import AggSpec
 from openmldb_spark.operators.window import _FLAG, WindowDef, window_agg
 
 
+def _numeric(dtype: str) -> bool:
+    return dtype in ("tinyint", "smallint", "int", "bigint", "float", "double") or dtype.startswith(
+        "decimal"
+    )
+
+
 def window_union(
     main: DataFrame,
     unions: Sequence[DataFrame],
@@ -34,26 +40,77 @@ def window_union(
     aggs: dict[str, AggSpec],
     *,
     instance_not_in_window: bool = False,
+    nullfill_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Compute ``aggs`` over windows spanning main ∪ union rows; emit only
-    main rows (with their original columns + aggregate columns)."""
+    main rows (with their original columns + aggregate columns).
+
+    ``nullfill_cols``: main columns a union table may legitimately lack —
+    columns appended by a JOIN in the same SELECT (the reference's window
+    sees the pre-join main table; test_window_union.yaml id 40).
+    """
     # prune side tables to the columns the window actually consumes: the
     # aggregates' inputs are arbitrary exprs over the schema, so side tables
     # must share the main schema (reference requires matching schemas)
+    # numeric-family mismatches (e.g. a subquery's `0.0` literal typing as
+    # decimal(1,1) vs a stored double) coerce BOTH sides to a wide common
+    # type — decimals stay poison for higher-order aggregation otherwise
+    _wide = {}
+    mdt0 = dict(main.dtypes)
+    for u in unions:
+        for c, ud in u.dtypes:
+            md = mdt0.get(c)
+            if md is None or md == ud:
+                continue
+            if {md, ud} <= {"timestamp", "timestamp_ntz", "bigint"}:
+                continue
+            if _numeric(md) and _numeric(ud):
+                frac = any(
+                    d.startswith("decimal") or d in ("float", "double") for d in (md, ud)
+                )
+                _wide[c] = "double" if frac else "bigint"
+    if _wide:
+        main = main.select(
+            *[F.col(c).cast(_wide[c]).alias(c) if c in _wide else F.col(c) for c in main.columns]
+        )
     flagged = main.withColumn(_FLAG, F.lit(1))
     # main may carry ENGINE-appended columns (double-underscore names, e.g.
     # outputs of an earlier named window applied in the same SELECT) that
-    # the union tables never had — NULL-fill those and only those; a USER
-    # column missing from a union table is a schema mismatch and raises,
-    # matching the reference (test_window_union.yaml ids 1-3 expect
-    # failure there)
+    # the union tables never had — NULL-fill those (and join-added columns)
+    # only; a USER column missing from a union table is a schema mismatch
+    # and raises, matching the reference (test_window_union.yaml ids 1-3
+    # expect failure there)
     mtypes = {f.name: f.dataType for f in main.schema.fields}
+    mdtypes = dict(main.dtypes)
+    fillable = set(nullfill_cols)
     for u in unions:
+        ut = dict(u.dtypes)
         proj = []
         for c in main.columns:
             if c in u.columns:
-                proj.append(F.col(c))
-            elif c.startswith("__"):
+                md, ud = mdtypes[c], ut[c]
+                if md == ud:
+                    proj.append(F.col(c))
+                elif {md, ud} <= {"timestamp", "timestamp_ntz", "bigint"}:
+                    # dialect timestamps travel as either TIMESTAMP or
+                    # int64 ms depending on the source — reconcile with an
+                    # exact ms conversion toward the main table's type
+                    if md == "bigint":
+                        proj.append(F.unix_millis(F.col(c).cast("timestamp")).alias(c))
+                    else:
+                        proj.append(
+                            F.timestamp_millis(F.col(c)).cast(mtypes[c]).alias(c)
+                        )
+                elif c in _wide:
+                    proj.append(F.col(c).cast(_wide[c]).alias(c))
+                else:
+                    # reference rejects mismatched union column types
+                    # (test_window_union.yaml id 2 expects failure)
+                    raise ValueError(
+                        f"WINDOW UNION table column {c!r} has type {ud}, "
+                        f"main table has {md} (union table schemas must match)"
+                    )
+            elif c.startswith("__") or c in fillable:
                 proj.append(F.lit(None).cast(mtypes[c]).alias(c))
             else:
                 raise ValueError(

@@ -165,6 +165,59 @@ def _split_nested_aggs(
     return out, subaggs
 
 
+def _split_embedded_overs(
+    tokens: list[Tok], gen, windows: dict
+) -> tuple[list[Tok], dict[str, dict[str, "A.AggSpec"]]]:
+    """Split `agg(args) OVER wname` calls EMBEDDED inside a scalar expression
+    (`case when !isnull(lag(d1,1) over w) then distinct_count(d1) over w else
+    null end` — test_window_union.yaml ids 16-2/36) into placeholder columns,
+    grouped per window. Complements :func:`_split_nested_aggs`, which handles
+    a single trailing OVER wrapping bare aggregates."""
+    from openmldb_spark.sql.rewrite import _split_top_commas
+
+    out: list[Tok] = []
+    per_w: dict[str, dict[str, "A.AggSpec"]] = {}
+    i, n = 0, len(tokens)
+    while i < n:
+        t = tokens[i]
+        nxt = tokens[i + 1] if i + 1 < n else None
+        prev_dot = bool(out) and out[-1].text == "."
+        if (
+            t.kind == "name"
+            and t.text.lower() in _AGGS
+            and nxt is not None
+            and nxt.text == "("
+            and not prev_dot
+        ):
+            depth, j = 0, i + 1
+            while j < n:
+                if tokens[j].text == "(":
+                    depth += 1
+                elif tokens[j].text == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            if (
+                j + 2 < n
+                and tokens[j + 1].upper == "OVER"
+                and tokens[j + 2].kind == "name"
+                and tokens[j + 2].text in windows
+            ):
+                wname = tokens[j + 2].text
+                args = [a for a in _split_top_commas(tokens[i + 2 : j]) if a]
+                nm = f"__omsqlw_{next(gen)}"
+                per_w.setdefault(wname, {})[nm] = _build_agg(
+                    OverCall(t.text.lower(), args, window=wname)
+                )
+                out.append(Tok("name", nm))
+                i = j + 3
+                continue
+        out.append(t)
+        i += 1
+    return out, per_w
+
+
 def _build_agg(call: OverCall) -> "A.AggSpec":
     if call.func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
         return A.count_all()
@@ -325,6 +378,7 @@ class Lowerer:
                 "GROUP BY and WINDOW in one SELECT is not in the dialect"
             )
         df = self.table_ref(sel.from_, env)
+        from_cols = set(df.columns)
         for j in sel.joins:
             df = self._join(df, j, env)
         if sel.where is not None:
@@ -368,6 +422,12 @@ class Lowerer:
         per_window: dict[str, dict[str, "A.AggSpec"]] = {}
         for idx, it in enumerate(sel.items):
             if it.over is None:
+                if sel.windows and not it.star:
+                    residual, per_w = _split_embedded_overs(it.expr, gen, sel.windows)
+                    if per_w:
+                        for wname2, aggs2 in per_w.items():
+                            per_window.setdefault(wname2, {}).update(aggs2)
+                        composite[idx] = residual
                 continue
             if it.over.window not in sel.windows:
                 raise ValueError(f"unknown window {it.over.window!r}")
@@ -405,6 +465,9 @@ class Lowerer:
                 df = window_union(
                     df, unions, wdef, aggs,
                     instance_not_in_window=w.instance_not_in_window,
+                    # join-added columns may be NULL-filled: the reference's
+                    # window sees the pre-join main table (id 40)
+                    nullfill_cols=[c for c in df.columns if c not in from_cols],
                 )
             elif (
                 skew_buckets >= 2

@@ -610,7 +610,11 @@ def _extract_over(expr: list[Tok]) -> tuple[Optional[OverCall], list[Tok]]:
         inline = tail
         wname = ""
     elif len(tail) != 1 or tail[0].kind != "name":
-        raise SyntaxError("only named-window OVER references are supported")
+        # OVER embedded mid-expression (`case when isnull(lag(d1,1) over w)
+        # then distinct_count(d1) over w ... end`, test_window_union.yaml
+        # id 16-2) — not a tail OverCall; lowering splits the embedded
+        # over-calls out of the scalar shell itself
+        return None, expr
     else:
         wname = tail[0].text
     # plain form:  name ( ... ) OVER w

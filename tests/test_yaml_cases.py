@@ -93,6 +93,17 @@ def _eq(a, b, typ):
         return a is None and b is None
     if typ in ("float", "double"):
         return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
+    if typ == "timestamp":
+        # timestamps travel as int64 ms, but an explicit timestamp() cast in
+        # a query yields a real TIMESTAMP column (naive UTC wall-clock under
+        # the pinned session tz) — normalize to ms for comparison
+        import calendar
+        import datetime
+
+        if isinstance(a, datetime.datetime):
+            a = calendar.timegm(a.timetuple()) * 1000 + a.microsecond // 1000
+        if isinstance(b, datetime.datetime):
+            b = calendar.timegm(b.timetuple()) * 1000 + b.microsecond // 1000
     return a == b
 
 
