@@ -377,6 +377,34 @@ def _lag_col(
     if offset == 0:
         return v  # at(col, 0) == current row
     if not instance_not_in_window:
+        if wdef.exclude_current_time:
+            # EXCLUDE CURRENT_TIME *does* apply to lag (unlike every other
+            # frame attribute): the answer is the offset-th most recent row
+            # with ts strictly before the current row's ts — same-ts rows,
+            # even earlier-inserted ones, are skipped
+            # (window_attributes.yaml id 9: same-ts predecessor -> NULL).
+            # collect positioned-before rows, index past the current ts-run.
+            lag_rows_w = (
+                Window.partitionBy(*parts)
+                .orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            elems = F.collect_list(
+                F.struct(F.col(_ORD).alias("o"), F.col(_RID).alias("r"), v.alias("v"))
+            ).over(lag_rows_w)
+            elems = F.array_sort(
+                elems,
+                lambda a, b: F.when(a["o"] < b["o"], -1)
+                .when(a["o"] > b["o"], 1)
+                .when(a["r"] < b["r"], -1)
+                .when(a["r"] > b["r"], 1)
+                .otherwise(0),
+            )
+            run_rn = F.row_number().over(
+                Window.partitionBy(*parts, F.col(_ORD)).orderBy(F.col(_RID))
+            )
+            idx = F.size(elems) - run_rn - F.lit(offset) + 1
+            return F.when(idx >= 1, F.element_at(elems, idx)["v"])
         return F.lag(v, offset).over(plain_ws)
     lag_w = Window.partitionBy(*parts).orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
     vu = F.when(F.col(_FLAG) == F.lit(0), F.struct(v.alias("v")))

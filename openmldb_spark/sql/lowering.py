@@ -544,9 +544,13 @@ class Lowerer:
                 if pdt in ("timestamp", "timestamp_ntz"):
                     # dialect rule: a timestamp column cannot be a window
                     # partition key (test_window_row_range.yaml ids 33-35
-                    # expect failure on PARTITION BY c7)
+                    # expect failure). float/double keys are ALLOWED — the
+                    # reference corpus contradicts itself there
+                    # (test_window_row_range ids 2-3 expect success,
+                    # error_window ids 2-3 expect failure); we follow the
+                    # positive cases.
                     raise ValueError(
-                        f"window {w.name}: PARTITION BY key cannot be timestamp"
+                        f"window {w.name}: PARTITION BY key cannot be {pdt}"
                     )
         dtype = df.select(F.expr(ord_sql).alias("__t")).dtypes[0][1]
         ord_col = F.expr(ord_sql)
