@@ -159,7 +159,29 @@ def _t_date_format(ts: str, fmt: str) -> str:
     if "%" in fmt:
         for c_pat, j_pat in _STRFTIME.items():
             fmt = fmt.replace(c_pat, j_pat)
-    return f"DATE_FORMAT({ts}, {fmt})"
+    return f"DATE_FORMAT({_ts_poly(ts)}, {fmt})"
+
+
+def _ts_poly(x: str) -> str:
+    """Render a timestamp-accepting argument polymorphically: integer input
+    is ms since epoch (dialect timestamps are int64 ms in this engine),
+    string/date/timestamp parse/cast directly — the same runtime dispatch
+    as :func:`_t_timestamp`."""
+    s = f"CAST(({x}) AS STRING)"
+    return (
+        f"COALESCE(TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)), "
+        f"TRY_CAST({s} AS TIMESTAMP))"
+    )
+
+
+def _t_datepart(fn: str):
+    # dialect date-part functions accept timestamp | date | string | int64 ms
+    # (ref default_udf_library.cc:2264-2707; test_date.yaml applies them to
+    # the bigint-ms c7 column)
+    def t(x: str) -> str:
+        return f"{fn}({_ts_poly(x)})"
+
+    return t
 
 
 def _t_timestamp(x: str) -> str:
@@ -206,6 +228,18 @@ TEMPLATES: dict[str, object] = {
     "array_combine": _t_array_combine,
     "date_format": _t_date_format,
     "timestamp": _t_timestamp,
+    "day": _t_datepart("DAY"),
+    "dayofmonth": _t_datepart("DAYOFMONTH"),
+    "dayofweek": _t_datepart("DAYOFWEEK"),
+    "dayofyear": _t_datepart("DAYOFYEAR"),
+    "month": _t_datepart("MONTH"),
+    "year": _t_datepart("YEAR"),
+    "hour": _t_datepart("HOUR"),
+    "minute": _t_datepart("MINUTE"),
+    "second": _t_datepart("SECOND"),
+    "week": _t_datepart("WEEKOFYEAR"),
+    "weekofyear": _t_datepart("WEEKOFYEAR"),
+    "date": lambda x: f"CAST({_ts_poly(x)} AS DATE)",
     "distinct_count": lambda x: f"COUNT(DISTINCT {x})",
     "sum_where": _agg_where("SUM"),
     "count_where": _agg_where("COUNT"),

@@ -49,6 +49,8 @@ def _parse_value(tok: str, typ: str):
     tok = tok.strip()
     if tok == "NULL" or tok == "":
         return None
+    if tok in ('""', "''"):  # explicit empty string (NULL is the bare cell)
+        return ""
     if typ in ("int16", "int32", "int64", "int", "bigint", "timestamp"):
         return int(tok)
     if typ in ("float", "double"):
@@ -92,6 +94,8 @@ def _eq(a, b, typ):
     if a is None or b is None:
         return a is None and b is None
     if typ in ("float", "double"):
+        if math.isnan(a) or math.isnan(b):
+            return math.isnan(a) and math.isnan(b)
         return math.isclose(a, b, rel_tol=1e-6, abs_tol=1e-9)
     if typ == "timestamp":
         # timestamps travel as int64 ms, but an explicit timestamp() cast in

@@ -55,6 +55,8 @@ def fmt_val(v):
     s = str(v)
     if s in ("null", "NULL"):
         return "NULL"
+    if s == "":
+        return '""'
     return s
 
 
@@ -79,16 +81,27 @@ def indent(text, pad):
     return "\n".join(pad + ln for ln in text.splitlines())
 
 
+def _sanitize(v):
+    s = str(v)
+    for a, b in (("{0}.", "t0_"), ("{1}.", "t1_"), ("{2}.", "t2_"), (" ", "_"),
+                 ("!", "not"), ("(", ""), (")", ""), (",", "_"), ("'", ""),
+                 ("%", "pct"), ("*", "star"), ("/", "div"), ("+", "plus"),
+                 ("-", "minus"), ("<", "lt"), (">", "gt"), ("=", "eq")):
+        s = s.replace(a, b)
+    return s
+
+
 def expand_providers(sql, providers):
+    """Yield (suffix, sql, first_dim_index) per provider combination."""
     if not providers:
-        yield "", sql
+        yield "", sql, None
         return
     for combo in itertools.product(*providers):
         s = sql
         for i, val in enumerate(combo):
             s = s.replace(f"d[{i}]", str(val))
-        suffix = "-" + "-".join(str(v).replace(" ", "_") for v in combo)
-        yield suffix, s
+        suffix = "-" + "-".join(_sanitize(v) for v in combo)
+        yield suffix, s, providers[0].index(combo[0])
 
 
 def main():
@@ -106,12 +119,18 @@ def main():
         names = []
         for i, inp in enumerate(inputs):
             names.append(inp.get("name") or f"t{i}")
-        sql0 = case["sql"].strip().rstrip(";")
-        for i, nm in enumerate(names):
-            sql0 = sql0.replace("{" + str(i) + "}", nm)
         providers = case.get("dataProvider") or []
-        exp = case.get("expect", {})
-        for suffix, sql in expand_providers(sql0, providers):
+        exp_base = case.get("expect", {})
+        exp_provider = case.get("expectProvider") or {}
+        for suffix, sql, d0 in expand_providers(case["sql"].strip().rstrip(";"), providers):
+            # table placeholders substitute AFTER provider expansion —
+            # provider values may themselves contain {N} references
+            for i, nm in enumerate(names):
+                sql = sql.replace("{" + str(i) + "}", nm)
+            sql = sql.rstrip().rstrip(";")
+            exp = dict(exp_base)
+            if d0 is not None and d0 in exp_provider:
+                exp.update(exp_provider[d0])
             print(f"  - id: {cid}{suffix}")
             desc = str(case.get("desc", "")).replace('"', "'").strip()
             print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid}{suffix})"')
