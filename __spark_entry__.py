@@ -1583,7 +1583,9 @@ def oracle_sql() -> dict[str, str]:
                      list_reverse(list_filter(vs, x -> x IS NOT NULL)) AS r,
                      list_filter(vs, x -> x IS NOT NULL AND x >= 0) AS dv,
                      list_sort(list_filter(vs, x -> x IS NOT NULL)) AS sv,
-                     len(list_distinct(list_filter(ets, x -> x IS NOT NULL))) AS ndv
+                     len(list_distinct(list_filter(ets, x -> x IS NOT NULL)))
+                       + CASE WHEN len(list_filter(ets, x -> x IS NULL)) > 0
+                              THEN 1 ELSE 0 END AS ndv
               FROM framed
             )
             SELECT event_id, user_id,

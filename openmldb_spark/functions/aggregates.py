@@ -241,13 +241,22 @@ def var_pop(value: ColumnOrName) -> AggSpec:
 
 
 def distinct_count(value: ColumnOrName) -> AggSpec:
-    """distinct_count — COUNT(DISTINCT v) incl. window form (via collect_set)."""
+    """distinct_count — COUNT(DISTINCT v), with NULL counted as its own
+    distinct value (ref semantics: test_udaf_function.yaml id 5 — a frame
+    {4, 4, NULL} has distinct_count 2; SQL COUNT(DISTINCT) would say 1)."""
+
+    def _null_term(v: Column):
+        return F.max(F.when(v.isNull(), 1).otherwise(0))
+
     return AggSpec(
         "distinct_count",
         {"v": _c(value)},
-        native=lambda f, ws: F.size(F.collect_set(f["v"]).over(ws)).cast("long"),
-        array=lambda e, f: F.size(F.array_distinct(_nn(F.transform(e, f("v"))))).cast("long"),
-        group=lambda f: F.count_distinct(f["v"]),
+        native=lambda f, ws: (
+            F.size(F.collect_set(f["v"]).over(ws))
+            + F.coalesce(_null_term(f["v"]).over(ws), F.lit(0))  # empty frame
+        ).cast("long"),
+        array=lambda e, f: F.size(F.array_distinct(F.transform(e, f("v")))).cast("long"),
+        group=lambda f: (F.count_distinct(f["v"]) + _null_term(f["v"])).cast("long"),
     )
 
 
@@ -601,11 +610,15 @@ _CATE_AGGS: dict[str, Callable[[Column], Column]] = {
 
 
 def _fmt_num(x: Column) -> Column:
-    """Format an aggregate value the way the reference prints it: integral
-    values without a trailing '.0' even when computed as double (avg of ints
-    prints e.g. '2.000000' in the reference; we pin '2' for ints and plain
-    repr for fractional — golden-tested)."""
-    return x.cast("string")
+    """Format an aggregate value the way the reference prints it
+    (std::to_string): fractional types as '%f' with 6 decimals
+    ('1.100000'), integral types plainly ('2'). The input Column's dtype
+    isn't knowable at construction, so dispatch on runtime typeof — both
+    arms analyze for any numeric (test_udaf_function.yaml ids 20-37)."""
+    return F.when(
+        F.call_function("typeof", x).isin("float", "double"),
+        F.format_string("%.6f", x.cast("double")),
+    ).otherwise(x.cast("string"))
 
 
 def _cate_arr(

@@ -242,7 +242,12 @@ def _build_agg(call: OverCall) -> "A.AggSpec":
                 raise ValueError(f"{call.func}: expected a bool literal, got {lit}")
             py_args.append(lit == "true")
         elif kind == "c":
-            py_args.append(F.expr(rewrite_expr(toks)))
+            if render(toks) == "*":
+                # count_where(*, cond) — star value counts rows; a non-null
+                # constant has the same null-skip behavior
+                py_args.append(F.lit(1))
+            else:
+                py_args.append(F.expr(rewrite_expr(toks)))
         elif kind == "i":
             # render() space-joins tokens: a negative literal is '- 1'
             py_args.append(int(render(toks).replace(" ", "")))
