@@ -79,12 +79,30 @@ def _t_earth_distance(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"(2*6371009.0D*ASIN(SQRT({a})))"
 
 
+def _no_escape_pattern(p: str) -> str:
+    """Dialect escape '' disables escaping (backslash is literal, wildcards
+    still active). Spark always treats the escape char specially, so for a
+    literal pattern double the backslashes; non-literal patterns pass
+    through (best effort — the corpus only uses literals here)."""
+    if len(p) >= 2 and p[0] in "'\"" and p[-1] == p[0]:
+        return p[0] + p[1:-1].replace("\\", "\\\\") + p[-1]
+    return p
+
+
 def _t_like(s: str, p: str, esc: str | None = None) -> str:
+    if esc is not None and esc.strip("'\"") == "":
+        return f"(({s}) LIKE ({_no_escape_pattern(p)}))"
     return f"(({s}) LIKE ({p}){' ESCAPE '+esc if esc else ''})"
 
 
 def _t_ilike(s: str, p: str, esc: str | None = None) -> str:
-    return f"(({s}) ILIKE ({p}))"
+    # Spark's ilike() function form carries the escape char (SQL `ILIKE ...
+    # ESCAPE` is not in its grammar)
+    if esc is None:
+        return f"(({s}) ILIKE ({p}))"
+    if esc.strip("'\"") == "":
+        return f"(({s}) ILIKE ({_no_escape_pattern(p)}))"
+    return f"ILIKE({s}, {p}, {esc})"
 
 
 def _re_escape_sql_literal(lit: str) -> str:

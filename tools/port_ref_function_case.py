@@ -105,7 +105,8 @@ def expand_providers(sql, providers):
 
 
 def main():
-    ref = sys.argv[1]
+    global _REF
+    _REF = ref = sys.argv[1]
     only = set(sys.argv[2:])
     doc = yaml.safe_load(open(ref))
     for case in doc["cases"]:
@@ -115,6 +116,14 @@ def main():
         mode = case.get("mode", "")
         if "batch-unsupport" in mode:
             continue
+        try:
+            _emit_case(case, cid)
+        except Exception as ex:  # malformed spec — skip, keep going
+            print(f"SKIP {cid}: {type(ex).__name__}: {ex}", file=sys.stderr)
+
+
+def _emit_case(case, cid):
+    if True:
         inputs = case.get("inputs", [])
         names = []
         for i, inp in enumerate(inputs):
@@ -133,13 +142,20 @@ def main():
                 exp.update(exp_provider[d0])
             print(f"  - id: {cid}{suffix}")
             desc = str(case.get("desc", "")).replace('"', "'").strip()
-            print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid}{suffix})"')
+            print(f'    desc: "{desc} (ported {_REF.split("/cases/")[-1]} id {cid}{suffix})"')
             print("    sql: |")
             print(indent(sql, "      "))
             print("    inputs:")
             for nm, inp in zip(names, inputs):
                 print(f"      - name: {nm}")
-                print(f"        schema: {conv_cols(inp['columns'])}")
+                if "schema" in inp:  # already name:type string form
+                    schema = ", ".join(
+                        f"{p.split(':')[0].strip()}:{TYPES[p.split(':')[1].strip()]}"
+                        for p in inp["schema"].split(",")
+                    )
+                    print(f"        schema: {schema}")
+                else:
+                    print(f"        schema: {conv_cols(inp['columns'])}")
                 rows = inp.get("rows") or []
                 if rows:
                     print("        data: |")
