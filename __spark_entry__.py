@@ -641,8 +641,14 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     which DuckDB recomputes independently — making this operator fully
     oracle-checkable (rows+schema+hash), per VERDICT r1 item 1."""
     d = load_table(spark, sf, "documents")
+    # max_token_df=1000 is the production hot-token knob (DIVERGENCES #14;
+    # opt-in since round 5 per ADVICE r4). At the oracle SF (sf0.01, 500
+    # documents) any token's df <= 500 < 1000, so the cap PROVABLY never
+    # binds there and the DuckDB all-pairs oracle stays exact; at larger
+    # SFs it bounds the prefix self-join (sf0.1 bench: 9.6s -> ~4s).
     return D.jaccard_dedup(
-        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.7
+        d, "doc_id", "text", num_hashes=32, bands=8, shingle_n=5, threshold=0.7,
+        max_token_df=1000,
     ).select("doc_id", "lang", "source")
 
 
