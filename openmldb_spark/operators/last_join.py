@@ -168,6 +168,11 @@ def last_join(
             deduped = deduped.withColumnRenamed(old, new)
         cond = None
         for lc, rc in pairs:
+            # standard equality: null-safe matching (the reference's index
+            # join matches NULL keys) lives in the SQL front end only —
+            # Spark rewrites <=> keys to coalesce(k, lit), which defeats
+            # bucketed/co-partitioned layouts and would force an Exchange
+            # on the zero-shuffle path (tests/test_bucketed.py)
             c = left[lc] == deduped[renames.get(rc, rc)]
             cond = c if cond is None else (cond & c)
         return left.join(deduped, cond, "left")

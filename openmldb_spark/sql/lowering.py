@@ -165,6 +165,16 @@ def _split_nested_aggs(
     return out, subaggs
 
 
+def _null_safe_eq(on: list[Tok]) -> str:
+    """Render a keys-only LAST JOIN ON condition with null-safe equality:
+    the reference's index join treats NULL as a key value, so NULL keys
+    match NULL keys (test_lastjoin_simple.yaml id 19). Only called on
+    conditions the equi-extractor accepted (pure =/== conjunctions)."""
+    return rewrite_expr(
+        [Tok("op", "<=>") if t.text in ("=", "==") else t for t in on]
+    )
+
+
 def _split_embedded_overs(
     tokens: list[Tok], gen, windows: dict
 ) -> tuple[list[Tok], dict[str, dict[str, "A.AggSpec"]]]:
@@ -629,7 +639,20 @@ class Lowerer:
         rcols = list(right.columns)
         tiebreak = F.xxhash64(*[F.col(f"{ralias}.{c}") for c in rcols])
         order_cols: list[Column] = []
-        for ob in j.order_by or []:
+        for oi, ob in enumerate(j.order_by or []):
+            if oi == 0:
+                # dialect rule: LAST JOIN ORDER BY must be timestamp or an
+                # integer type — test_lastjoin_simple.yaml ids 7-10/29
+                # expect failure for float/double/date/string/bool (int is
+                # explicitly offline-supported there, id 6). Applies to the
+                # FIRST column only: extra tiebreak columns are this repo's
+                # documented superset and may be any orderable type.
+                dtype = right.select(F.expr(rewrite_expr(ob)).alias("__t")).dtypes[0][1]
+                if dtype not in ("timestamp", "timestamp_ntz", "bigint", "int", "smallint"):
+                    raise ValueError(
+                        f"LAST JOIN ORDER BY must be timestamp or an integer "
+                        f"type, got {dtype}"
+                    )
             order_cols.append(F.expr(rewrite_expr(ob)).desc_nulls_last())
         order_cols.append(tiebreak.asc())
 
@@ -660,7 +683,7 @@ class Lowerer:
             nonkey_idx = [i for i, c in enumerate(rcols) if c not in keyset]
             if not nonkey_idx:
                 dd = right.distinct().alias(ralias)
-                return left.join(dd, F.expr(rewrite_expr(j.on)), "left")
+                return left.join(dd, F.expr(_null_safe_eq(j.on)), "left")
             # positional payload fields: the dialect permits DUPLICATE
             # projected names in the right subquery (last_join_where.yaml
             # id 1 projects c4 twice) — name-based struct extraction would
@@ -677,7 +700,7 @@ class Lowerer:
                 .select(*sel)
                 .alias(ralias)
             )
-            return left.join(dd, F.expr(rewrite_expr(j.on)), "left")
+            return left.join(dd, F.expr(_null_safe_eq(j.on)), "left")
 
         # generic plan: left row-id, join, keep max-order match per row
         lid = left.withColumn(_RID, F.monotonically_increasing_id())

@@ -216,6 +216,17 @@ def _t_timestamp(x: str) -> str:
     )
 
 
+def _t_bigint(x: str) -> str:
+    # dialect cast: bigint(timestamp) is EPOCH MS (Spark's cast reads
+    # seconds); every other input casts directly
+    # (test_select_sample.yaml id 18)
+    return (
+        f"(CASE WHEN typeof({x}) IN ('timestamp', 'timestamp_ntz') "
+        f"THEN UNIX_MILLIS(CAST(({x}) AS TIMESTAMP)) "
+        f"ELSE CAST(({x}) AS BIGINT) END)"
+    )
+
+
 def _agg_where(agg: str):
     # GROUP BY-context *_where family (ref :2904-3025). The window path
     # lowers these structurally (functions.aggregates); this text form keeps
@@ -246,6 +257,8 @@ TEMPLATES: dict[str, object] = {
     "array_combine": _t_array_combine,
     "date_format": _t_date_format,
     "timestamp": _t_timestamp,
+    "bigint": _t_bigint,
+    "int64": _t_bigint,
     "day": _t_datepart("DAY"),
     "dayofmonth": _t_datepart("DAYOFMONTH"),
     "dayofweek": _t_datepart("DAYOFWEEK"),

@@ -109,8 +109,12 @@ def main():
     _REF = ref = sys.argv[1]
     only = set(sys.argv[2:])
     doc = yaml.safe_load(open(ref))
+    seen: dict = {}
     for case in doc["cases"]:
         cid = str(case["id"])
+        seen[cid] = seen.get(cid, 0) + 1
+        if seen[cid] > 1:  # the reference reuses ids — disambiguate
+            cid = f"{cid}~{seen[cid]}"
         if only and cid not in only:
             continue
         mode = case.get("mode", "")
