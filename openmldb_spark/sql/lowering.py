@@ -165,6 +165,45 @@ def _split_nested_aggs(
     return out, subaggs
 
 
+def _ambiguous_qualifiers(
+    sources: list,
+) -> dict[str, str]:
+    """Map each column name appearing on MORE THAN ONE join input to the
+    left-most input's alias (only when that alias exists to qualify with)."""
+    seen: dict[str, tuple[Optional[str], int]] = {}
+    counts: dict[str, int] = {}
+    for alias, cols in sources:
+        for c in cols:
+            counts[c] = counts.get(c, 0) + 1
+            if c not in seen:
+                seen[c] = (alias, 0)
+    return {
+        c: alias
+        for c, (alias, _) in seen.items()
+        if counts[c] > 1 and alias
+    }
+
+
+def _qualify_bare(tokens: list[Tok], qual: dict[str, str]) -> list[Tok]:
+    """Prefix ambiguous bare column names with their left-most table alias.
+    A name is bare when not preceded/followed by '.' and not a call head."""
+    out: list[Tok] = []
+    n = len(tokens)
+    for i, t in enumerate(tokens):
+        prev_dot = bool(out) and out[-1].text == "."
+        nxt = tokens[i + 1] if i + 1 < n else None
+        if (
+            t.kind == "name"
+            and t.text in qual
+            and not prev_dot
+            and (nxt is None or nxt.text not in (".", "("))
+        ):
+            out.append(Tok("name", qual[t.text]))
+            out.append(Tok("op", "."))
+        out.append(t)
+    return out
+
+
 def _null_safe_eq(on: list[Tok]) -> str:
     """Render a keys-only LAST JOIN ON condition with null-safe equality:
     the reference's index join treats NULL as a key value, so NULL keys
@@ -394,8 +433,30 @@ class Lowerer:
             )
         df = self.table_ref(sel.from_, env)
         from_cols = set(df.columns)
+        # dialect name resolution: a bare column name that exists on several
+        # join inputs resolves to the LEFT-MOST table (the reference binds
+        # in FROM order; test_lastjoin_complex.yaml ids 9/11/14 — Spark
+        # would raise AMBIGUOUS_REFERENCE). Collect (alias, columns) in
+        # FROM order and qualify ambiguous bare names in every expression.
+        sources: list[tuple[Optional[str], set]] = [
+            (sel.from_.bind_name, set(df.columns))
+        ]
         for j in sel.joins:
+            jdf = self.table_ref(j.table, env)
+            sources.append((j.table.bind_name, set(jdf.columns)))
             df = self._join(df, j, env)
+        if len(sources) > 1:
+            qual = _ambiguous_qualifiers(sources)
+            if qual:
+                for it in sel.items:
+                    if not it.star:
+                        it.expr = _qualify_bare(it.expr, qual)
+                if sel.where is not None:
+                    sel.where = _qualify_bare(sel.where, qual)
+                for w in sel.windows.values():
+                    w.partition_by = [_qualify_bare(p, qual) for p in w.partition_by]
+                    if w.order_by is not None:
+                        w.order_by = _qualify_bare(w.order_by, qual)
         if sel.where is not None:
             df = df.filter(F.expr(rewrite_expr(sel.where)))
 

@@ -133,6 +133,10 @@ def test_yaml_case(spark, path, case):
             sql(spark, case["sql"], tables, parameters=params).collect()
         return
     got_df = sql(spark, case["sql"], tables, parameters=params)
+    if exp.get("success") is True:
+        # success-only reference expect: the query must plan and execute
+        got_df.collect()
+        return
     if "rowcount" in exp:
         # count-only assertion: for constructs whose row CHOICE is
         # storage-order-defined in the reference (LIMIT N < matching rows)

@@ -120,8 +120,14 @@ def main():
         mode = case.get("mode", "")
         if "batch-unsupport" in mode:
             continue
+        import contextlib
+        import io
+
+        buf = io.StringIO()
         try:
-            _emit_case(case, cid)
+            with contextlib.redirect_stdout(buf):
+                _emit_case(case, cid)
+            print(buf.getvalue(), end="")
         except Exception as ex:  # malformed spec — skip, keep going
             print(f"SKIP {cid}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
@@ -172,6 +178,19 @@ def _emit_case(case, cid):
             print("    expect:")
             if exp.get("success") is False:
                 print("      error: true")
+            elif list(exp.keys()) == ["success"]:
+                # success-only reference expect: run-without-error assert
+                print("      success: true")
+            elif "schema" in exp:  # name:type string form
+                schema = ", ".join(
+                    f"{p.split(':')[0].strip()}:{TYPES[p.split(':')[1].strip()]}"
+                    for p in exp["schema"].split(",")
+                )
+                print(f"      schema: {schema}")
+                if exp.get("order"):
+                    print(f"      order: {exp['order']}")
+                print("      data: |")
+                print(indent(conv_data_str(exp.get("data", "")), "        "))
             else:
                 print(f"      schema: {conv_cols(exp['columns'])}")
                 if exp.get("order"):
