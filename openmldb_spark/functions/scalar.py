@@ -91,8 +91,9 @@ def earth_distance(lat1, lon1, lat2, lon2) -> Column:
 
 def split(s: ColumnOrName, delim: str) -> Column:
     """feature-zero split (ref: feature_zero_def.cc:591-660): split to list.
-    The reference splits on a literal delimiter; escape regex metachars."""
-    return F.split(_c(s), _escape_re(delim))
+    The reference splits on a literal delimiter (escape regex metachars);
+    NULL input yields an EMPTY list (test_feature_zero_function id 6)."""
+    return F.coalesce(F.split(_c(s), _escape_re(delim)), F.array())
 
 
 def _escape_re(delim: str) -> str:
@@ -100,25 +101,25 @@ def _escape_re(delim: str) -> str:
 
 
 def split_by_key(s: ColumnOrName, item_delim: str, kv_delim: str) -> Column:
-    """split 'k1:v1,k2:v2' -> list of keys."""
-    return F.transform(
+    """split 'k1:v1,k2:v2' -> list of keys; NULL input -> empty list."""
+    return F.coalesce(F.transform(
         F.filter(
             F.split(_c(s), _escape_re(item_delim)),
             lambda kv: F.size(F.split(kv, _escape_re(kv_delim))) >= 2,
         ),
         lambda kv: F.split(kv, _escape_re(kv_delim))[0],
-    )
+    ), F.array())
 
 
 def split_by_value(s: ColumnOrName, item_delim: str, kv_delim: str) -> Column:
-    """split 'k1:v1,k2:v2' -> list of values."""
-    return F.transform(
+    """split 'k1:v1,k2:v2' -> list of values; NULL input -> empty list."""
+    return F.coalesce(F.transform(
         F.filter(
             F.split(_c(s), _escape_re(item_delim)),
             lambda kv: F.size(F.split(kv, _escape_re(kv_delim))) >= 2,
         ),
         lambda kv: F.split(kv, _escape_re(kv_delim))[1],
-    )
+    ), F.array())
 
 
 def join_(lst: ColumnOrName, delim: str) -> Column:

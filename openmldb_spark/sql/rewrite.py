@@ -116,22 +116,24 @@ def _re_escape_sql_literal(lit: str) -> str:
 
 
 def _t_split(s: str, d: str) -> str:
-    return f"SPLIT({s}, {_re_escape_sql_literal(d)})"
+    # dialect split of NULL yields an EMPTY list (test_feature_zero_function
+    # id 6: size(split(null)) = 0), not NULL
+    return f"COALESCE(SPLIT({s}, {_re_escape_sql_literal(d)}), ARRAY())"
 
 
 def _t_split_by_key(s: str, item_d: str, kv_d: str) -> str:
     i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
     return (
-        f"TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
-        f"kv -> SPLIT(kv, {k})[0])"
+        f"COALESCE(TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
+        f"kv -> SPLIT(kv, {k})[0]), ARRAY())"
     )
 
 
 def _t_split_by_value(s: str, item_d: str, kv_d: str) -> str:
     i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
     return (
-        f"TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
-        f"kv -> SPLIT(kv, {k})[1])"
+        f"COALESCE(TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
+        f"kv -> SPLIT(kv, {k})[1]), ARRAY())"
     )
 
 

@@ -178,6 +178,9 @@ def _emit_case(case, cid):
             print("    expect:")
             if exp.get("success") is False:
                 print("      error: true")
+            elif "count" in exp and "rows" not in exp and "data" not in exp:
+                # LIMIT-style count-only expect
+                print(f"      rowcount: {exp['count']}")
             elif list(exp.keys()) == ["success"]:
                 # success-only reference expect: run-without-error assert
                 print("      success: true")
