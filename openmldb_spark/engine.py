@@ -828,7 +828,13 @@ def _literal(toks: list[Tok]):
     if t.kind == "str":
         return t.text[1:-1]
     if t.kind == "num":
-        return float(t.text) if ("." in t.text or "e" in t.text.lower()) else int(t.text)
+        txt = t.text
+        # dialect literal suffixes: 123L (long), 1.5f (float)
+        if txt[-1] in "Ll" and txt[:-1].lstrip("-").isdigit():
+            return int(txt[:-1])
+        if txt[-1] in "Ff" and txt[:-1].replace(".", "", 1).lstrip("-").isdigit():
+            return float(txt[:-1])
+        return float(txt) if ("." in txt or "e" in txt.lower()) else int(txt)
     u = t.upper
     if u == "NULL":
         return None

@@ -1,0 +1,77 @@
+"""Engine-statement golden cases — the reference's DML/DDL case corpora
+(``cases/function/dml/*.yaml``: inputs are CREATE/INSERT statements, the
+assertion is a subsequent SELECT) executed through
+:class:`openmldb_spark.engine.Engine`.
+
+Files live under tests/engine_cases/; format mirrors the SELECT harness
+(tests/test_yaml_cases.py) plus a ``statements:`` list run first.
+"""
+
+import glob
+import os
+
+import pytest
+
+try:
+    import yaml
+except ImportError:
+    yaml = None
+
+from test_yaml_cases import _eq, _parse_rows, _parse_schema
+
+CASE_DIR = os.path.join(os.path.dirname(__file__), "engine_cases")
+
+
+def _load_cases():
+    if yaml is None:
+        return []
+    out = []
+    for path in sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml"))):
+        doc = yaml.safe_load(open(path))
+        for case in doc["cases"]:
+            out.append(pytest.param(path, case, id=f"{os.path.basename(path)}:{case['id']}"))
+    return out
+
+
+@pytest.mark.parametrize("path,case", _load_cases())
+def test_engine_yaml_case(spark, path, case):
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    exp = case["expect"]
+
+    def run_all():
+        for stmt in case.get("statements", []):
+            eng.execute(stmt)
+        return eng.execute(case["sql"])
+
+    if exp.get("error"):
+        with pytest.raises(Exception):
+            df = run_all()
+            if df is not None:
+                df.collect()
+        return
+    got_df = run_all()
+    if exp.get("success") is True:
+        if got_df is not None:
+            got_df.collect()
+        return
+    exp_schema = _parse_schema(exp["schema"])
+    exp_rows = _parse_rows(exp["data"], exp_schema)
+    assert got_df.columns == [n for n, _ in exp_schema], (
+        f"columns {got_df.columns} != {[n for n, _ in exp_schema]}"
+    )
+    got = [tuple(r) for r in got_df.collect()]
+    order_col = exp.get("order")
+    if order_col:
+        idx = [n for n, _ in exp_schema].index(order_col)
+        key = lambda r: (r[idx] is None, r[idx])
+        got.sort(key=key)
+        exp_rows.sort(key=key)
+    assert len(got) == len(exp_rows), f"{len(got)} rows != {len(exp_rows)}"
+    for g, e in zip(got, exp_rows):
+        for gv, ev, (name, typ) in zip(g, e, exp_schema):
+            assert _eq(gv, ev, typ), (
+                f"case {case['id']}: column {name}: {gv!r} != {ev!r}\n"
+                f"got row: {g}\nexp row: {e}"
+            )

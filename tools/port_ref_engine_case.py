@@ -1,0 +1,110 @@
+"""Porter for reference DML/DDL-style cases (inputs carry `create:` /
+`insert:` STATEMENTS instead of schema+rows) into the engine-case YAML
+format run by tests/test_engine_yaml_cases.py.
+
+Usage: python tools/port_ref_engine_case.py REF_FILE [id ...] > out.yaml
+"""
+
+import sys
+
+import yaml
+
+from port_ref_function_case import TYPES, conv_cols, conv_rows, indent
+
+
+def main() -> None:
+    ref = sys.argv[1]
+    only = set(sys.argv[2:])
+    doc = yaml.safe_load(open(ref))
+    seen: dict = {}
+    for case in doc["cases"]:
+        cid = str(case["id"])
+        seen[cid] = seen.get(cid, 0) + 1
+        if seen[cid] > 1:
+            cid = f"{cid}~{seen[cid]}"
+        if only and cid not in only:
+            continue
+        if "batch-unsupport" in case.get("mode", ""):
+            continue
+        try:
+            _emit(ref, case, cid)
+        except Exception as ex:
+            print(f"SKIP {cid}: {type(ex).__name__}: {ex}", file=sys.stderr)
+
+
+def _emit(ref, case, cid) -> None:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        inputs = case.get("inputs", [])
+        names = [inp.get("name") or f"t{i}" for i, inp in enumerate(inputs)]
+
+        def sub(text: str) -> str:
+            for i, nm in enumerate(names):
+                text = text.replace("{" + str(i) + "}", nm)
+            return text
+
+        print(f"  - id: {cid}")
+        desc = str(case.get("desc", "")).replace('"', "'").strip()
+        print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid})"')
+        print("    statements:")
+        for nm, inp in zip(names, inputs):
+            if "create" in inp:
+                print("      - |")
+                print(indent(sub(inp["create"].strip()), "        "))
+                for key in ("insert", "inserts"):
+                    if key in inp:
+                        stmts = inp[key] if isinstance(inp[key], list) else [inp[key]]
+                        for st in stmts:
+                            print("      - |")
+                            print(indent(sub(st.strip().rstrip(";")), "        "))
+            elif "columns" in inp:
+                # schema+rows input: synthesize CREATE + INSERTs
+                cols = []
+                for c in inp["columns"]:
+                    n, t = c.rsplit(None, 1)
+                    t = {"int": "int", "bool": "bool"}.get(t, t)
+                    cols.append(f"{n.strip()} {t.strip()}")
+                print("      - |")
+                print(f"        CREATE TABLE {nm} ({', '.join(cols)})")
+                for r in inp.get("rows") or []:
+                    vals = []
+                    for v in r:
+                        if v is None:
+                            vals.append("NULL")
+                        elif isinstance(v, bool):
+                            vals.append("true" if v else "false")
+                        elif isinstance(v, str):
+                            vals.append("'" + v.replace("'", "''") + "'")
+                        else:
+                            vals.append(str(v))
+                    print("      - |")
+                    print(f"        INSERT INTO {nm} VALUES ({', '.join(vals)})")
+        sqls = [sub(st.strip().rstrip(";")) for st in case.get("sqls") or []]
+        final = sub(case["sql"].strip().rstrip(";")) if "sql" in case else sqls.pop()
+        for st in sqls:
+            print("      - |")
+            print(indent(st, "        "))
+        print("    sql: |")
+        print(indent(final, "      "))
+        exp = case.get("expect", {})
+        print("    expect:")
+        if exp.get("success") is False:
+            print("      error: true")
+        elif "columns" in exp:
+            print(f"      schema: {conv_cols(exp['columns'])}")
+            if exp.get("order"):
+                print(f"      order: {exp['order']}")
+            print("      data: |")
+            print(indent(conv_rows(exp.get("rows") or []), "        "))
+        else:
+            print("      success: true")
+        print()
+    print(buf.getvalue(), end="")
+
+
+if __name__ == "__main__":
+    sys.path.insert(0, "/root/repo/tools")
+    main()
