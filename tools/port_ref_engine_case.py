@@ -44,12 +44,16 @@ def _emit(ref, case, cid) -> None:
         def sub(text: str) -> str:
             for i, nm in enumerate(names):
                 text = text.replace("{" + str(i) + "}", nm)
-            return text
+            return text.replace("{auto}", f"auto_{cid.replace('~', '_').replace('-', '_')}")
 
         print(f"  - id: {cid}")
         desc = str(case.get("desc", "")).replace('"', "'").strip()
         print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid})"')
-        print("    statements:")
+        has_stmts = any(
+            ("create" in inp or "columns" in inp) for inp in inputs
+        ) or case.get("sqls")
+        if has_stmts:
+            print("    statements:")
         for nm, inp in zip(names, inputs):
             if "create" in inp:
                 print("      - |")
