@@ -204,14 +204,42 @@ def _qualify_bare(tokens: list[Tok], qual: dict[str, str]) -> list[Tok]:
     return out
 
 
-def _null_safe_eq(on: list[Tok]) -> str:
-    """Render a keys-only LAST JOIN ON condition with null-safe equality:
-    the reference's index join treats NULL as a key value, so NULL keys
-    match NULL keys (test_lastjoin_simple.yaml id 19). Only called on
-    conditions the equi-extractor accepted (pure =/== conjunctions)."""
-    return rewrite_expr(
-        [Tok("op", "<=>") if t.text in ("=", "==") else t for t in on]
-    )
+def _struct_eq(equi_pairs: list, ralias: str, left: DataFrame, dd: DataFrame) -> Column:
+    """Null-safe equi condition as ONE struct-equality key: the dialect's
+    index join matches NULL keys (test_lastjoin_simple.yaml id 19), and
+    Spark's struct comparison is null-safe per field while still planning
+    as a single-key hash join — unlike `<=>`, which rewrites every key to
+    a (coalesce, isnull) pair and doubled the probe-side key width (2x
+    wall on the sql_last_join bench)."""
+    ltypes = dict(left.dtypes)
+    rtypes = dict(dd.dtypes)
+    _INTS = ("tinyint", "smallint", "int", "bigint")
+
+    def common(lt: str, rt: str) -> Optional[str]:
+        if lt == rt:
+            return None
+        if lt in _INTS and rt in _INTS:
+            return "bigint"
+        return "double"  # mixed numeric / fallback — matches = coercion
+
+    lefts, rights = [], []
+    for ltoks, rc in equi_pairs:
+        le = F.expr(rewrite_expr(ltoks))
+        # qualified-name refs, not frame refs: the same base table may be
+        # LAST JOINed twice under different aliases (fz_sql id 3), where
+        # frame refs trip Spark's ambiguous-self-join detection
+        re_ = F.col(f"{ralias}.{rc}")
+        lt = ltypes.get(render(ltoks).strip())
+        ct = common(lt, rtypes[rc]) if lt is not None else None
+        if lt is None:
+            # non-column left expr: probe its dtype
+            lt = left.select(le.alias("__t")).dtypes[0][1]
+            ct = common(lt, rtypes[rc])
+        if ct is not None:
+            le, re_ = le.cast(ct), re_.cast(ct)
+        lefts.append(le)
+        rights.append(re_)
+    return F.struct(*lefts) == F.struct(*rights)
 
 
 def _split_embedded_overs(
@@ -602,6 +630,7 @@ class Lowerer:
             df = df.limit(sel.limit)
         return df
 
+
     # -- window def ---------------------------------------------------------
     def _window_def(self, df: DataFrame, w: WindowClause) -> WindowDef:
         if w.order_by is None:
@@ -717,7 +746,8 @@ class Lowerer:
             order_cols.append(F.expr(rewrite_expr(ob)).desc_nulls_last())
         order_cols.append(tiebreak.asc())
 
-        equi = self._equi_right_keys(j.on, ralias)
+        equi_pairs = self._equi_right_keys(j.on, ralias)
+        equi = [rc for _, rc in equi_pairs] if equi_pairs is not None else None
         if equi is not None:
             # scale plan: dedupe right to one row per key via
             # max_by(payload, (order, ~hash)) — partial map-side combine
@@ -744,7 +774,7 @@ class Lowerer:
             nonkey_idx = [i for i, c in enumerate(rcols) if c not in keyset]
             if not nonkey_idx:
                 dd = right.distinct().alias(ralias)
-                return left.join(dd, F.expr(_null_safe_eq(j.on)), "left")
+                return left.join(dd, _struct_eq(equi_pairs, ralias, left, dd), "left")
             # positional payload fields: the dialect permits DUPLICATE
             # projected names in the right subquery (last_join_where.yaml
             # id 1 projects c4 twice) — name-based struct extraction would
@@ -761,7 +791,7 @@ class Lowerer:
                 .select(*sel)
                 .alias(ralias)
             )
-            return left.join(dd, F.expr(_null_safe_eq(j.on)), "left")
+            return left.join(dd, _struct_eq(equi_pairs, ralias, left, dd), "left")
 
         # generic plan: left row-id, join, keep max-order match per row
         lid = left.withColumn(_RID, F.monotonically_increasing_id())
@@ -824,11 +854,11 @@ class Lowerer:
 
             rc = right_col(rhs)
             if rc is not None and not mentions_right(lhs):
-                keys.append(rc)
+                keys.append((lhs, rc))
                 continue
             rc = right_col(lhs)
             if rc is not None and not mentions_right(rhs):
-                keys.append(rc)
+                keys.append((rhs, rc))
                 continue
             return None
         return keys
