@@ -58,21 +58,154 @@ _TYPES = {
 }
 
 
+class _NsView:
+    """Dict-like view over the engine's CURRENT database namespace that
+    transparently routes mangled ``__omdb__db__t`` keys to their home
+    database. Iteration/keys cover the current database only (SHOW TABLES
+    semantics)."""
+
+    def __init__(self, eng: "Engine", which: str):
+        self._eng, self._which = eng, which
+
+    def _slot(self, key: str):
+        db, bare = self._eng._loc(key)
+        store = getattr(self._eng, self._which)
+        if db not in store:
+            raise KeyError(key)
+        return store[db], bare
+
+    def __getitem__(self, key: str):
+        d, bare = self._slot(key)
+        return d[bare]
+
+    def __setitem__(self, key: str, val) -> None:
+        d, bare = self._slot(key)
+        d[bare] = val
+
+    def __contains__(self, key: str) -> bool:
+        try:
+            d, bare = self._slot(key)
+        except KeyError:
+            return False
+        return bare in d
+
+    def get(self, key: str, default=None):
+        return self[key] if key in self else default
+
+    def pop(self, key: str, default=None):
+        try:
+            d, bare = self._slot(key)
+        except KeyError:
+            return default
+        return d.pop(bare, default)
+
+    def _cur(self) -> dict:
+        return getattr(self._eng, self._which)[self._eng.current_db]
+
+    def __iter__(self):
+        return iter(self._cur())
+
+    def __len__(self) -> int:
+        return len(self._cur())
+
+    def keys(self):
+        return self._cur().keys()
+
+    def items(self):
+        return self._cur().items()
+
+    def values(self):
+        return self._cur().values()
+
+
 class Engine:
     """One engine = one SparkSession + one catalog of named tables."""
 
+    #: prefix marking a db-qualified table reference rewritten to one flat
+    #: token (`db1.t0` -> `__omdb__db1__t0`) so the single-namespace
+    #: parser/lowerer machinery works unchanged across databases
+    _DBM = "__omdb__"
+
     def __init__(self, spark: SparkSession):
         self.spark = spark
-        self.databases: set[str] = {"default"}
         self.current_db = "default"
-        self.tables: dict[str, DataFrame] = {}
-        self.table_defs: dict[str, TableDef] = {}
+        #: db -> {table name -> DataFrame}; the reference's multi-database
+        #: catalog (USE / db-qualified names, test_multiple_databases.yaml)
+        self._dbs: dict[str, dict[str, DataFrame]] = {"default": {}}
+        self._db_defs: dict[str, dict[str, TableDef]] = {"default": {}}
+        #: mangled flat name -> (db, bare name) — exact demangle map
+        self._mangled: dict[str, tuple[str, str]] = {}
         self.deployments: dict[str, "SqlDeployment"] = {}
         #: name -> (is_aggregate, return_type_ddl, source_file)
         self.functions: dict[str, tuple[bool, str, str]] = {}
         #: session variables (SET / SHOW VARIABLES); engine-meaningful ones
         #: only — unknown names are stored and echoed, like the reference
         self.variables: dict[str, str] = {"execute_mode": "online"}
+
+    @property
+    def databases(self) -> set[str]:
+        return set(self._dbs)
+
+    @property
+    def tables(self) -> "_NsView":
+        """The CURRENT database's table namespace; mangled db-qualified
+        keys transparently route to their home database."""
+        return _NsView(self, "_dbs")
+
+    @property
+    def table_defs(self) -> "_NsView":
+        return _NsView(self, "_db_defs")
+
+    # -- db-qualified name handling ------------------------------------------
+    def _loc(self, name: str) -> tuple[str, str]:
+        """(db, bare table name) for a possibly-mangled name token."""
+        if name in self._mangled:
+            return self._mangled[name]
+        return self.current_db, name
+
+    def _table_view(self) -> dict[str, DataFrame]:
+        """Resolution dict for the Lowerer: current db's tables under their
+        bare names + every db's tables under mangled names."""
+        view: dict[str, DataFrame] = {}
+        for db, tabs in self._dbs.items():
+            for n, df in tabs.items():
+                view[f"{self._DBM}{db}__{n}"] = df
+        view.update(self._dbs[self.current_db])
+        return view
+
+    def _mangle_sql(self, sql_text: str) -> str:
+        """Rewrite db-qualified references (`db1.t0`, `db1.t0.c1`) into flat
+        single-token names. Current-db qualifiers are STRIPPED (so `db.t1.c1`
+        with current db `db` resolves subquery alias t1 — reference id 7);
+        other known dbs mangle to `__omdb__{db}__{t}`. Unknown-db refs pass
+        through untouched and fail resolution downstream, matching the
+        reference's 'database not found' errors."""
+        toks = tokenize(sql_text)
+        out: list[Tok] = []
+        i, n, changed = 0, len(toks), False
+        while i < n:
+            t = toks[i]
+            prev_dot = bool(out) and out[-1].text == "."
+            if (
+                t.kind == "name"
+                and not prev_dot
+                and t.text in self._dbs
+                and i + 2 < n
+                and toks[i + 1].text == "."
+                and toks[i + 2].kind == "name"
+            ):
+                changed = True
+                if t.text == self.current_db:
+                    out.append(toks[i + 2])
+                else:
+                    flat = f"{self._DBM}{t.text}__{toks[i + 2].text}"
+                    self._mangled[flat] = (t.text, toks[i + 2].text)
+                    out.append(Tok("name", flat))
+                i += 3
+                continue
+            out.append(t)
+            i += 1
+        return render(out) if changed else sql_text
 
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
@@ -92,19 +225,31 @@ class Engine:
         # SET routes before tokenization (the '@@var' sigil isn't a token)
         if re.match(r"\s*SET\b", sql_text, re.IGNORECASE):
             return self._set(sql_text)
+        sql_text = self._mangle_sql(sql_text)
         toks = tokenize(sql_text)
         if not toks:
             return None
         head = toks[0].upper
         second = toks[1].upper if len(toks) > 1 else ""
         if head == "CREATE" and second == "DATABASE":
-            self.databases.add(toks[2].text)
+            if_not_exists = len(toks) > 4 and toks[2].upper == "IF"
+            name = toks[5].text if if_not_exists else toks[2].text
+            if name in self._dbs:
+                if if_not_exists:
+                    return None
+                raise ValueError(f"database {name!r} already exists")
+            self._dbs[name] = {}
+            self._db_defs[name] = {}
             return None
         if head == "DROP" and second == "DATABASE":
-            self.databases.discard(toks[2].text)
+            name = toks[4].text if toks[2].upper == "IF" else toks[2].text
+            if name == self.current_db:
+                raise ValueError("cannot drop the current database")
+            self._dbs.pop(name, None)
+            self._db_defs.pop(name, None)
             return None
         if head == "USE":
-            if toks[1].text not in self.databases:
+            if toks[1].text not in self._dbs:
                 raise ValueError(f"database {toks[1].text!r} does not exist")
             self.current_db = toks[1].text
             return None
@@ -157,7 +302,7 @@ class Engine:
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
             if m:
                 return self._select_into(sql_text, m)
-            return Lowerer(self.spark, self.tables).query(P.parse(sql_text), {})
+            return Lowerer(self.spark, self._table_view()).query(P.parse(sql_text), {})
         raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
 
     # -- DDL ------------------------------------------------------------------
@@ -229,6 +374,12 @@ class Engine:
             i = j + 1
             if i < len(toks) and toks[i].text == ",":
                 i += 1
+        if i < len(toks) and toks[i].text != ";":
+            # e.g. `INSERT ... VALUES (...) OUTFILE 'x'` — the reference
+            # rejects trailing clauses (test_out_in id 5)
+            raise ValueError(
+                f"unexpected tokens after INSERT VALUES: {render(toks[i:i+3])}"
+            )
         existing = self.tables[name]
         schema = existing.schema
         if cols:
@@ -434,29 +585,48 @@ class Engine:
     def _load_data(self, sql_text: str):
         m = re.match(
             r"\s*LOAD\s+DATA\s+INFILE\s+'([^']+)'\s+INTO\s+TABLE\s+(\w+)"
-            r"(?:\s+OPTIONS\s*\(([^)]*)\))?\s*;?\s*$",
+            r"(?:\s+OPTIONS\s*\((.*)\))?\s*;?\s*$",
             sql_text,
             re.IGNORECASE | re.DOTALL,
         )
         if not m:
             raise ValueError("LOAD DATA INFILE '<path>' INTO TABLE <t> [OPTIONS(...)]")
         path, name, opts_s = m.group(1), m.group(2), m.group(3) or ""
-        opts = _parse_options(opts_s)
-        mode = opts.pop("mode", "append").lower()
+        quoted: set = set()
+        opts = _parse_options(opts_s, quoted)
+        _check_options(opts, quoted, _LOAD_OPTS, "LOAD DATA")
+        mode = opts.get("mode", "append").lower()
+        if mode not in ("append", "overwrite", "error_if_exists", "errorifexists"):
+            raise ValueError(f"invalid LOAD DATA mode {mode!r}")
+        if name not in self.tables:
+            # the reference requires the target table to exist
+            # (test_out_in id 26)
+            raise ValueError(f"unknown table {name!r}")
+        if mode.startswith("error") and self.tables[name].limit(1).count() > 0:
+            raise ValueError(
+                f"LOAD DATA mode=error_if_exists: table {name!r} has data"
+            )
         schema = None
         if name in self.table_defs:
             schema = self.table_defs[name].schema_ddl
         df = load_data(
             self.spark,
             path,
-            fmt=opts.pop("format", "csv").lower(),
-            delimiter=opts.pop("delimiter", ","),
-            header=opts.pop("header", "true").lower() == "true",
-            null_value=opts.pop("null_value", "null"),
-            quote=opts.pop("quote", '"'),
+            fmt=opts.get("format", "csv").lower(),
+            delimiter=opts.get("delimiter", ","),
+            header=opts.get("header", "true").lower() == "true",
+            null_value=opts.get("null_value", "null"),
+            quote=opts.get("quote", '"'),
             schema=schema,
         )
-        if name in self.tables and mode == "append" and self.tables[name].columns:
+        # an import is a job: run it now so malformed data fails the LOAD
+        # statement itself (strict-cast errors surface here), like the
+        # reference's offline import. The noop sink evaluates EVERY column
+        # (count() would prune the cast projections away); at scale this
+        # materializes to managed storage; here the validated DataFrame is
+        # the managed table.
+        df.write.format("noop").mode("overwrite").save()
+        if mode == "append" and self.tables[name].columns:
             self.tables[name] = self.tables[name].unionByName(df)
         else:
             self.tables[name] = df
@@ -465,23 +635,25 @@ class Engine:
     def _select_into(self, sql_text: str, m: "re.Match"):
         # SELECT ... INTO OUTFILE 'path' [OPTIONS(...)]
         tail = sql_text[m.end():]
-        tm = re.match(r"'([^']+)'\s*(?:OPTIONS\s*\(([^)]*)\))?\s*;?\s*$", tail,
+        tm = re.match(r"'([^']+)'\s*(?:OPTIONS\s*\((.*)\))?\s*;?\s*$", tail,
                       re.IGNORECASE | re.DOTALL)
         if not tm:
             raise ValueError("INTO OUTFILE '<path>' [OPTIONS(...)]")
         path, opts_s = tm.group(1), tm.group(2) or ""
-        opts = _parse_options(opts_s)
+        quoted: set = set()
+        opts = _parse_options(opts_s, quoted)
+        _check_options(opts, quoted, _OUTFILE_OPTS, "OUTFILE")
         query = sql_text[: m.start()]
-        df = Lowerer(self.spark, self.tables).query(P.parse(query), {})
+        df = Lowerer(self.spark, self._table_view()).query(P.parse(query), {})
         select_into(
             df,
             path,
-            fmt=opts.pop("format", "csv").lower(),
-            delimiter=opts.pop("delimiter", ","),
-            header=opts.pop("header", "true").lower() == "true",
-            null_value=opts.pop("null_value", "null"),
-            quote=opts.pop("quote", '"'),
-            mode=opts.pop("mode", "error_if_exists").lower(),
+            fmt=opts.get("format", "csv").lower(),
+            delimiter=opts.get("delimiter", ","),
+            header=opts.get("header", "true").lower() == "true",
+            null_value=opts.get("null_value", "null"),
+            quote=opts.get("quote", '"'),
+            mode=opts.get("mode", "error_if_exists").lower(),
         )
         return None
 
@@ -581,7 +753,7 @@ class SqlDeployment:
     ) -> DataFrame:
         """Batch mode = request mode for every stored row: the SQL runs
         unchanged with the main table bound to ``history``."""
-        tables = dict(self.engine.tables)
+        tables = self.engine._table_view()
         if history is not None:
             tables[self.request_table] = history
         return Lowerer(self.engine.spark, tables).query(
@@ -626,7 +798,7 @@ class SqlDeployment:
         for w in body.windows.values():
             w.union_tables.append(copy.deepcopy(union_ref))
             w.instance_not_in_window = True
-        tables = dict(self.engine.tables)
+        tables = self.engine._table_view()
         tables[self.request_table] = requests
         tables["__history"] = hist
         return Lowerer(self.engine.spark, tables).query(q, {})
@@ -894,14 +1066,57 @@ def _split_statements(script: str) -> list[str]:
     return stmts
 
 
-def _parse_options(opts_s: str) -> dict[str, str]:
+def _parse_options(opts_s: str, quoted: Optional[set] = None) -> dict[str, str]:
     """Option keys are case-insensitive; VALUES keep their original case —
     null_value='NULL', a quote char, or a path are case-significant.
-    Keyword-valued options (mode/format/header) lowercase at the consumer."""
+    Keyword-valued options (mode/format/header) lowercase at the consumer.
+    ``quoted`` (if given) collects keys whose value was a quoted string —
+    the reference type-checks option values (header must be an unquoted
+    bool literal; test_out_in id 13)."""
+    parts: list[str] = []
+    cur: list[str] = []
+    q: Optional[str] = None
+    for ch in opts_s:
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+        elif ch in "'\"":
+            q = ch
+            cur.append(ch)
+        elif ch == ",":
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur))
     opts: dict[str, str] = {}
-    for part in opts_s.split(","):
+    for part in parts:
         if "=" not in part:
             continue
         k, v = part.split("=", 1)
-        opts[k.strip().lower()] = v.strip().strip("'\"")
+        k, v = k.strip().lower(), v.strip()
+        if quoted is not None and len(v) >= 2 and v[0] in "'\"" and v[-1] == v[0]:
+            quoted.add(k)
+        opts[k] = v.strip("'\"")
     return opts
+
+
+#: option keys the reference's LOAD DATA / SELECT INTO accept
+#: (LOAD_DATA_STATEMENT.md:53-66 / SELECT_INTO_STATEMENT.md) — unknown
+#: keys are rejected (test_out_in id 12)
+_LOAD_OPTS = {"format", "delimiter", "header", "null_value", "quote", "mode", "deep_copy", "load_mode", "thread"}
+_OUTFILE_OPTS = {"format", "delimiter", "header", "null_value", "quote", "mode", "coalesce"}
+_BOOL_OPTS = {"header", "deep_copy"}
+
+
+def _check_options(opts: dict, quoted: set, allowed: set, what: str) -> None:
+    for k in opts:
+        if k not in allowed:
+            raise ValueError(f"unknown {what} option {k!r}")
+        if k in _BOOL_OPTS:
+            if k in quoted or opts[k].lower() not in ("true", "false"):
+                raise ValueError(
+                    f"{what} option {k!r} must be an unquoted bool literal"
+                )

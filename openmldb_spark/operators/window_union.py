@@ -68,7 +68,10 @@ def window_union(
                 frac = any(
                     d.startswith("decimal") or d in ("float", "double") for d in (md, ud)
                 )
-                _wide[c] = "double" if frac else "bigint"
+                # widen monotonically across ALL union tables: once any side
+                # is fractional the common type stays double (a later
+                # integer-only union must not narrow it back to bigint)
+                _wide[c] = "double" if frac or _wide.get(c) == "double" else "bigint"
     if _wide:
         main = main.select(
             *[F.col(c).cast(_wide[c]).alias(c) if c in _wide else F.col(c) for c in main.columns]
@@ -97,10 +100,15 @@ def window_union(
                     # exact ms conversion toward the main table's type
                     if md == "bigint":
                         proj.append(F.unix_millis(F.col(c).cast("timestamp")).alias(c))
-                    else:
+                    elif ud == "bigint":
                         proj.append(
                             F.timestamp_millis(F.col(c)).cast(mtypes[c]).alias(c)
                         )
+                    else:
+                        # ntz/ltz flavor mismatch only — a direct cast is
+                        # exact (timestamp_millis would fail analysis here:
+                        # it expects a long input)
+                        proj.append(F.col(c).cast(mtypes[c]).alias(c))
                 elif c in _wide:
                     proj.append(F.col(c).cast(_wide[c]).alias(c))
                 else:

@@ -30,9 +30,91 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 _MODES = {"overwrite": "overwrite", "append": "append", "error_if_exists": "error", "errorifexists": "error"}
+
+
+def _parse_ddl(schema: str) -> list[tuple[str, str]]:
+    out = []
+    for part in schema.split(","):
+        name, typ = part.strip().split(None, 1)
+        out.append((name.strip("`"), typ.strip()))
+    return out
+
+
+def _strict_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    sep: str,
+    header: bool,
+    null_value: str,
+    quote: str,
+) -> DataFrame:
+    """Schema-known CSV read with the reference's LOAD DATA strictness:
+
+    - a malformed value (non-castable cell) FAILS the load, it does not
+      silently become NULL (reference rejects type mismatches);
+    - ``header=true`` against a header-less file FAILS (the reference
+      verifies the header line matches the table's column names);
+    - header lines are dropped WHEREVER they appear, so csv directories
+      whose ``mode='append'`` parts were written with ``header=false``
+      still round-trip (the reference appends to one physical file; Spark
+      appends part files — per-row filtering is the distributed analog
+      and stays a narrow, shuffle-free transform).
+    """
+    cols = _parse_ddl(schema)
+    raw = (
+        spark.read.option("sep", sep)
+        .option("header", "false")
+        .option("nullValue", null_value)
+        .option("quote", quote)
+        .csv(path)
+    )
+    if len(raw.columns) != len(cols):
+        raise ValueError(
+            f"LOAD DATA: file has {len(raw.columns)} columns, "
+            f"table expects {len(cols)}"
+        )
+    rc = raw.columns
+    is_header = None
+    for c, (name, _) in zip(rc, cols):
+        t = F.col(c) == F.lit(name)
+        is_header = t if is_header is None else (is_header & t)
+    if header:
+        # the reference checks the header matches the table's columns
+        if raw.filter(is_header).limit(1).count() == 0:
+            raise ValueError(
+                "LOAD DATA: header=true but the file's header does not "
+                f"match the table columns {[n for n, _ in cols]}"
+            )
+        raw = raw.filter(~is_header)
+    proj = []
+    for c, (name, typ) in zip(rc, cols):
+        lt = typ.lower()
+        if lt in ("string", "varchar"):
+            proj.append(F.col(c).alias(name))
+            continue
+        cast = F.try_cast(F.col(c), typ) if hasattr(F, "try_cast") else F.col(c).cast(typ)
+        bad = F.col(c).isNotNull() & cast.isNull()
+        proj.append(
+            F.when(
+                bad,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"LOAD DATA: value '"),
+                        F.col(c),
+                        F.lit(f"' is not a valid {typ} for column {name}"),
+                    )
+                ).cast(typ),
+            )
+            .otherwise(cast)
+            .alias(name)
+        )
+    return raw.select(*proj)
 
 
 def load_data(
@@ -60,16 +142,19 @@ def load_data(
             reader = reader.schema(schema)
         return reader.json(path)
     if fmt in ("csv", "tsv"):
+        sep = "\t" if fmt == "tsv" else delimiter
+        if schema:
+            return _strict_csv(
+                spark, path, schema,
+                sep=sep, header=header, null_value=null_value, quote=quote,
+            )
         reader = (
-            spark.read.option("sep", "\t" if fmt == "tsv" else delimiter)
+            spark.read.option("sep", sep)
             .option("header", str(header).lower())
             .option("nullValue", null_value)
             .option("quote", quote)
+            .option("inferSchema", "true")
         )
-        if schema:
-            reader = reader.schema(schema)
-        else:
-            reader = reader.option("inferSchema", "true")
         return reader.csv(path)
     if fmt == "hive":
         return spark.table(path)
@@ -95,7 +180,11 @@ def select_into(
     """
     if coalesce:
         df = df.coalesce(coalesce)
-    writer = df.write.mode(_MODES.get(mode.lower(), mode))
+    if mode.lower() not in _MODES:
+        raise ValueError(
+            f"invalid mode {mode!r} (error_if_exists/overwrite/append)"
+        )
+    writer = df.write.mode(_MODES[mode.lower()])
     fmt = fmt.lower()
     if fmt == "parquet":
         writer.parquet(path)

@@ -204,23 +204,49 @@ def _qualify_bare(tokens: list[Tok], qual: dict[str, str]) -> list[Tok]:
     return out
 
 
-def _struct_eq(equi_pairs: list, ralias: str, left: DataFrame, dd: DataFrame) -> Column:
+def _struct_eq(
+    equi_pairs: list, ralias: str, left: DataFrame, dd: DataFrame
+) -> Optional[Column]:
     """Null-safe equi condition as ONE struct-equality key: the dialect's
     index join matches NULL keys (test_lastjoin_simple.yaml id 19), and
     Spark's struct comparison is null-safe per field while still planning
     as a single-key hash join — unlike `<=>`, which rewrites every key to
     a (coalesce, isnull) pair and doubled the probe-side key width (2x
-    wall on the sql_last_join bench)."""
+    wall on the sql_last_join bench).
+
+    Returns ``None`` when a key pair's types cannot be reconciled exactly
+    (e.g. string vs numeric): the caller falls back to the generic
+    ``F.expr`` ON condition, where Spark's own implicit coercion applies —
+    forcing double there would turn unparseable strings into NULL keys that
+    the null-safe struct equality would then silently MATCH."""
     ltypes = dict(left.dtypes)
     rtypes = dict(dd.dtypes)
     _INTS = ("tinyint", "smallint", "int", "bigint")
+    _TSD = ("timestamp", "timestamp_ntz", "date")
 
-    def common(lt: str, rt: str) -> Optional[str]:
+    def _num(t: str) -> bool:
+        return t in _INTS or t in ("float", "double") or t.startswith("decimal")
+
+    def reconcile(le: Column, re_: Column, lt: str, rt: str):
+        """Exactly reconcile one key pair, or None if not safely possible."""
         if lt == rt:
-            return None
+            return le, re_
         if lt in _INTS and rt in _INTS:
-            return "bigint"
-        return "double"  # mixed numeric / fallback — matches = coercion
+            return le.cast("bigint"), re_.cast("bigint")
+        if _num(lt) and _num(rt):
+            return le.cast("double"), re_.cast("double")
+        if lt in _TSD and rt in _TSD:
+            # date vs timestamp / ntz vs ltz: cast both to timestamp
+            # (Spark's own implicit coercion for the comparison)
+            return le.cast("timestamp"), re_.cast("timestamp")
+        # dialect timestamps travel as int64 ms: reconcile timestamp-family
+        # vs bigint via an exact ms conversion, never a double cast
+        # (timestamp seconds vs ms would otherwise never be equal)
+        if lt in _TSD and rt == "bigint":
+            return F.unix_millis(le.cast("timestamp")), re_
+        if lt == "bigint" and rt in _TSD:
+            return le, F.unix_millis(re_.cast("timestamp"))
+        return None
 
     lefts, rights = [], []
     for ltoks, rc in equi_pairs:
@@ -230,15 +256,14 @@ def _struct_eq(equi_pairs: list, ralias: str, left: DataFrame, dd: DataFrame) ->
         # frame refs trip Spark's ambiguous-self-join detection
         re_ = F.col(f"{ralias}.{rc}")
         lt = ltypes.get(render(ltoks).strip())
-        ct = common(lt, rtypes[rc]) if lt is not None else None
         if lt is None:
             # non-column left expr: probe its dtype
             lt = left.select(le.alias("__t")).dtypes[0][1]
-            ct = common(lt, rtypes[rc])
-        if ct is not None:
-            le, re_ = le.cast(ct), re_.cast(ct)
-        lefts.append(le)
-        rights.append(re_)
+        pair = reconcile(le, re_, lt, rtypes[rc])
+        if pair is None:
+            return None
+        lefts.append(pair[0])
+        rights.append(pair[1])
     return F.struct(*lefts) == F.struct(*rights)
 
 
@@ -748,7 +773,15 @@ class Lowerer:
 
         equi_pairs = self._equi_right_keys(j.on, ralias)
         equi = [rc for _, rc in equi_pairs] if equi_pairs is not None else None
-        if equi is not None:
+        # the struct key's right-side refs are unresolved `{ralias}.{col}`
+        # attributes — built against `right` here, they resolve identically
+        # against the deduped dd below (same alias, same key columns/types).
+        # None = some key pair's types can't be reconciled exactly: fall
+        # through to the generic plan where Spark's own coercion applies.
+        cond = (
+            _struct_eq(equi_pairs, ralias, left, right) if equi is not None else None
+        )
+        if equi is not None and cond is not None:
             # scale plan: dedupe right to one row per key via
             # max_by(payload, (order, ~hash)) — partial map-side combine
             # (at most one candidate per key per input partition reaches
@@ -774,7 +807,7 @@ class Lowerer:
             nonkey_idx = [i for i, c in enumerate(rcols) if c not in keyset]
             if not nonkey_idx:
                 dd = right.distinct().alias(ralias)
-                return left.join(dd, _struct_eq(equi_pairs, ralias, left, dd), "left")
+                return left.join(dd, cond, "left")
             # positional payload fields: the dialect permits DUPLICATE
             # projected names in the right subquery (last_join_where.yaml
             # id 1 projects c4 twice) — name-based struct extraction would
@@ -791,7 +824,7 @@ class Lowerer:
                 .select(*sel)
                 .alias(ralias)
             )
-            return left.join(dd, _struct_eq(equi_pairs, ralias, left, dd), "left")
+            return left.join(dd, cond, "left")
 
         # generic plan: left row-id, join, keep max-order match per row
         lid = left.withColumn(_RID, F.monotonically_increasing_id())

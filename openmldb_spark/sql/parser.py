@@ -373,10 +373,14 @@ class Parser:
             ref = TableRef(subquery=q)
         else:
             name = self.eat().text
-            # db.table -> keep last component
+            # db.table: keep the full dotted name — the Engine mangles
+            # KNOWN-db qualifiers to flat tokens before parse, so a dotted
+            # name here is either an unknown db (resolution fails with a
+            # clear error, matching the reference) or a real Spark-catalog
+            # table (db.t resolves via spark.table)
             while self.at("."):
                 self.eat()
-                name = self.eat().text
+                name = f"{name}.{self.eat().text}"
             ref = TableRef(name=_unquote(name))
         if self.accept("AS"):
             ref.alias = _unquote(self.eat().text)

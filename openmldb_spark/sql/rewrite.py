@@ -186,11 +186,19 @@ def _ts_poly(x: str) -> str:
     """Render a timestamp-accepting argument polymorphically: integer input
     is ms since epoch (dialect timestamps are int64 ms in this engine),
     string/date/timestamp parse/cast directly — the same runtime dispatch
-    as :func:`_t_timestamp`."""
+    as :func:`_t_timestamp`.
+
+    Dispatch is on ``typeof`` (constant per column, folded by Catalyst), NOT
+    on whether the value happens to TRY_CAST to BIGINT: a digit-only date
+    string like ``'20200520'`` must follow the string arm and fail to parse
+    (NULL), matching the reference — not become ``TIMESTAMP_MILLIS(20200520)``.
+    Both arms go through a string round-trip so they analyze for any input
+    type; exactly one is selected per column."""
     s = f"CAST(({x}) AS STRING)"
     return (
-        f"COALESCE(TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)), "
-        f"TRY_CAST({s} AS TIMESTAMP))"
+        f"(CASE WHEN typeof({x}) IN ('tinyint', 'smallint', 'int', 'bigint') "
+        f"THEN TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)) "
+        f"ELSE TRY_CAST({s} AS TIMESTAMP) END)"
     )
 
 
@@ -208,14 +216,10 @@ def _t_timestamp(x: str) -> str:
     # dialect cast (ref default_udf_library.cc:2089-2263): an integer input
     # is ms since epoch (dialect timestamps are int64 ms in this engine);
     # string/date/timestamp inputs parse/cast directly. Spark's bare
-    # CAST(bigint AS TIMESTAMP) reads seconds, so dispatch at runtime via a
-    # string round-trip — both arms analyze for any input type and exactly
-    # one is non-null per row.
-    s = f"CAST(({x}) AS STRING)"
-    return (
-        f"COALESCE(TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)), "
-        f"TRY_CAST({s} AS TIMESTAMP))"
-    )
+    # CAST(bigint AS TIMESTAMP) reads seconds, so dispatch on typeof (same
+    # scheme as _ts_poly — string-valued digit inputs must take the parse
+    # arm and fail to NULL, per the reference).
+    return _ts_poly(x)
 
 
 def _t_bigint(x: str) -> str:
@@ -273,7 +277,15 @@ TEMPLATES: dict[str, object] = {
     "week": _t_datepart("WEEKOFYEAR"),
     "weekofyear": _t_datepart("WEEKOFYEAR"),
     "date": lambda x: f"CAST({_ts_poly(x)} AS DATE)",
-    "distinct_count": lambda x: f"COUNT(DISTINCT {x})",
+    # dialect distinct_count counts NULL as its own distinct value (ref
+    # test_udaf_function id 5) — add the NULL term so the GROUP BY/scalar
+    # path agrees with the window AggSpec path (aggregates.py). The
+    # reference engine actually folds NULL into the type's DEFAULT value
+    # (id 6): divergence documented in DIVERGENCES.md #8.
+    "distinct_count": lambda x: (
+        f"(COUNT(DISTINCT {x}) "
+        f"+ COALESCE(MAX(CASE WHEN ({x}) IS NULL THEN 1 ELSE 0 END), 0))"
+    ),
     "sum_where": _agg_where("SUM"),
     "count_where": _agg_where("COUNT"),
     "avg_where": _agg_where("AVG"),

@@ -40,6 +40,8 @@ def test_insert_column_list_and_nulls(eng):
 def test_load_and_select_into_roundtrip(eng, tmp_path):
     csv = tmp_path / "in.csv"
     csv.write_text("id,name\n1,x\n2,y\n")
+    # the reference requires the target table to exist (test_out_in id 26)
+    eng.execute("CREATE TABLE src (id int, name string)")
     eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE src OPTIONS(format='csv')")
     assert eng.execute("SELECT count(*) AS n FROM src").collect()[0]["n"] == 2
     out_dir = tmp_path / "out"
@@ -47,6 +49,7 @@ def test_load_and_select_into_roundtrip(eng, tmp_path):
         f"SELECT id, ucase(name) AS un FROM src INTO OUTFILE '{out_dir}' "
         "OPTIONS(format='csv', mode='overwrite')"
     )
+    eng.execute("CREATE TABLE back (id int, un string)")
     eng.execute(f"LOAD DATA INFILE '{out_dir}' INTO TABLE back OPTIONS(format='csv')")
     assert {tuple(r) for r in eng.execute("SELECT * FROM back").collect()} == {
         (1, "X"), (2, "Y"),
@@ -193,7 +196,7 @@ def test_load_options_preserve_value_case(eng, tmp_path):
     eng.execute("CREATE TABLE tc (id int, name string)")
     eng.execute(
         f"LOAD DATA INFILE '{p}' INTO TABLE tc "
-        "OPTIONS(format='csv', header='true', null_value='NULL', mode='overwrite')"
+        "OPTIONS(format='csv', header=true, null_value='NULL', mode='overwrite')"
     )
     rows = {r["id"]: r["name"] for r in eng.execute("SELECT * FROM tc").collect()}
     assert rows == {1: None, 2: "Alice"}

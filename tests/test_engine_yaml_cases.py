@@ -17,7 +17,7 @@ try:
 except ImportError:
     yaml = None
 
-from test_yaml_cases import _eq, _parse_rows, _parse_schema
+from test_yaml_cases import _eq, _parse_rows, _parse_schema, shard_files
 
 CASE_DIR = os.path.join(os.path.dirname(__file__), "engine_cases")
 
@@ -25,25 +25,30 @@ CASE_DIR = os.path.join(os.path.dirname(__file__), "engine_cases")
 def _load_cases():
     if yaml is None:
         return []
+    paths = sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml")))
+    docs = {p: yaml.safe_load(open(p)) for p in paths}
+    paths = shard_files(paths, [len(docs[p]["cases"]) for p in paths])
     out = []
-    for path in sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml"))):
-        doc = yaml.safe_load(open(path))
-        for case in doc["cases"]:
+    for path in paths:
+        for case in docs[path]["cases"]:
             out.append(pytest.param(path, case, id=f"{os.path.basename(path)}:{case['id']}"))
     return out
 
 
 @pytest.mark.parametrize("path,case", _load_cases())
-def test_engine_yaml_case(spark, path, case):
+def test_engine_yaml_case(spark, path, case, tmp_path):
     from openmldb_spark.engine import Engine
 
     eng = Engine(spark)
     exp = case["expect"]
 
+    def _sub(stmt: str) -> str:
+        return stmt.replace("{tmpdir}", str(tmp_path))
+
     def run_all():
         for stmt in case.get("statements", []):
-            eng.execute(stmt)
-        return eng.execute(case["sql"])
+            eng.execute(_sub(stmt))
+        return eng.execute(_sub(case["sql"]))
 
     if exp.get("error"):
         with pytest.raises(Exception):
@@ -55,6 +60,9 @@ def test_engine_yaml_case(spark, path, case):
     if exp.get("success") is True:
         if got_df is not None:
             got_df.collect()
+        return
+    if "count" in exp and "schema" not in exp:
+        assert got_df.count() == exp["count"]
         return
     exp_schema = _parse_schema(exp["schema"])
     exp_rows = _parse_rows(exp["data"], exp_schema)

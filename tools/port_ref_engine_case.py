@@ -42,9 +42,19 @@ def _emit(ref, case, cid) -> None:
         names = [inp.get("name") or f"t{i}" for i, inp in enumerate(inputs)]
 
         def sub(text: str) -> str:
+            import re as _re
+
             for i, nm in enumerate(names):
                 text = text.replace("{" + str(i) + "}", nm)
-            return text.replace("{auto}", f"auto_{cid.replace('~', '_').replace('-', '_')}")
+            text = text.replace("{auto}", f"auto_{cid.replace('~', '_').replace('-', '_')}")
+            # relative file paths (INFILE/OUTFILE) -> per-case tmpdir; the
+            # harness substitutes {tmpdir} with pytest's tmp_path
+            text = _re.sub(
+                r"'(?!/|\{tmpdir\})([^']*\.(?:csv|parquet|txt|json))'",
+                r"'{tmpdir}/\1'",
+                text,
+            )
+            return text
 
         print(f"  - id: {cid}")
         desc = str(case.get("desc", "")).replace('"', "'").strip()
@@ -52,9 +62,30 @@ def _emit(ref, case, cid) -> None:
         has_stmts = any(
             ("create" in inp or "columns" in inp) for inp in inputs
         ) or case.get("sqls")
-        if has_stmts:
+        # multi-database cases: a case-level db is the CURRENT db for the
+        # final sql; per-input dbs get created + populated under USE
+        case_db = case.get("db")
+        input_dbs = [inp.get("db") for inp in inputs]
+        multi_db = case_db is not None or any(d for d in input_dbs)
+        if multi_db or has_stmts:
             print("    statements:")
+        made: set = set()
+        cur_db = [None]
+
+        def use_db(db):
+            if db is None:
+                db = case_db or "default"
+            if db not in made and db != "default":
+                print(f"      - CREATE DATABASE IF NOT EXISTS {db}")
+                made.add(db)
+            if cur_db[0] != db:
+                print(f"      - USE {db}")
+                cur_db[0] = db
+        if multi_db:
+            use_db(case_db or "default")
         for nm, inp in zip(names, inputs):
+            if multi_db:
+                use_db(inp.get("db"))
             if "create" in inp:
                 print("      - |")
                 print(indent(sub(inp["create"].strip()), "        "))
@@ -86,6 +117,8 @@ def _emit(ref, case, cid) -> None:
                             vals.append(str(v))
                     print("      - |")
                     print(f"        INSERT INTO {nm} VALUES ({', '.join(vals)})")
+        if multi_db:
+            use_db(case_db or "default")
         sqls = [sub(st.strip().rstrip(";")) for st in case.get("sqls") or []]
         final = sub(case["sql"].strip().rstrip(";")) if "sql" in case else sqls.pop()
         for st in sqls:
@@ -103,6 +136,8 @@ def _emit(ref, case, cid) -> None:
                 print(f"      order: {exp['order']}")
             print("      data: |")
             print(indent(conv_rows(exp.get("rows") or []), "        "))
+        elif "count" in exp:
+            print(f"      count: {exp['count']}")
         else:
             print("      success: true")
         print()
