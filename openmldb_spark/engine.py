@@ -135,7 +135,9 @@ class Engine:
         self._db_defs: dict[str, dict[str, TableDef]] = {"default": {}}
         #: mangled flat name -> (db, bare name) — exact demangle map
         self._mangled: dict[str, tuple[str, str]] = {}
-        self.deployments: dict[str, "SqlDeployment"] = {}
+        #: deployments live in a database like tables do (SHOW DEPLOYMENT
+        #: reports dbName; the reference scopes them per-db)
+        self._db_deps: dict[str, dict[str, "SqlDeployment"]] = {"default": {}}
         #: name -> (is_aggregate, return_type_ddl, source_file)
         self.functions: dict[str, tuple[bool, str, str]] = {}
         #: session variables (SET / SHOW VARIABLES); engine-meaningful ones
@@ -155,6 +157,10 @@ class Engine:
     @property
     def table_defs(self) -> "_NsView":
         return _NsView(self, "_db_defs")
+
+    @property
+    def deployments(self) -> dict[str, "SqlDeployment"]:
+        return self._db_deps.setdefault(self.current_db, {})
 
     # -- db-qualified name handling ------------------------------------------
     def _loc(self, name: str) -> tuple[str, str]:
@@ -225,6 +231,20 @@ class Engine:
         # SET routes before tokenization (the '@@var' sigil isn't a token)
         if re.match(r"\s*SET\b", sql_text, re.IGNORECASE):
             return self._set(sql_text)
+        # DEPLOYMENT statements route BEFORE db-qualifier mangling: the
+        # reference's DROP DEPLOYMENT grammar takes a plain identifier
+        # (db-qualified fails, test_drop_deploy id 3) while SHOW DEPLOYMENT
+        # accepts db.name (test_show_deploy id 3)
+        dm = re.match(
+            r"\s*DROP\s+DEPLOYMENT\s+([\w.]+)\s*;?\s*$", sql_text, re.IGNORECASE
+        )
+        if dm:
+            return self._drop_deployment(dm.group(1))
+        sm = re.match(
+            r"\s*SHOW\s+DEPLOYMENT\s+([\w.]+)\s*;?\s*$", sql_text, re.IGNORECASE
+        )
+        if sm:
+            return self._show_deployment(sm.group(1))
         sql_text = self._mangle_sql(sql_text)
         toks = tokenize(sql_text)
         if not toks:
@@ -240,6 +260,7 @@ class Engine:
                 raise ValueError(f"database {name!r} already exists")
             self._dbs[name] = {}
             self._db_defs[name] = {}
+            self._db_deps[name] = {}
             return None
         if head == "DROP" and second == "DATABASE":
             name = toks[4].text if toks[2].upper == "IF" else toks[2].text
@@ -247,6 +268,7 @@ class Engine:
                 raise ValueError("cannot drop the current database")
             self._dbs.pop(name, None)
             self._db_defs.pop(name, None)
+            self._db_deps.pop(name, None)
             return None
         if head == "USE":
             if toks[1].text not in self._dbs:
@@ -297,6 +319,10 @@ class Engine:
         if head == "SHOW" and second == "CREATE":
             return self._show_create(toks[3].text)
         if head == "SHOW":
+            if any(t.text != ";" for t in toks[2:]):
+                # e.g. `SHOW DEPLOYMENTS name` — the reference rejects
+                # trailing tokens (test_show_deploy id 2)
+                raise ValueError(f"unexpected tokens after SHOW {second}")
             return self._show(second)
         if head in ("SELECT", "WITH"):
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
@@ -661,6 +687,15 @@ class Engine:
     def _deploy(self, toks: list[Tok], sql_text: str):
         # DEPLOY name [OPTIONS(long_windows='w1:1d,...')] SELECT ...
         name = toks[1].text
+        if name in self.deployments:
+            # the reference rejects a duplicate deployment name
+            # (test_create_deploy id 8)
+            raise ValueError(f"deployment {name!r} already exists")
+        if self._DBM in sql_text:
+            # the reference rejects DEPLOY over db-qualified (cross-db)
+            # tables (test_create_deploy ids 6/18) — the deployed procedure
+            # is bound to ONE database
+            raise ValueError("DEPLOY SQL must not reference other databases")
         om = re.search(
             r"OPTIONS\s*\(\s*long_windows\s*=\s*'([^']*)'\s*\)", sql_text, re.IGNORECASE
         )
@@ -670,10 +705,74 @@ class Engine:
                 wname, bucket = part.split(":")
                 long_windows[wname.strip()] = bucket.strip()
         m = re.search(r"\b(SELECT|WITH)\b", sql_text, re.IGNORECASE)
+        if not m:
+            # e.g. `DEPLOY name INSERT ...` (test_create_deploy id 10)
+            raise ValueError("DEPLOY requires a SELECT statement")
         select_sql = sql_text[m.start():]
         dep = SqlDeployment(self, name, select_sql, long_windows=long_windows)
+        # compile-time validation, like the reference's deploy-time plan
+        # build: lower the SELECT against the current catalog (no action
+        # runs); unknown tables/columns or bad SQL fail the DEPLOY itself,
+        # and the analyzed schema becomes the output contract. Parameterized
+        # deploys (`?` placeholders) bind per-execution, so their schema is
+        # resolved at first run instead.
+        if not any(t.text == "?" for t in tokenize(select_sql)):
+            dep.output_schema = Lowerer(self.spark, self._table_view()).query(
+                P.parse(select_sql), {}
+            ).schema
         self.deployments[name] = dep
+        dep.db_name = self.current_db
         return dep
+
+    #: Spark type -> the reference's column-type naming (SHOW DEPLOYMENT)
+    _KTYPES = {
+        "string": "kVarchar", "short": "kInt16", "smallint": "kInt16",
+        "int": "kInt32", "integer": "kInt32", "bigint": "kInt64",
+        "long": "kInt64", "float": "kFloat", "double": "kDouble",
+        "timestamp": "kTimestamp", "timestamp_ntz": "kTimestamp",
+        "date": "kDate", "boolean": "kBool",
+    }
+
+    def _dep_lookup(self, name: str) -> tuple[str, "SqlDeployment"]:
+        db, _, bare = name.rpartition(".") if "." in name else ("", "", name)
+        db = db or self.current_db
+        if db not in self._dbs:
+            raise ValueError(f"database {db!r} does not exist")
+        dep = self._db_deps.setdefault(db, {}).get(bare)
+        if dep is None:
+            raise ValueError(f"unknown deployment {bare!r} in database {db!r}")
+        return db, dep
+
+    def _drop_deployment(self, name: str):
+        if "." in name:
+            # the reference's DROP DEPLOYMENT grammar takes a plain
+            # identifier (test_drop_deploy id 3)
+            raise ValueError("DROP DEPLOYMENT takes an unqualified name")
+        db, _ = self._dep_lookup(name)
+        del self._db_deps[db][name]
+        return None
+
+    def _show_deployment(self, name: str) -> DataFrame:
+        """SHOW DEPLOYMENT [db.]name -> one row per input/output column:
+        (deployment, db, sql, section, idx, column_name, column_type).
+        Types use the reference's naming (kVarchar/kInt32/...)."""
+        db, dep = self._dep_lookup(name)
+        rows = []
+        sections = [("input", dep.input_schema), ("output", dep.output_schema)]
+        for section, schema in sections:
+            if schema is None:
+                continue
+            for i, f in enumerate(schema.fields, 1):
+                st = f.dataType.simpleString()
+                rows.append(
+                    (dep.name, db, dep.sql_text, section, i, f.name,
+                     self._KTYPES.get(st, st))
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "deployment string, db string, sql string, section string, "
+            "idx int, column_name string, column_type string",
+        )
 
     # -- SHOW -----------------------------------------------------------------
     def _show(self, what: str) -> DataFrame:
@@ -728,10 +827,24 @@ class SqlDeployment:
         self.long_windows = dict(long_windows or {})
         self.query = P.parse(select_sql)
         self._preagg: dict[tuple[str, str], DataFrame] = {}
+        self.db_name = engine.current_db
+        #: output schema, filled by Engine._deploy's validation lowering
+        self.output_schema = None
         body = self.query.body
-        if not isinstance(body, P.Select) or body.from_ is None or body.from_.name is None:
+        # the request table may sit under subquery FROMs (`select ... from
+        # (select ... from t) as x` — test_create_deploy id 4): descend to
+        # the innermost named main table
+        sel = body
+        while (
+            isinstance(sel, P.Select)
+            and sel.from_ is not None
+            and sel.from_.name is None
+            and sel.from_.subquery is not None
+        ):
+            sel = sel.from_.subquery.body
+        if not isinstance(sel, P.Select) or sel.from_ is None or sel.from_.name is None:
             raise ValueError("DEPLOY needs a SELECT with a named main table")
-        self.request_table = body.from_.name
+        self.request_table = sel.from_.name
         #: schema contract pinned at deploy time (if the table exists)
         t = engine.tables.get(self.request_table)
         self.input_schema = t.schema if t is not None else None

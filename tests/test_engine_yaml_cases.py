@@ -64,6 +64,30 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
     if "count" in exp and "schema" not in exp:
         assert got_df.count() == exp["count"]
         return
+    if "deployment" in exp:
+        # SHOW DEPLOYMENT detail: one row per input/output column. The
+        # reference's `sql:` text golden (its own formatter output) is not
+        # compared — name/db/in-out column contracts are.
+        d = exp["deployment"]
+        rows = got_df.collect()
+        assert rows, "SHOW DEPLOYMENT returned no rows"
+        assert rows[0]["deployment"] == d["name"]
+        if "dbName" in d:
+            assert rows[0]["db"] == d["dbName"]
+        for section, key in (("input", "inColumns"), ("output", "outColumns")):
+            if key not in d:
+                continue
+            got_cols = [
+                (r["idx"], r["column_name"], r["column_type"])
+                for r in rows
+                if r["section"] == section
+            ]
+            exp_cols = []
+            for line in d[key]:
+                i, nm, tp = [s.strip() for s in str(line).split(",")][:3]
+                exp_cols.append((int(i), nm, tp))
+            assert got_cols == exp_cols, f"{section}: {got_cols} != {exp_cols}"
+        return
     exp_schema = _parse_schema(exp["schema"])
     exp_rows = _parse_rows(exp["data"], exp_schema)
     assert got_df.columns == [n for n, _ in exp_schema], (

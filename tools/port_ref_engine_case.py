@@ -18,6 +18,9 @@ def main() -> None:
     doc = yaml.safe_load(open(ref))
     seen: dict = {}
     for case in doc["cases"]:
+        # a file-level `db:` is every case's default database
+        if doc.get("db") and not case.get("db"):
+            case["db"] = doc["db"]
         cid = str(case["id"])
         seen[cid] = seen.get(cid, 0) + 1
         if seen[cid] > 1:
@@ -26,10 +29,29 @@ def main() -> None:
             continue
         if "batch-unsupport" in case.get("mode", ""):
             continue
-        try:
-            _emit(ref, case, cid)
-        except Exception as ex:
-            print(f"SKIP {cid}: {type(ex).__name__}: {ex}", file=sys.stderr)
+        # dataProvider (single-dimension): expand d[0] over its values,
+        # one emitted case per value (the reference runner's expansion)
+        variants = [(cid, case)]
+        dp = case.get("dataProvider")
+        if dp:
+            import copy as _copy
+
+            variants = []
+            for vi, val in enumerate(dp[0]):
+                c2 = _copy.deepcopy(case)
+                for key in ("sql", "sqls", "tearDown"):
+                    if key not in c2:
+                        continue
+                    if isinstance(c2[key], list):
+                        c2[key] = [s.replace("d[0]", str(val)) for s in c2[key]]
+                    else:
+                        c2[key] = c2[key].replace("d[0]", str(val))
+                variants.append((f"{cid}_{vi}", c2))
+        for vcid, vcase in variants:
+            try:
+                _emit(ref, vcase, vcid)
+            except Exception as ex:
+                print(f"SKIP {vcid}: {type(ex).__name__}: {ex}", file=sys.stderr)
 
 
 def _emit(ref, case, cid) -> None:
@@ -138,6 +160,19 @@ def _emit(ref, case, cid) -> None:
             print(indent(conv_rows(exp.get("rows") or []), "        "))
         elif "count" in exp:
             print(f"      count: {exp['count']}")
+        elif "deploymentCount" in exp:
+            print(f"      count: {exp['deploymentCount']}")
+        elif "deployment" in exp:
+            dep = exp["deployment"]
+            print("      deployment:")
+            print(f"        name: {sub(dep['name'])}")
+            if "dbName" in dep:
+                print(f"        dbName: {dep['dbName']}")
+            for key in ("inColumns", "outColumns"):
+                if key in dep:
+                    print(f"        {key}:")
+                    for line in dep[key]:
+                        print(f"          - {sub(str(line))}")
         else:
             print("      success: true")
         print()
