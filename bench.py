@@ -17,6 +17,21 @@ dedupe-right plan now uses max_by(payload, (order, tiebreaks)) — a hash
 aggregate with map-side partial combine that both JIT-warms immediately
 (fresh-JVM best-of-3: 0.44s) and shuffles at most one candidate per key
 per input partition instead of every right row.
+
+Adjudication of the r2->r5 embedding_topk drift (0.453 -> 1.014 -> 1.784s
+on an unchanged plan), same fresh-JVM protocol (round 6): reps WITH the
+corpus repartition [7.766, 1.118, 0.958]s; reps WITHOUT it
+[8.764, 1.216, 1.035]s. Verdict: the shuffle is NOT the cost at this
+scale (the sf0.1 corpus is ONE 2000-row parquet partition) — the ~7.8s
+first rep is plan-shape cold-start (mapInPandas worker pipeline + window
+codegen), steady state is ~1.0s either way, so best-of-2 should land
+~1.1s. The r5 1.78s reading was cross-query JVM contamination: earlier
+bench queries persist() intermediates (dedup_minhash's shared sets) that
+stay cached into later timings — clearCache() between queries (below)
+removes that tier. The repartition itself is now conditional on source
+partition count in all three ANN entry points (similarity._spread), which
+removes the Exchange whenever the scan is already parallel — the 100 TB
+case.
 """
 
 from __future__ import annotations
@@ -84,6 +99,10 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop blocks persist()ed inside the query so one query's cache
+        # pressure can't tax the next timing (r6 embedding_topk
+        # adjudication: cached-block GC pressure was the cross-round tier)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

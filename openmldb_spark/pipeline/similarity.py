@@ -54,6 +54,23 @@ def _id_sql_type(df: DataFrame, col: str) -> str:
     return dict(df.dtypes)[col]
 
 
+def _spread(df: DataFrame, n_part: int) -> DataFrame:
+    """Repartition for scoring parallelism ONLY when the source scan yields
+    too few splits. At 100 TB the parquet scan already produces thousands
+    of partitions (``spark.sql.files.maxPartitionBytes``), and an
+    unconditional ``repartition`` would be a full all-to-all of the vector
+    payload — the plan's only non-scan shuffle — purely to re-create
+    parallelism it already has. (Round-6 adjudication of the embedding_topk
+    bench drift: fresh-JVM reps with/without the repartition were
+    [7.8, 1.1, 1.0]s vs [8.8, 1.2, 1.0]s on the 1-partition sf0.1 corpus —
+    the shuffle is NOT the small-scale cost, cold-start is — but the
+    conditional still removes the Exchange wherever the scan is already
+    parallel, which is the case that matters at scale.)"""
+    if df.rdd.getNumPartitions() >= n_part:
+        return df
+    return df.repartition(n_part)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -114,10 +131,8 @@ def brute_force_topk(
             )
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = (
-        corpus.select(corpus_id, corpus_vec)
-        .repartition(n_part)
-        .mapInPandas(score, out_schema)
+    scored = _spread(corpus.select(corpus_id, corpus_vec), n_part).mapInPandas(
+        score, out_schema
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -223,10 +238,8 @@ def lsh_topk(
                 yield pd.concat(outs)
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = (
-        corpus.select(corpus_id, corpus_vec)
-        .repartition(n_part)
-        .mapInPandas(score, out_schema)
+    scored = _spread(corpus.select(corpus_id, corpus_vec), n_part).mapInPandas(
+        score, out_schema
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -443,10 +456,8 @@ def ivf_topk(
                 yield pd.concat(outs)
 
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    scored = (
-        corpus.select(corpus_id, corpus_vec)
-        .repartition(n_part)
-        .mapInPandas(score, out_schema)
+    scored = _spread(corpus.select(corpus_id, corpus_vec), n_part).mapInPandas(
+        score, out_schema
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))

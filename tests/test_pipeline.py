@@ -458,3 +458,29 @@ def test_image_resize_contract_real_png(spark):
     assert (out["width"], out["height"]) == (4, 4)
     if M._PILImage is not None:  # real path re-encodes as PNG
         assert bytes(out["payload"][:8]) == b"\x89PNG\r\n\x1a\n"
+
+
+def test_topk_no_exchange_when_source_parallel(spark):
+    """The ANN scoring path must not shuffle the vector payload when the
+    source scan already yields enough partitions (r6: conditional
+    repartition in similarity._spread — at 100 TB that Exchange would be
+    the plan's only non-scan cost)."""
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # a source that is ALREADY parallel without any Exchange in its plan
+    df = spark.range(64, numPartitions=n_part).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            F.col("id").cast("float"), F.lit(1.0).cast("float"),
+            F.lit(0.0).cast("float"),
+        ).alias("v"),
+    )
+    assert df.rdd.getNumPartitions() == n_part
+    out = S.brute_force_topk(
+        df, df.where(F.col("vec_id") == 1),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v", k=2,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the only Exchange is the rank window's hash partitioning of the tiny
+    # scored rows — everything below the mapInPandas scoring is shuffle-free
+    scoring_side = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in scoring_side, scoring_side
