@@ -20,6 +20,8 @@ filter:
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
 
@@ -61,6 +63,14 @@ def apply_ttl(
     """
     if index.ttl is None or index.ts_col is None:
         return df
+
+    def _zero(part: str) -> bool:
+        # a 0 TTL component means NO expiration (reference CREATE_TABLE doc)
+        return parse_interval_ms(part) == 0 if any(c.isalpha() for c in part) else int(part) == 0
+
+    parts_ = [p.strip() for p in re.split(r"\|\||&&", index.ttl)]
+    if all(_zero(p) for p in parts_):
+        return df
     ts_ms = F.unix_millis(F.col(index.ts_col).cast("timestamp"))
 
     def with_abs_keep(d: DataFrame, ttl_str: str):
@@ -95,6 +105,9 @@ def apply_ttl(
         # with OR — a union+distinct would silently collapse genuinely
         # duplicate source rows.
         abs_ttl, lat_n = (p.strip() for p in index.ttl.split("&&"))
+        if _zero(abs_ttl) or _zero(lat_n):
+            # a 0 component never expires anything -> the OR keeps all
+            return df
         d2, keep_abs = with_abs_keep(with_lat_rn(df), abs_ttl)
         return (
             d2.filter(keep_abs | (F.col("__omsk_ttl_rn") <= int(lat_n)))
@@ -103,6 +116,17 @@ def apply_ttl(
     if t == "absorlat":
         # evicted when EITHER expired -> kept only if both keep it
         abs_ttl, lat_n = (p.strip() for p in index.ttl.split("||"))
+        if _zero(abs_ttl) and _zero(lat_n):
+            return df
+        if _zero(abs_ttl):
+            return (
+                with_lat_rn(df)
+                .filter(F.col("__omsk_ttl_rn") <= int(lat_n))
+                .drop("__omsk_ttl_rn")
+            )
+        if _zero(lat_n):
+            d2, keep_abs = with_abs_keep(df, abs_ttl)
+            return d2.filter(keep_abs).drop("__omsk_ttl_max")
         d2, keep_abs = with_abs_keep(with_lat_rn(df), abs_ttl)
         return (
             d2.filter(keep_abs & (F.col("__omsk_ttl_rn") <= int(lat_n)))

@@ -169,14 +169,35 @@ class Engine:
             return self._mangled[name]
         return self.current_db, name
 
+    def _with_ttl(self, db: str, name: str, df: DataFrame) -> DataFrame:
+        """Online-mode reads see only TTL-live rows (the reference's online
+        storage GCs per the FIRST index's TTL; data_expiration corpus).
+        ``SET @@ttl_now_ms = <ms>`` pins "now" (deterministic tests);
+        unset, the absolute bound derives from max(ts) in the data — the
+        reproducible batch choice (catalog.apply_ttl)."""
+        from openmldb_spark.catalog import apply_ttl
+
+        if self.variables.get("execute_mode", "online") != "online":
+            return df
+        td = self._db_defs.get(db, {}).get(name)
+        if td is None:
+            return df
+        for idx in td.indexes:
+            if idx.ttl and idx.ts_col:
+                now = self.variables.get("ttl_now_ms")
+                return apply_ttl(df, idx, now_ms=int(now) if now else None)
+        return df
+
     def _table_view(self) -> dict[str, DataFrame]:
         """Resolution dict for the Lowerer: current db's tables under their
-        bare names + every db's tables under mangled names."""
+        bare names + every db's tables under mangled names. Reads are
+        TTL-filtered (online semantics)."""
         view: dict[str, DataFrame] = {}
         for db, tabs in self._dbs.items():
             for n, df in tabs.items():
-                view[f"{self._DBM}{db}__{n}"] = df
-        view.update(self._dbs[self.current_db])
+                view[f"{self._DBM}{db}__{n}"] = self._with_ttl(db, n, df)
+        for n, df in self._dbs[self.current_db].items():
+            view[n] = self._with_ttl(self.current_db, n, df)
         return view
 
     def _mangle_sql(self, sql_text: str) -> str:
@@ -889,8 +910,16 @@ class SqlDeployment:
                 f"{requests.schema.simpleString()} != contract "
                 f"{self.input_schema.simpleString()}"
             )
-        hist = history if history is not None else self.engine.tables[self.request_table]
         q = self._query_with_params(parameters)
+        return self._run_request_on(q, requests, history)
+
+    def _run_request_on(
+        self,
+        q: "P.Query",
+        requests: DataFrame,
+        history: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        hist = history if history is not None else self.engine.tables[self.request_table]
         body = q.body
         if body.joins or body.where is not None:
             # the window runs over the POST-join/filter relation (batch =
@@ -916,7 +945,119 @@ class SqlDeployment:
         tables["__history"] = hist
         return Lowerer(self.engine.spark, tables).query(q, {})
 
-    # -- long-window pre-agg serving (SURVEY §4.3) --------------------------
+    # -- batch-request common-column optimization (SURVEY §4.1) -------------
+    def _item_out_name(self, it) -> str:
+        from openmldb_spark.sql.lowering import _derived_name
+
+        return it.alias or _derived_name(it.expr)
+
+    def _item_cols(self, body, it) -> set:
+        """Request-table columns an item's computation depends on: its expr
+        tokens plus, for window items, the window's keys/order and the
+        aggregate arguments."""
+        req_cols = (
+            {f.name for f in self.input_schema.fields}
+            if self.input_schema is not None
+            else set()
+        )
+        toks = list(it.expr)
+        if it.over is not None:
+            for a in it.over.args:
+                toks += list(a)
+            w = body.windows.get(it.over.window)
+            if w is not None:
+                for p in w.partition_by:
+                    toks += list(p)
+                if w.order_by:
+                    toks += list(w.order_by)
+        return {t.text for t in toks if t.kind == "name" and t.text in req_cols}
+
+    def run_batch_request(
+        self,
+        requests: DataFrame,
+        common_columns: Sequence[str],
+        history: Optional[DataFrame] = None,
+    ) -> DataFrame:
+        """Request-batch execution with the reference's common-column
+        optimization (``hybridse/src/vm/batch_request_optimize.h:40-56``,
+        ``test_batch_request.yaml``): ``common_columns`` are constant across
+        the batch, so every select item whose inputs (expr + its window's
+        keys/order/aggregate args) are all common produces the SAME value
+        for every request row. Those items are computed ONCE on a single
+        representative row and broadcast-joined back; only the non-common
+        items run over the full batch.
+
+        At scale this turns a batch of B requests sharing an expensive
+        window into 1 window evaluation + a broadcast of its scalar
+        outputs, instead of B frame evaluations — exactly the reference's
+        BatchRequestOptimize contract. Falls back to the plain vectorized
+        request path when nothing (or everything) is common.
+        """
+        common = set(common_columns)
+        body = self.query.body
+        if not common:
+            return self.run_request(requests, history)
+
+        # columns the right sides of joins contribute (not request columns):
+        # common only if every request-side join input is common —
+        # otherwise the joined-in values are per-row (conservative: one
+        # non-common join input makes ALL joined columns non-common)
+        join_common = True
+        join_right_names: set = set()
+        req_cols = (
+            {f.name for f in self.input_schema.fields}
+            if self.input_schema is not None
+            else set()
+        )
+        for j in body.joins:
+            jtoks = list(j.on or [])
+            for ob in j.order_by or []:
+                jtoks += list(ob)
+            need = {t.text for t in jtoks if t.kind == "name" and t.text in req_cols}
+            if not need <= common:
+                join_common = False
+            rdf = self.engine.tables.get(j.table.name) if j.table.name else None
+            if rdf is not None:
+                join_right_names |= set(rdf.columns)
+
+        common_idx, noncommon_idx = [], []
+        for idx, it in enumerate(body.items):
+            if it.star:
+                noncommon_idx.append(idx)
+                continue
+            cols = self._item_cols(body, it)
+            toks = {t.text for t in it.expr if t.kind == "name"}
+            uses_join_col = bool(toks & (join_right_names - req_cols))
+            if it.over is not None:
+                # a window item may aggregate joined-in columns
+                for a in it.over.args:
+                    uses_join_col |= bool(
+                        {t.text for t in a if t.kind == "name"}
+                        & (join_right_names - req_cols)
+                    )
+            ok = cols <= common and (not uses_join_col or join_common)
+            (common_idx if ok else noncommon_idx).append(idx)
+
+        if not common_idx:
+            return self.run_request(requests, history)
+
+        names = [self._item_out_name(it) for it in body.items]
+
+        def sub_query(keep: list) -> "P.Query":
+            q = self._query_with_params(None)
+            q.body.items = [q.body.items[i] for i in keep]
+            return q
+
+        one = requests.limit(1)
+        common_df = self._run_request_on(sub_query(common_idx), one, history)
+        if not noncommon_idx:
+            out = requests.select().crossJoin(F.broadcast(common_df))
+        else:
+            non_df = self._run_request_on(
+                sub_query(noncommon_idx), requests, history
+            )
+            out = non_df.crossJoin(F.broadcast(common_df))
+        return out.select(*names)
     _LW_AGGS = ("sum", "count", "avg", "min", "max")
 
     def _lw_items(self):

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openmldb_spark.functions.aggregates import AggSpec
-from openmldb_spark.operators.window import _FLAG, WindowDef, window_agg
+from openmldb_spark.operators.window import _FLAG, _RID, WindowDef, window_agg
 
 
 def _numeric(dtype: str) -> bool:
@@ -86,31 +86,44 @@ def window_union(
     mtypes = {f.name: f.dataType for f in main.schema.fields}
     mdtypes = dict(main.dtypes)
     fillable = set(nullfill_cols)
+    # a post-join main relation may carry DUPLICATE column names (t0.id and
+    # t1.id both project as `id` — request mode over a LAST JOIN,
+    # test_batch_request ids 2-5): by-name references are ambiguous there,
+    # so match union columns POSITIONALLY (the history side flows through
+    # the identical join pipeline, preserving column order)
+    positional = len(set(main.columns)) != len(main.columns)
     for u in unions:
+        if positional:
+            # DataFrame[i] resolves by NAME internally, so positional access
+            # over duplicate names is still ambiguous — rename first
+            u = u.toDF(*[f"__omwu{i}" for i in range(len(u.columns))])
         ut = dict(u.dtypes)
+        udts = [t for _, t in u.dtypes]
         proj = []
-        for c in main.columns:
-            if c in u.columns:
-                md, ud = mdtypes[c], ut[c]
+        for ci, c in enumerate(main.columns):
+            in_u = ci < len(u.columns) if positional else c in u.columns
+            md = main.dtypes[ci][1]
+            mty = main.schema.fields[ci].dataType
+            if in_u:
+                ucol = F.col(f"__omwu{ci}") if positional else F.col(c)
+                ud = udts[ci] if positional else ut[c]
                 if md == ud:
-                    proj.append(F.col(c))
+                    proj.append(ucol.alias(c))
                 elif {md, ud} <= {"timestamp", "timestamp_ntz", "bigint"}:
                     # dialect timestamps travel as either TIMESTAMP or
                     # int64 ms depending on the source — reconcile with an
                     # exact ms conversion toward the main table's type
                     if md == "bigint":
-                        proj.append(F.unix_millis(F.col(c).cast("timestamp")).alias(c))
+                        proj.append(F.unix_millis(ucol.cast("timestamp")).alias(c))
                     elif ud == "bigint":
-                        proj.append(
-                            F.timestamp_millis(F.col(c)).cast(mtypes[c]).alias(c)
-                        )
+                        proj.append(F.timestamp_millis(ucol).cast(mty).alias(c))
                     else:
                         # ntz/ltz flavor mismatch only — a direct cast is
                         # exact (timestamp_millis would fail analysis here:
                         # it expects a long input)
-                        proj.append(F.col(c).cast(mtypes[c]).alias(c))
+                        proj.append(ucol.cast(mty).alias(c))
                 elif c in _wide:
-                    proj.append(F.col(c).cast(_wide[c]).alias(c))
+                    proj.append(ucol.cast(_wide[c]).alias(c))
                 else:
                     # reference rejects mismatched union column types
                     # (test_window_union.yaml id 2 expects failure)
@@ -119,14 +132,28 @@ def window_union(
                         f"main table has {md} (union table schemas must match)"
                     )
             elif c.startswith("__") or c in fillable:
-                proj.append(F.lit(None).cast(mtypes[c]).alias(c))
+                proj.append(F.lit(None).cast(mty).alias(c))
             else:
                 raise ValueError(
                     f"WINDOW UNION table is missing column {c!r} of the main "
                     "table (union table schemas must match; alias columns in "
                     "a subquery to align them)"
                 )
-        flagged = flagged.unionByName(u.select(*proj).withColumn(_FLAG, F.lit(0)))
+        side = u.select(*proj).withColumn(_FLAG, F.lit(0))
+        # proj is built in main-column order, so positional union is exact;
+        # unionByName would re-introduce the duplicate-name ambiguity
+        flagged = flagged.union(side) if positional else flagged.unionByName(side)
+    # same-ts tiebreak: UNION rows order BEFORE main rows (the reference's
+    # request row logically arrives after same-timestamp stored history —
+    # test_batch_request id 8: current time == history time), then a
+    # per-side monotonic id. A struct sorts lexicographically, so this is
+    # one orderable column everywhere _RID is consumed.
+    flagged = flagged.withColumn(
+        _RID,
+        F.struct(
+            F.col(_FLAG).alias("u"), F.monotonically_increasing_id().alias("i")
+        ),
+    )
     out = window_agg(
         flagged,
         wdef,

@@ -42,8 +42,19 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
     eng = Engine(spark)
     exp = case["expect"]
 
+    import re
+    import time
+
+    now_ms = int(time.time() * 1000)
+
     def _sub(stmt: str) -> str:
-        return stmt.replace("{tmpdir}", str(tmp_path))
+        stmt = stmt.replace("{tmpdir}", str(tmp_path))
+        # reference {currentTime}[-offset] row values: one `now` per case
+        return re.sub(
+            r"\{currentTime\}(?:-(\d+))?",
+            lambda m: str(now_ms - int(m.group(1) or 0)),
+            stmt,
+        )
 
     def run_all():
         for stmt in case.get("statements", []):

@@ -124,6 +124,18 @@ def _emit(ref, case, cid) -> None:
                     n, t = c.rsplit(None, 1)
                     t = {"int": "int", "bool": "bool"}.get(t, t)
                     cols.append(f"{n.strip()} {t.strip()}")
+                # "name:keys:ts[:ttl[:type]]" index specs -> INDEX clauses
+                # (keys may be composite "c1|c3")
+                for ix in inp.get("indexs") or []:
+                    p = str(ix).split(":")
+                    clause = f"INDEX(KEY=({p[1].replace('|', ',')})"
+                    if len(p) > 2 and p[2]:
+                        clause += f", TS={p[2]}"
+                    if len(p) > 3 and p[3]:
+                        clause += f", TTL={p[3]}"
+                    if len(p) > 4 and p[4]:
+                        clause += f", TTL_TYPE={p[4]}"
+                    cols.append(clause + ")")
                 print("      - |")
                 print(f"        CREATE TABLE {nm} ({', '.join(cols)})")
                 for r in inp.get("rows") or []:
@@ -133,6 +145,9 @@ def _emit(ref, case, cid) -> None:
                             vals.append("NULL")
                         elif isinstance(v, bool):
                             vals.append("true" if v else "false")
+                        elif isinstance(v, str) and v.startswith("{currentTime}"):
+                            # runtime-substituted ms literal (harness _sub)
+                            vals.append(v)
                         elif isinstance(v, str):
                             vals.append("'" + v.replace("'", "''") + "'")
                         else:
