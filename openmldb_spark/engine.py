@@ -1095,24 +1095,29 @@ class SqlDeployment:
         and refresh incrementally; here they are cached DataFrames."""
         from openmldb_spark.operators.window import parse_interval_ms
         from openmldb_spark.plans.longwindow import preaggregate
-        from openmldb_spark.sql.rewrite import rewrite_expr
+        from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
 
         hist = history if history is not None else self.engine.tables[self.request_table]
         body = self.query.body
+        # partition keys may be qualified (`PARTITION BY t0.c1`): resolve
+        # them against the main-table alias and store under safe flat names
+        bind = body.from_.alias or self.request_table
+        hist = hist.alias(bind)
         for _, wname, _, val_sql in self._lw_items():
             key = (wname, val_sql)
             if key in self._preagg:
                 continue
             w = body.windows[wname]
             keys = [P.render(p) for p in w.partition_by]
+            knames = [f"__lwk{i}" for i in range(len(keys))]
             ord_sql = rewrite_expr(w.order_by)
             bucket_ms = parse_interval_ms(self.long_windows[wname])
             prepared = hist.select(
-                *[F.expr(k).alias(k) for k in keys],
-                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
+                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
                 F.expr(val_sql).alias("__lw_v"),
             )
-            pre = preaggregate(prepared, keys, "__lw_ts", "__lw_v", bucket_ms)
+            pre = preaggregate(prepared, knames, "__lw_ts", "__lw_v", bucket_ms)
             self._preagg[key] = pre.persist()
 
     def run_request_preagg(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
@@ -1122,7 +1127,7 @@ class SqlDeployment:
         from openmldb_spark.operators.window import parse_interval_ms
         from openmldb_spark.plans.longwindow import request_long_window
         from openmldb_spark.sql.lowering import _derived_name
-        from openmldb_spark.sql.rewrite import rewrite_expr
+        from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
 
         body = self.query.body
         lw = {idx: rest for idx, *rest in self._lw_items()}
@@ -1132,7 +1137,11 @@ class SqlDeployment:
         self.prepare_preagg(history)
         hist = history if history is not None else self.engine.tables[self.request_table]
 
-        work = requests.withColumn("__lw_rid", F.monotonically_increasing_id())
+        bind = body.from_.alias or self.request_table
+        hist = hist.alias(bind)
+        work = requests.withColumn(
+            "__lw_rid", F.monotonically_increasing_id()
+        ).alias(bind)
         out_cols: list = []
         for idx, it in enumerate(body.items):
             pretty = it.alias or _derived_name(it.expr)
@@ -1142,26 +1151,27 @@ class SqlDeployment:
             wname, agg, val_sql = lw[idx]
             w = body.windows[wname]
             keys = [P.render(p) for p in w.partition_by]
+            knames = [f"__lwk{i}" for i in range(len(keys))]
             ord_sql = rewrite_expr(w.order_by)
             bucket_ms = parse_interval_ms(self.long_windows[wname])
             range_ms = parse_interval_ms(w.lower[1]) if w.lower[0] == "preceding" else None
             if range_ms is None:
                 raise ValueError("long windows need a bounded ROWS_RANGE frame")
             prepared_hist = hist.select(
-                *[F.expr(k).alias(k) for k in keys],
-                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
+                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
                 F.expr(val_sql).alias("__lw_v"),
             )
             req = work.select(
                 "__lw_rid",
-                *[F.expr(k).alias(k) for k in keys],
-                F.expr(ord_sql).cast("long").alias("__lw_ts"),
+                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
+                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
             )
             scored = request_long_window(
                 req,
                 prepared_hist,
                 self._preagg[(wname, val_sql)],
-                keys,
+                knames,
                 "__lw_ts",
                 "__lw_v",
                 range_ms=range_ms,

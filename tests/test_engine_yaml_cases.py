@@ -69,7 +69,8 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
         return
     got_df = run_all()
     if exp.get("success") is True:
-        if got_df is not None:
+        # a DEPLOY returns a SqlDeployment (already compile-validated)
+        if got_df is not None and hasattr(got_df, "collect"):
             got_df.collect()
         return
     if "count" in exp and "schema" not in exp:

@@ -120,3 +120,51 @@ def test_bucket_partitioned_history_prunes_partitions(spark, tmp_path):
         if "PartitionFilters" in l and "bucket" in l and " IN " in l
     ]
     assert pruned, "expected a static bucket IN partition filter on the history scan"
+
+
+@pytest.mark.parametrize("agg", ["sum", "avg", "min", "max", "count"])
+def test_ported_long_window_family_preagg_equals_request(spark, agg):
+    """The ported long_window.yaml family (ids 1/5/6/7/8 shape: each
+    aggregate over a bounded ROWS_RANGE window deployed with
+    OPTIONS(long_windows=...)) served from the PRE-AGG path must equal the
+    plain request path — the rewrite rule itself, exercised end-to-end on
+    the reference's own case data."""
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE t0 (id int, c1 string, c3 int, c4 bigint, c5 float,"
+        " c6 double, c7 timestamp, c8 date, INDEX(KEY=(c1), TS=c7))"
+    )
+    rows = [
+        (1, "aa", 20, 30, 1.1, 2.1, 1590738990000, "2020-05-01"),
+        (2, "aa", 21, 31, 1.2, 2.2, 1590738991000, "2020-05-02"),
+        (3, "aa", 22, 32, 1.3, 2.3, 1590738992000, "2020-05-03"),
+        (4, "bb", 23, 33, 1.4, 2.4, 1590738993000, "2020-05-04"),
+        (5, "bb", 24, 34, 1.5, 2.5, 1590738994000, "2020-05-05"),
+    ]
+    vals = ", ".join(
+        f"({i}, '{c1}', {c3}, {c4}, {c5}, {c6}, {ts}, '{d}')"
+        for i, c1, c3, c4, c5, c6, ts, d in rows
+    )
+    eng.execute(f"INSERT INTO t0 VALUES {vals}")
+    dep = eng.execute(
+        f"DEPLOY dl_{agg} OPTIONS(long_windows='w1:1s') SELECT id, c1, "
+        f"{agg}(c4) OVER w1 AS m FROM t0 WINDOW w1 AS (PARTITION BY t0.c1 "
+        "ORDER BY t0.c7 ROWS_RANGE BETWEEN 3s PRECEDING AND CURRENT ROW)"
+    )
+    import datetime
+
+    def ts(ms):
+        return datetime.datetime.utcfromtimestamp(ms / 1000)
+
+    reqs = spark.createDataFrame(
+        [(9, "aa", 30, 40, 2.0, 3.0, ts(1590738995000), None),
+         (10, "bb", 31, 41, 2.1, 3.1, ts(1590738996000), None)],
+        dep.input_schema,
+    )
+    got = {r["id"]: r["m"] for r in dep.run_request_preagg(reqs).collect()}
+    want = {r["id"]: r["m"] for r in dep.run_request(reqs).collect()}
+    assert got == want and len(got) == 2
+    # the pre-agg path actually engaged (materialized buckets exist)
+    assert dep._preagg, "preagg path did not engage"

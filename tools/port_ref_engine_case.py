@@ -78,7 +78,7 @@ def _emit(ref, case, cid) -> None:
             )
             return text
 
-        print(f"  - id: {cid}")
+        print(f'  - id: "{cid}"')
         desc = str(case.get("desc", "")).replace('"', "'").strip()
         print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid})"')
         has_stmts = any(
