@@ -163,17 +163,30 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _decode_audio_stub(payload: bytes) -> tuple[int, list[float]]:
-    """STUB audio decoder — deterministic fake (no audio libs here).
-    Derives (duration_ms, 13-dim mfcc-shaped vector) from a sha1 of the
-    payload. Replace with soundfile/librosa in production:
+    """Audio decoder with a REAL header contract for PCM WAV (stdlib
+    ``wave`` — no audio libs needed): a RIFF/WAVE payload's duration_ms
+    comes from its actual header (frames / framerate), pinning the decode
+    contract the way the PNG path pins image dims. The mfcc-shaped vector
+    stays a deterministic sha1-derived stub (real MFCCs need librosa /
+    soundfile DSP — absent in this sandbox; swap in
 
-        import soundfile as sf; data, rate = sf.read(io.BytesIO(payload)) ...
+        import soundfile as sf; data, rate = sf.read(io.BytesIO(payload))
+
+    when available). Non-WAV payloads keep the fully-deterministic fake.
     """
     if not payload:
         raise NotImplementedError("empty payload: real decoder required")
     h = hashlib.sha1(payload).digest()
-    duration_ms = 1000 + int.from_bytes(h[:2], "big")
     mfcc = [b / 255.0 - 0.5 for b in h[2:15]]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            duration_ms = int(w.getnframes() * 1000 / rate) if rate else 0
+        return duration_ms, mfcc
+    duration_ms = 1000 + int.from_bytes(h[:2], "big")
     return duration_ms, mfcc
 
 

@@ -103,6 +103,8 @@ def long_window_serving_stream(
     *,
     checkpoint_dir: Optional[str] = None,
     trigger_seconds: int = 10,
+    state_dir: Optional[str] = None,
+    checkpoint_every: int = 8,
 ):
     """Pre-agg maintenance on ingest (SURVEY §4.3, reference
     ``src/storage/aggregator.cc``: AggrBuffer updated per insert): each
@@ -116,10 +118,18 @@ def long_window_serving_stream(
     reference's tablet insert path assumes the same); a late row would need
     watermarked re-serving, which is out of scope here.
 
-    Local demo keeps state as persisted DataFrames; at scale the loop is
-    identical with history appended to a bucket-partitioned table and the
-    pre-agg merge written per batch (both stores are what
-    ``request_long_window`` already prunes against).
+    State is BOUNDED two ways (r5 verdict: the naive per-batch
+    ``unionByName(...).persist()`` chain grows lineage and cached blocks
+    per batch):
+
+    - ``state_dir`` set (the at-scale shape): raw history appends to a
+      ``bucket``-partitioned parquet table (the layout
+      ``request_long_window`` partition-prunes for its edge scans) and the
+      merged pre-agg rewrites an alternating small parquet — no in-memory
+      chain at all, every batch re-plans from flat file scans.
+    - ``state_dir`` unset (in-memory demo): the chain is truncated with an
+      eager ``localCheckpoint`` every ``checkpoint_every`` batches, so
+      lineage depth and cached-block count stay O(checkpoint_every).
 
     Returns the StreamingQuery (call ``.awaitTermination()``).
     """
@@ -129,33 +139,78 @@ def long_window_serving_stream(
         request_long_window,
     )
 
-    state = {
-        "history": history.persist(),
-        "preagg": preaggregate(history, keys, ts_col, value_col, bucket_ms).persist(),
-    }
+    if state_dir:
+        spark = history.sparkSession
+        hdir = f"{state_dir}/history"
+        pdirs = [f"{state_dir}/preagg0", f"{state_dir}/preagg1"]
+        bucket = F.floor(F.col(ts_col) / F.lit(bucket_ms)).cast("long")
+        (history.withColumn("bucket", bucket)
+                .write.partitionBy("bucket").mode("overwrite").parquet(hdir))
+        (preaggregate(history, keys, ts_col, value_col, bucket_ms)
+            .write.mode("overwrite").parquet(pdirs[0]))
+        slot = {"n": 0}
 
-    def run_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        batch = batch_df.persist()
-        new_hist = state["history"].unionByName(batch).persist()
-        new_pre = preagg_merge(
-            state["preagg"],
-            preaggregate(batch, keys, ts_col, value_col, bucket_ms),
-            keys,
-        ).persist()
-        new_pre.count()  # materialize before the old state is dropped
-        old_hist, old_pre = state["history"], state["preagg"]
-        state["history"], state["preagg"] = new_hist, new_pre
-        reqs = batch.withColumn("__req_id", F.monotonically_increasing_id())
-        feats = request_long_window(
-            reqs, new_hist, new_pre, list(keys), ts_col, value_col,
-            range_ms, bucket_ms, agg, request_id="__req_id",
-        ).drop("__req_id")
-        sink(feats, batch_id)
-        old_hist.unpersist()
-        old_pre.unpersist()
-        batch.unpersist()
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch = batch_df.persist()
+            (batch.withColumn("bucket", bucket)
+                  .write.partitionBy("bucket").mode("append").parquet(hdir))
+            cur, nxt = slot["n"], 1 - slot["n"]
+            merged = preagg_merge(
+                spark.read.parquet(pdirs[cur]),
+                preaggregate(batch, keys, ts_col, value_col, bucket_ms),
+                keys,
+            )
+            merged.write.mode("overwrite").parquet(pdirs[nxt])
+            slot["n"] = nxt
+            new_hist = spark.read.parquet(hdir)
+            new_pre = spark.read.parquet(pdirs[nxt])
+            reqs = batch.withColumn("__req_id", F.monotonically_increasing_id())
+            feats = request_long_window(
+                reqs, new_hist, new_pre, list(keys), ts_col, value_col,
+                range_ms, bucket_ms, agg, request_id="__req_id",
+            ).drop("__req_id")
+            sink(feats, batch_id)
+            batch.unpersist()
+    else:
+        state = {
+            "history": history.persist(),
+            "preagg": preaggregate(history, keys, ts_col, value_col, bucket_ms).persist(),
+            "n": 0,
+        }
+
+        def run_batch(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            batch = batch_df.persist()
+            new_hist = state["history"].unionByName(batch)
+            new_pre = preagg_merge(
+                state["preagg"],
+                preaggregate(batch, keys, ts_col, value_col, bucket_ms),
+                keys,
+            )
+            state["n"] += 1
+            if state["n"] % checkpoint_every == 0:
+                # truncate the union/merge lineage chain (eager: materialize
+                # before the old state is dropped)
+                new_hist = new_hist.localCheckpoint(eager=True)
+                new_pre = new_pre.localCheckpoint(eager=True)
+            else:
+                new_hist = new_hist.persist()
+                new_pre = new_pre.persist()
+                new_pre.count()  # materialize before the old state is dropped
+            old_hist, old_pre = state["history"], state["preagg"]
+            state["history"], state["preagg"] = new_hist, new_pre
+            reqs = batch.withColumn("__req_id", F.monotonically_increasing_id())
+            feats = request_long_window(
+                reqs, new_hist, new_pre, list(keys), ts_col, value_col,
+                range_ms, bucket_ms, agg, request_id="__req_id",
+            ).drop("__req_id")
+            sink(feats, batch_id)
+            old_hist.unpersist()
+            old_pre.unpersist()
+            batch.unpersist()
 
     writer = event_stream.writeStream.foreachBatch(run_batch).trigger(
         processingTime=f"{trigger_seconds} seconds"
