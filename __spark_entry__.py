@@ -737,7 +737,7 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, corpus_id="vec_id", corpus_vec="embedding",
         query_id="vec_id", query_vec="embedding", k=5,
     )
-    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -749,7 +749,7 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
         emb, queries, corpus_id="vec_id", corpus_vec="embedding",
         query_id="vec_id", query_vec="embedding", k=5, planes=8,
     )
-    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
 
 def q_embedding_lsh_topk_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -764,7 +764,7 @@ def q_embedding_lsh_topk_join(spark: SparkSession, sf: str) -> DataFrame:
         query_id="vec_id", query_vec="embedding", k=5, planes=8, seed=42,
         portable=True,
     )
-    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
 
 def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
@@ -780,7 +780,7 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
         query_id="vec_id", query_vec="embedding", k=5, n_centroids=16,
         nprobe=4, seed=42,
     )
-    return out.select("query_id", "neighbor_id", F.round("cos", 4).alias("cos"), "rank")
+    return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
 
 def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
@@ -1334,7 +1334,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN ev ec ON ec.vec_id = c.vec_id
               WHERE q.vec_id <> c.vec_id
             )
-            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
@@ -1830,7 +1830,7 @@ def oracle_sql() -> dict[str, str]:
               JOIN ev ec ON ec.vec_id = c.vec_id
               WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id
             )
-            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
@@ -1843,7 +1843,7 @@ def oracle_sql() -> dict[str, str]:
               FROM q CROSS JOIN embeddings e
               WHERE q.qid <> e.vec_id
             )
-            SELECT query_id, neighbor_id, round(cos, 4) AS cos,
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored
             QUALIFY rank <= 5

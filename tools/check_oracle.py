@@ -28,7 +28,7 @@ def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        return round(v, 6) + 0.0  # fold IEEE -0.0 into +0.0 (repr-sort key)
     if isinstance(v, (int, str, bool)):
         return v
     return str(v)
