@@ -246,9 +246,16 @@ class Engine:
             out.append(self.execute(stmt))
         return out
 
-    def execute(self, sql_text: str):
+    def execute(self, sql_text: str, parameters: Optional[Sequence] = None):
         """Run one statement. Returns a DataFrame for queries/SHOW, None
-        for DDL/DML side effects, a SqlDeployment for DEPLOY."""
+        for DDL/DML side effects, a SqlDeployment for DEPLOY.
+
+        ``parameters`` binds positional ``?`` placeholders (the reference's
+        prepared-statement surface — test_insert_prepared.yaml and the SDK's
+        parameterized queries): values fold to literals before routing, so
+        every statement kind (INSERT/DELETE/SELECT/...) accepts them."""
+        if parameters is not None:
+            sql_text = P.substitute_params(sql_text, parameters)
         # SET routes before tokenization (the '@@var' sigil isn't a token)
         if re.match(r"\s*SET\b", sql_text, re.IGNORECASE):
             return self._set(sql_text)

@@ -280,10 +280,79 @@ def _split_embedded_overs(
     out: list[Tok] = []
     per_w: dict[str, dict[str, "A.AggSpec"]] = {}
     i, n = 0, len(tokens)
+
+    def _match(toks, start):
+        depth = 0
+        for j in range(start, len(toks)):
+            if toks[j].text == "(":
+                depth += 1
+            elif toks[j].text == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+        return -1
+
     while i < n:
         t = tokens[i]
         nxt = tokens[i + 1] if i + 1 < n else None
         prev_dot = bool(out) and out[-1].text == "."
+        if (
+            t.kind == "name"
+            and t.text.lower() not in _AGGS
+            and nxt is not None
+            and nxt.text == "("
+            and not prev_dot
+        ):
+            # `fn(... agg(args) ...) OVER w` — the production spelling
+            # attaches OVER OUTSIDE the scalar wrapper
+            # (`!isnull(lag(x, 0)) over w`, cases/function/spark/*): the
+            # window belongs to the inner aggregate; split it out and keep
+            # the wrapper around the placeholder
+            j = _match(tokens, i + 1)
+            if (
+                j >= 0
+                and j + 2 < n
+                and tokens[j + 1].upper == "OVER"
+                and tokens[j + 2].kind == "name"
+                and tokens[j + 2].text in windows
+            ):
+                inner = tokens[i + 2 : j]
+                hit = None
+                for x in range(len(inner) - 1):
+                    if (
+                        inner[x].kind == "name"
+                        and inner[x].text.lower() in _AGGS
+                        and inner[x + 1].text == "("
+                        and not (x > 0 and inner[x - 1].text == ".")
+                    ):
+                        y = _match(inner, x + 1)
+                        if y >= 0:
+                            hit = (x, y)
+                            break
+                if hit is not None:
+                    x, y = hit
+                    wname = tokens[j + 2].text
+                    args = [
+                        a
+                        for a in _split_top_commas(inner[x + 2 : y])
+                        if a
+                    ]
+                    nm = f"__omsqlw_{next(gen)}"
+                    per_w.setdefault(wname, {})[nm] = _build_agg(
+                        OverCall(inner[x].text.lower(), args, window=wname)
+                    )
+                    # recurse over the rest of the wrapper body (it may
+                    # carry more embedded OVERs)
+                    rest = inner[:x] + [Tok("name", nm)] + inner[y + 1 :]
+                    rest2, pw2 = _split_embedded_overs(rest, gen, windows)
+                    for w2, specs in pw2.items():
+                        per_w.setdefault(w2, {}).update(specs)
+                    out.append(t)
+                    out.append(Tok("op", "("))
+                    out.extend(rest2)
+                    out.append(Tok("op", ")"))
+                    i = j + 3
+                    continue
         if (
             t.kind == "name"
             and t.text.lower() in _AGGS

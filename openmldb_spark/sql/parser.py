@@ -498,6 +498,9 @@ class Parser:
         while True:
             if self.accept("MAXSIZE"):
                 w.maxsize = int(self.eat().text)
+                if w.maxsize <= 0:
+                    # the reference rejects MAXSIZE 0 (test_maxsize id 3)
+                    raise SyntaxError("MAXSIZE must be a positive integer")
             elif self.at("EXCLUDE"):
                 self.eat()
                 which = self.eat().upper

@@ -195,9 +195,12 @@ def _ts_poly(x: str) -> str:
     Both arms go through a string round-trip so they analyze for any input
     type; exactly one is selected per column."""
     s = f"CAST(({x}) AS STRING)"
+    ms = f"TRY_CAST({s} AS BIGINT)"
     return (
         f"(CASE WHEN typeof({x}) IN ('tinyint', 'smallint', 'int', 'bigint') "
-        f"THEN TIMESTAMP_MILLIS(TRY_CAST({s} AS BIGINT)) "
+        # a NEGATIVE epoch-ms input is invalid in the dialect: timestamp(-1)
+        # is NULL (const_query ids 10/11), not 1969-12-31
+        f"THEN TIMESTAMP_MILLIS(CASE WHEN {ms} >= 0 THEN {ms} END) "
         f"ELSE TRY_CAST({s} AS TIMESTAMP) END)"
     )
 
@@ -336,6 +339,29 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
             out.append(Tok("name", f"CAST({t.text[:-1]} AS FLOAT)"))
             i += 1
             continue
+        if t.kind == "num" and re.fullmatch(r"\d+[smhd]", t.text):
+            # interval literals (1s/10m/2h/30d) are frame-bound syntax only
+            # — the reference rejects them inside expressions
+            # (fail_query: 'un-support const node' / 'interval literal
+            # inside expr')
+            raise ValueError(
+                f"interval literal {t.text!r} is not valid in an expression"
+            )
+        if (
+            t.kind == "name"
+            and t.upper == "ESCAPE"
+            and nxt is not None
+            and nxt.kind == "str"
+            and nxt.text.strip("'\"") == ""
+            and bool(out)
+            and out[-1].kind == "str"
+        ):
+            # dialect `LIKE pat ESCAPE ''` disables escaping; Spark rejects
+            # an empty escape char — drop the clause and make the pattern's
+            # backslashes literal (same rule as the like_match template)
+            out[-1] = Tok("str", _no_escape_pattern(out[-1].text))
+            i += 2
+            continue
         if (
             t.kind == "name"
             and t.text.lower() == "xor"
@@ -380,6 +406,39 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
                 continue
             inner = tokens[i + 2 : j]
             fname = t.text.lower()
+            if fname == "cast":
+                # CAST(x AS type): dialect type semantics must flow through
+                # the same templates as the call forms — CAST(ms AS
+                # TIMESTAMP) reads epoch MS (Spark's cast reads seconds),
+                # CAST(ts AS BIGINT) yields epoch ms, etc.
+                depth2, k = 0, None
+                for ix, tk in enumerate(inner):
+                    if tk.text in "([":
+                        depth2 += 1
+                    elif tk.text in ")]":
+                        depth2 -= 1
+                    elif depth2 == 0 and tk.upper == "AS":
+                        k = ix
+                ttxt = render(inner[k + 1 :]).strip().lower() if k is not None else ""
+                if k is not None and ttxt in ("timestamp", "bigint", "int64", "date"):
+                    arg = rewrite_tokens(inner[:k])
+                    if ttxt == "date":
+                        # the dialect REJECTS numeric/bool -> date
+                        # (test_type.yaml id 4: cast(int as date) errors);
+                        # typeof is constant per column, so the numeric arm
+                        # raises at evaluation
+                        txt = (
+                            f"(CASE WHEN typeof({arg}) IN ('tinyint', 'smallint', "
+                            f"'int', 'bigint', 'float', 'double', 'boolean') "
+                            f"THEN CAST(RAISE_ERROR(CONCAT('cannot cast ', "
+                            f"typeof({arg}), ' to date')) AS DATE) "
+                            f"ELSE CAST({_ts_poly(arg)} AS DATE) END)"
+                        )
+                    else:
+                        txt = TEMPLATES[ttxt](arg)
+                    out.append(Tok("name", txt))
+                    i = j + 1
+                    continue
             if fname in TEMPLATES:
                 args = [rewrite_tokens(a) for a in _split_top_commas(inner) if a]
                 text = TEMPLATES[fname](*args)  # type: ignore[operator]

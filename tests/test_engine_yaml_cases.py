@@ -58,7 +58,11 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
 
     def run_all():
         for stmt in case.get("statements", []):
-            eng.execute(_sub(stmt))
+            if isinstance(stmt, dict):
+                # prepared statement: {sql: "... ? ...", parameters: [...]}
+                eng.execute(_sub(stmt["sql"]), parameters=stmt["parameters"])
+            else:
+                eng.execute(_sub(stmt))
         return eng.execute(_sub(case["sql"]))
 
     if exp.get("error"):

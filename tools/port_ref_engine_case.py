@@ -115,8 +115,25 @@ def _emit(ref, case, cid) -> None:
                     if key in inp:
                         stmts = inp[key] if isinstance(inp[key], list) else [inp[key]]
                         for st in stmts:
+                            st = sub(st.strip().rstrip(";"))
+                            if "?" in st and inp.get("rows"):
+                                # prepared insert: one bound execution per row
+                                for r in inp["rows"]:
+                                    vals = [
+                                        None if v is None else
+                                        (str(v) if not isinstance(v, (int, float, bool)) else v)
+                                        for v in r
+                                    ]
+                                    import json as _json
+
+                                    print(f"      - sql: {_json.dumps(st)}")
+                                    print(
+                                        "        parameters: "
+                                        + _json.dumps(vals)
+                                    )
+                                continue
                             print("      - |")
-                            print(indent(sub(st.strip().rstrip(";")), "        "))
+                            print(indent(st, "        "))
             elif "columns" in inp:
                 # schema+rows input: synthesize CREATE + INSERTs
                 cols = []

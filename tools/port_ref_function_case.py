@@ -40,7 +40,11 @@ TYPES = {
 def conv_cols(cols):
     out = []
     for c in cols:
-        name, typ = c.rsplit(None, 1)
+        if ":" in c and " " not in c.strip():
+            # query-corpus colon style ("col1:int32")
+            name, typ = c.rsplit(":", 1)
+        else:
+            name, typ = c.rsplit(None, 1)
         out.append(f"{name.strip()}:{TYPES[typ.strip()]}")
     return ", ".join(out)
 
