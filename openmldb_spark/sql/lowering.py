@@ -19,6 +19,7 @@ No Python UDFs on either path.
 
 from __future__ import annotations
 
+import copy
 import itertools
 from typing import Optional, Sequence, Union
 
@@ -728,7 +729,23 @@ class Lowerer:
     # -- window def ---------------------------------------------------------
     def _window_def(self, df: DataFrame, w: WindowClause) -> WindowDef:
         if w.order_by is None:
-            raise ValueError(f"window {w.name}: ORDER BY is required")
+            if not (
+                w.frame_kind == "rows_range"
+                and w.lower == ("unbounded", None)
+                and w.upper == ("current", None)
+                and w.maxsize is None
+                and not w.exclude_current_time
+                and not w.exclude_current_row
+                and not w.instance_not_in_window
+                and not w.union_tables
+            ):
+                # ORDER BY may be omitted ONLY for the degenerate
+                # whole-partition frame (query/window_query.yaml id 28:
+                # `rows_range between unbounded preceding and current row`
+                # with no order = aggregate over the partition)
+                raise ValueError(f"window {w.name}: ORDER BY is required")
+            w = copy.deepcopy(w)
+            w.order_by = [Tok("num", "0")]
         parts = [F.expr(rewrite_expr(p)) for p in w.partition_by]
         ord_sql = rewrite_expr(w.order_by)
         if not w.partition_by:
@@ -822,8 +839,17 @@ class Lowerer:
             raise ValueError("LAST JOIN right side needs a name or alias")
         rcols = list(right.columns)
         tiebreak = F.xxhash64(*[F.col(f"{ralias}.{c}") for c in rcols])
+        # a trailing ASC/DESC keyword flips which end of the order the join
+        # picks: LAST JOIN takes the max-order match by default; `ORDER BY
+        # ts DESC` takes the MIN (query/last_join_query.yaml id 9)
+        obs: list[tuple[list[Tok], bool]] = []
+        for ob in j.order_by or []:
+            if ob and ob[-1].kind == "name" and ob[-1].upper in ("ASC", "DESC"):
+                obs.append((ob[:-1], ob[-1].upper == "DESC"))
+            else:
+                obs.append((ob, False))
         order_cols: list[Column] = []
-        for oi, ob in enumerate(j.order_by or []):
+        for oi, (ob, is_desc) in enumerate(obs):
             if oi == 0:
                 # dialect rule: LAST JOIN ORDER BY must be timestamp or an
                 # integer type — test_lastjoin_simple.yaml ids 7-10/29
@@ -837,7 +863,8 @@ class Lowerer:
                         f"LAST JOIN ORDER BY must be timestamp or an integer "
                         f"type, got {dtype}"
                     )
-            order_cols.append(F.expr(rewrite_expr(ob)).desc_nulls_last())
+            e = F.expr(rewrite_expr(ob))
+            order_cols.append(e.asc_nulls_last() if is_desc else e.desc_nulls_last())
         order_cols.append(tiebreak.asc())
 
         equi_pairs = self._equi_right_keys(j.on, ralias)
@@ -861,10 +888,20 @@ class Lowerer:
             # the window's asc-first h (no negation overflow: ~x = -x-1
             # is strictly order-reversing on longs).
             ord_fields: list[Column] = []
-            for ob in j.order_by or []:
+            for ob, is_desc in obs:
+                from openmldb_spark.sql.rewrite import _t_bigint
+
                 e = F.expr(rewrite_expr(ob))
                 ord_fields.append(e.isNotNull())
-                ord_fields.append(e)
+                if is_desc:
+                    # max_by picks the struct MAX; ~x is strictly
+                    # order-reversing on longs, so this selects the MIN
+                    # order value (nulls still lose via the isNotNull flag)
+                    ord_fields.append(
+                        F.bitwise_not(F.expr(_t_bigint(rewrite_expr(ob))))
+                    )
+                else:
+                    ord_fields.append(e)
             ord_fields.append(F.bitwise_not(tiebreak))
             ord_struct = F.struct(
                 *[f.alias(f"__o{i}") for i, f in enumerate(ord_fields)]

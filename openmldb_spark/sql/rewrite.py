@@ -325,6 +325,148 @@ def _split_top_commas(tokens: list[Tok]) -> list[list[Tok]]:
 _NUM_BODY_RE = re.compile(r"(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?")
 
 
+# ---------------------------------------------------------------------------
+# feature-signature formatters (SQL-text mirror of
+# functions/feature_signature.py — same slot numbering, same Catalyst
+# expressions; ref feature_signature_def.cc)
+# ---------------------------------------------------------------------------
+
+#: signature constructors -> kind tag (c=continuous, d=discrete, l=label,
+#: i=gcformat index)
+_SIG_FNS = {
+    "continuous": "c",
+    "discrete": "d",
+    "binary_label": "l",
+    "multiclass_label": "l",
+    "regression_label": "c_l",
+    "gcformat_index": "i",
+}
+
+
+def _sig_parse(arg_tokens: list[Tok]):
+    """One formatter argument `kindfn(expr[, bucket])` ->
+    (kind, value_sql, bucket) or None if not a signature call."""
+    if (
+        len(arg_tokens) < 4
+        or arg_tokens[0].kind != "name"
+        or arg_tokens[0].text.lower() not in _SIG_FNS
+        or arg_tokens[1].text != "("
+        or arg_tokens[-1].text != ")"
+    ):
+        return None
+    fn = arg_tokens[0].text.lower()
+    parts = [p for p in _split_top_commas(arg_tokens[2:-1]) if p]
+    if not parts:
+        return None
+    x = rewrite_tokens(parts[0])
+    if fn in ("continuous", "regression_label"):
+        v = (
+            f"(CASE WHEN ({x}) IS NOT NULL "
+            f"THEN FORMAT_STRING('%.6f', CAST(({x}) AS DOUBLE)) END)"
+        )
+        return ("l" if fn == "regression_label" else "c", v, None)
+    if fn == "discrete":
+        bucket = None
+        h = f"XXHASH64({x})"
+        if len(parts) > 1:
+            b = render(parts[1]).strip()
+            if b.isdigit() and int(b) > 0:
+                bucket = int(b)
+                v = f"CAST(PMOD({h}, {bucket}) AS STRING)"
+            else:
+                # runtime bucket: non-positive / NULL bucket DROPS the
+                # feature (value NULL; the slot is still consumed —
+                # feature_signature_query id 1's golden skips slots 1-3)
+                bexpr = rewrite_tokens(parts[1])
+                v = (
+                    f"(CASE WHEN CAST(({bexpr}) AS BIGINT) > 0 "
+                    f"THEN CAST(PMOD({h}, CAST(({bexpr}) AS BIGINT)) AS STRING) END)"
+                )
+            return ("d", v, bucket)
+        return ("d", f"CAST({h} AS STRING)", None)
+    if fn == "binary_label":
+        return ("l", f"CAST(CAST(CAST(({x}) AS BOOLEAN) AS INT) AS STRING)", None)
+    if fn == "multiclass_label":
+        return ("l", f"CAST(CAST(({x}) AS BIGINT) AS STRING)", None)
+    if fn == "gcformat_index":
+        return ("i", f"CAST(({x}) AS STRING)", None)
+    return None
+
+
+def _join_feats_sql(feats: list[str]) -> str:
+    if not feats:
+        return "''"
+    arr = ", ".join(feats)
+    return f"ARRAY_JOIN(FILTER(ARRAY({arr}), x -> x IS NOT NULL), ' ')"
+
+
+def _fmt_signature_call(fname: str, inner: list[Tok]):
+    """csv/gcformat/libsvm over signature args -> SQL text, or None when
+    the arguments are not all signature constructors."""
+    sigs = []
+    for a in _split_top_commas(inner):
+        if not a:
+            continue
+        s = _sig_parse(a)
+        if s is None:
+            return None
+        sigs.append(s)
+    if fname == "csv":
+        cells = [f"COALESCE({v}, '')" for k, v, _ in sigs if k != "i"]
+        return f"CONCAT_WS(',', {', '.join(cells)})" if cells else "''"
+    if fname == "gcformat":
+        label, index, feats, slot = "''", None, [], 1
+        for k, v, _ in sigs:
+            if k == "l":
+                label = f"COALESCE({v}, '')"
+            elif k == "i":
+                index = v
+            elif k == "c":
+                sh = f"CAST(XXHASH64(CAST({slot} AS BIGINT)) AS STRING)"
+                feats.append(
+                    f"(CASE WHEN {v} IS NOT NULL "
+                    f"THEN CONCAT('{slot}:', {sh}, ':', {v}) END)"
+                )
+                slot += 1
+            elif k == "d":
+                feats.append(
+                    f"(CASE WHEN {v} IS NOT NULL THEN CONCAT('{slot}:', {v}) END)"
+                )
+                slot += 1
+        idx = f"CONCAT(' ', {index})" if index is not None else "' '"
+        return f"CONCAT({label}, {idx}, '| ', {_join_feats_sql(feats)})"
+    if fname == "libsvm":
+        label, feats, slot = None, [], 1
+        for k, v, bucket in sigs:
+            if k == "l":
+                label = v
+            elif k == "c":
+                feats.append(
+                    f"(CASE WHEN {v} IS NOT NULL THEN CONCAT('{slot}:', {v}) END)"
+                )
+                slot += 1
+            elif k == "d":
+                if bucket:
+                    fid = f"CAST(({slot} + CAST({v} AS BIGINT)) AS STRING)"
+                    feats.append(
+                        f"(CASE WHEN {v} IS NOT NULL THEN CONCAT({fid}, ':1') END)"
+                    )
+                    slot += bucket
+                else:
+                    feats.append(
+                        f"(CASE WHEN {v} IS NOT NULL THEN CONCAT({v}, ':1') END)"
+                    )
+        body = _join_feats_sql(feats)
+        if label is None:
+            return body
+        return (
+            f"(CASE WHEN {label} IS NOT NULL AND {label} != '' THEN "
+            f"(CASE WHEN {body} != '' THEN CONCAT({label}, ' ', {body}) "
+            f"ELSE {label} END) ELSE {body} END)"
+        )
+    return None
+
+
 def rewrite_tokens(tokens: list[Tok]) -> str:
     """Rewrite one expression token slice into Spark SQL text."""
     out: list[Tok] = []
@@ -406,6 +548,12 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
                 continue
             inner = tokens[i + 2 : j]
             fname = t.text.lower()
+            if fname in ("csv", "gcformat", "libsvm"):
+                txt = _fmt_signature_call(fname, inner)
+                if txt is not None:
+                    out.append(Tok("name", txt))
+                    i = j + 1
+                    continue
             if fname == "cast":
                 # CAST(x AS type): dialect type semantics must flow through
                 # the same templates as the call forms — CAST(ms AS

@@ -65,11 +65,17 @@ def _emit(ref, case, cid) -> None:
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
+        names = [
+            inp.get("name") or f"t{i}" for i, inp in enumerate(case.get("inputs", []))
+        ]
+        sql = case["sql"].strip().rstrip(";")
+        for ni, nm in enumerate(names):
+            sql = sql.replace("{" + str(ni) + "}", nm)
         print(f'  - id: "{cid}"')
         desc = str(case.get("desc", "")).replace('"', "'").strip()
         print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid})"')
         print("    sql: |")
-        print(indent(case["sql"].strip().rstrip(";"), "      "))
+        print(indent(sql, "      "))
         if "parameters" in case:
             print("    parameters:")
             print(f"      columns: {case['parameters']['columns']}")
