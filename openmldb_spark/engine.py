@@ -1066,11 +1066,32 @@ class SqlDeployment:
             out = non_df.crossJoin(F.broadcast(common_df))
         return out.select(*names)
     _LW_AGGS = ("sum", "count", "avg", "min", "max")
+    _LW_WHERE_AGGS = tuple(f"{a}_where" for a in _LW_AGGS)
+
+    @staticmethod
+    def _lw_where_cond(cond_tokens) -> tuple[str, str, str]:
+        """Long-window ``*_where`` conditions are restricted to
+        ``<column> <op> <constant>`` (the reference's filter-keyed pre-agg,
+        ``aggregator.cc``): returns (filter column, op, literal)."""
+        toks = [t for t in cond_tokens]
+        _OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
+        if (
+            len(toks) == 3
+            and toks[0].kind == "name"
+            and toks[1].text in _OPS
+            and toks[2].kind in ("num", "str")
+        ):
+            op = "=" if toks[1].text == "==" else toks[1].text
+            return toks[0].text, op, toks[2].text
+        raise ValueError(
+            "long-window *_where condition must be <column> <op> <constant>"
+        )
 
     def _lw_items(self):
-        """(item_idx, window_name, agg, value_sql) for each eligible
-        long-window select item; raises if an opted-in window is used in a
-        non-eligible way."""
+        """(item_idx, window_name, agg, value_sql, cond_tokens|None) for
+        each eligible long-window select item; raises if an opted-in window
+        is used in a non-eligible way. ``*_where`` aggregates carry their
+        condition tokens (filter-keyed pre-agg)."""
         from openmldb_spark.sql.rewrite import rewrite_expr
         from openmldb_spark.sql.parser import render
 
@@ -1080,20 +1101,31 @@ class SqlDeployment:
             if it.over is None or it.over.window not in self.long_windows:
                 continue
             w = body.windows[it.over.window]
+            is_where = it.over.func in self._LW_WHERE_AGGS
+            ok_fn = (
+                it.over.func in self._LW_AGGS and len(it.over.args) == 1
+            ) or (is_where and len(it.over.args) == 2)
             if (
                 w.frame_kind != "rows_range"
                 or w.union_tables
                 or w.maxsize is not None
                 or w.exclude_current_row
                 or w.exclude_current_time
-                or it.over.func not in self._LW_AGGS
-                or len(it.over.args) != 1
+                or not ok_fn
             ):
                 raise ValueError(
                     f"window {it.over.window!r} is not long-window eligible "
-                    f"(need plain ROWS_RANGE + single sum/count/avg/min/max)"
+                    f"(need plain ROWS_RANGE + single "
+                    f"sum/count/avg/min/max[_where])"
                 )
-            out.append((idx, it.over.window, it.over.func, rewrite_expr(it.over.args[0])))
+            cond = None
+            if is_where:
+                cond = it.over.args[1]
+                self._lw_where_cond(cond)  # validate the restricted shape
+            out.append(
+                (idx, it.over.window, it.over.func,
+                 rewrite_expr(it.over.args[0]), cond)
+            )
         return out
 
     def prepare_preagg(self, history: Optional[DataFrame] = None) -> None:
@@ -1110,8 +1142,9 @@ class SqlDeployment:
         # them against the main-table alias and store under safe flat names
         bind = body.from_.alias or self.request_table
         hist = hist.alias(bind)
-        for _, wname, _, val_sql in self._lw_items():
-            key = (wname, val_sql)
+        for _, wname, _, val_sql, cond in self._lw_items():
+            fcol = self._lw_where_cond(cond)[0] if cond is not None else None
+            key = (wname, val_sql, fcol)
             if key in self._preagg:
                 continue
             w = body.windows[wname]
@@ -1119,12 +1152,18 @@ class SqlDeployment:
             knames = [f"__lwk{i}" for i in range(len(keys))]
             ord_sql = rewrite_expr(w.order_by)
             bucket_ms = parse_interval_ms(self.long_windows[wname])
-            prepared = hist.select(
+            sel = [
                 *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
                 F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
                 F.expr(val_sql).alias("__lw_v"),
+            ]
+            if fcol is not None:
+                sel.append(F.expr(fcol).alias("__lw_f"))
+            prepared = hist.select(*sel)
+            pre = preaggregate(
+                prepared, knames, "__lw_ts", "__lw_v", bucket_ms,
+                filter_col="__lw_f" if fcol is not None else None,
             )
-            pre = preaggregate(prepared, knames, "__lw_ts", "__lw_v", bucket_ms)
             self._preagg[key] = pre.persist()
 
     def run_request_preagg(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
@@ -1155,7 +1194,7 @@ class SqlDeployment:
             if idx not in lw:
                 out_cols.append((pretty, F.expr(rewrite_expr(it.expr))))
                 continue
-            wname, agg, val_sql = lw[idx]
+            wname, agg, val_sql, cond = lw[idx]
             w = body.windows[wname]
             keys = [P.render(p) for p in w.partition_by]
             knames = [f"__lwk{i}" for i in range(len(keys))]
@@ -1164,11 +1203,24 @@ class SqlDeployment:
             range_ms = parse_interval_ms(w.lower[1]) if w.lower[0] == "preceding" else None
             if range_ms is None:
                 raise ValueError("long windows need a bounded ROWS_RANGE frame")
+            # *_where serving (filter-keyed pre-agg): full buckets filter on
+            # the stored filter value, the raw edge scan filters on the
+            # actual condition, and the request row's own value folds in
+            # only when it satisfies the condition
+            fcol = cond_sql = None
+            if cond is not None:
+                fcol, fop, flit = self._lw_where_cond(cond)
+                cond_sql = rewrite_expr(cond)
             prepared_hist = hist.select(
                 *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
                 F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
                 F.expr(val_sql).alias("__lw_v"),
+                *([F.expr(cond_sql).alias("__lw_ok")] if cond_sql else []),
             )
+            pre = self._preagg[(wname, val_sql, fcol)]
+            if cond_sql:
+                prepared_hist = prepared_hist.filter(F.col("__lw_ok")).drop("__lw_ok")
+                pre = pre.filter(F.expr(f"__fv {fop} {flit}"))
             req = work.select(
                 "__lw_rid",
                 *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
@@ -1177,7 +1229,7 @@ class SqlDeployment:
             scored = request_long_window(
                 req,
                 prepared_hist,
-                self._preagg[(wname, val_sql)],
+                pre,
                 knames,
                 "__lw_ts",
                 "__lw_v",
@@ -1196,6 +1248,8 @@ class SqlDeployment:
             # request-mode frame = history rows in range + the request row
             # itself (RequestUnion merge) — fold the request value in
             v = F.expr(val_sql)
+            if cond_sql:
+                v = F.when(F.expr(cond_sql), v)
             s_h, c_h = F.col(f"__lw_s{idx}"), F.col(f"__lw_c{idx}")
             mn_h, mx_h = F.col(f"__lw_mn{idx}"), F.col(f"__lw_mx{idx}")
             # typed zeros (v*0 / s_h*0) keep the value column's native type
@@ -1206,6 +1260,7 @@ class SqlDeployment:
                 F.coalesce(s_h, v * 0) + F.coalesce(v, s_h * 0),
             )
             c = c_h + F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+            agg = agg.removesuffix("_where")
             if agg == "sum":
                 col = s
             elif agg == "count":

@@ -46,6 +46,8 @@ def preaggregate(
     ts_col: str,
     value_col: str,
     bucket_ms: int,
+    *,
+    filter_col: str = None,
 ) -> DataFrame:
     """Materialize per-(key, bucket) partial aggregates of ``value_col``.
 
@@ -54,10 +56,21 @@ def preaggregate(
     — the same quartet the reference's AggrBuffer keeps
     (``aggregator.h:56-75``), from which sum/count/avg/min/max (and any
     combination) are all answerable.
+
+    ``filter_col`` (the reference's long-window ``*_where`` support,
+    ``aggregator.cc`` filter-key variant): buckets are additionally keyed
+    by that column's value (output column ``__fv``), so any
+    ``<filter_col> <op> <const>`` predicate is answerable at serve time by
+    filtering pre-agg rows on ``__fv`` — the pre-agg grows by the filter
+    column's per-key-bucket cardinality, exactly the reference's storage
+    trade.
     """
     b = (F.col(ts_col) / F.lit(bucket_ms)).cast("long").alias("bucket")
+    gcols = [F.col(k) for k in keys]
+    if filter_col is not None:
+        gcols.append(F.expr(filter_col).alias("__fv"))
     return (
-        history.groupBy(*[F.col(k) for k in keys], b)
+        history.groupBy(*gcols, b)
         .agg(
             F.sum(value_col).alias("sum_v"),
             F.count(value_col).alias("cnt_v"),

@@ -168,3 +168,44 @@ def test_ported_long_window_family_preagg_equals_request(spark, agg):
     assert got == want and len(got) == 2
     # the pre-agg path actually engaged (materialized buckets exist)
     assert dep._preagg, "preagg path did not engage"
+
+
+@pytest.mark.parametrize("agg", ["sum_where", "avg_where", "min_where", "max_where", "count_where"])
+def test_long_window_xxx_where_preagg_equals_request(spark, agg):
+    """Long-window *_where (reference integration_test/long_window/
+    test_xxx_where.yaml): the filter-keyed pre-agg path must equal the
+    plain request path for <col> <op> <const> conditions."""
+    import datetime
+
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE tw (id int, c1 string, c2 smallint, c4 bigint,"
+        " c7 timestamp, INDEX(KEY=(c1), TS=c7))"
+    )
+    rows = [
+        (1, "aa", 1, 30, 1590738990000), (2, "aa", 2, 31, 1590738991000),
+        (3, "aa", 3, 32, 1590738992000), (4, "aa", 4, 33, 1590738993000),
+        (5, "bb", 5, 34, 1590738994000), (6, "bb", 1, 35, 1590738995000),
+    ]
+    vals = ", ".join(f"({i}, '{k}', {c2}, {c4}, {ts})" for i, k, c2, c4, ts in rows)
+    eng.execute(f"INSERT INTO tw VALUES {vals}")
+    dep = eng.execute(
+        f"DEPLOY dw_{agg} OPTIONS(long_windows='w1:1s') SELECT id, c1, "
+        f"{agg}(c4, c2 > 2) OVER w1 AS m FROM tw WINDOW w1 AS "
+        "(PARTITION BY tw.c1 ORDER BY tw.c7 "
+        "ROWS_RANGE BETWEEN 3s PRECEDING AND CURRENT ROW)"
+    )
+
+    def ts(ms):
+        return datetime.datetime.utcfromtimestamp(ms / 1000)
+
+    reqs = spark.createDataFrame(
+        [(9, "aa", 3, 40, ts(1590738995500)), (10, "bb", 1, 41, ts(1590738996000))],
+        dep.input_schema,
+    )
+    got = {r["id"]: r["m"] for r in dep.run_request_preagg(reqs).collect()}
+    want = {r["id"]: r["m"] for r in dep.run_request(reqs).collect()}
+    assert got == want and len(got) == 2, (got, want)
+    assert any(k[2] is not None for k in dep._preagg), "filter-keyed preagg missing"
