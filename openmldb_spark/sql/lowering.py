@@ -166,6 +166,39 @@ def _split_nested_aggs(
     return out, subaggs
 
 
+#: dialect aggregates the TEXT group path already expresses (plain Spark
+#: builtins or rewrite templates); any other _AGGS name in GROUP BY
+#: context forces the structural group lowering
+_TEXT_GROUP_AGGS = {
+    "sum", "min", "max", "avg", "count", "distinct_count", "median",
+    "stddev", "std", "stddev_samp", "stddev_pop", "var_samp", "variance",
+    "var_pop", "sum_where", "count_where", "avg_where", "min_where",
+    "max_where",
+}
+
+
+def _needs_structural_group(sel: Select) -> bool:
+    if not sel.group_by:
+        return False
+
+    def scan(tokens: list[Tok]) -> bool:
+        for i, t in enumerate(tokens):
+            if (
+                t.kind == "name"
+                and t.text.lower() in _AGGS
+                and t.text.lower() not in _TEXT_GROUP_AGGS
+                and i + 1 < len(tokens)
+                and tokens[i + 1].text == "("
+                and not (i > 0 and tokens[i - 1].text == ".")
+            ):
+                return True
+        return False
+
+    return any(not it.star and scan(it.expr) for it in sel.items) or (
+        sel.having is not None and scan(sel.having)
+    )
+
+
 def _ambiguous_qualifiers(
     sources: list,
 ) -> dict[str, str]:
@@ -497,7 +530,69 @@ class Lowerer:
         structural = bool(sel.windows) or any(j.kind == "last" for j in sel.joins)
         if structural:
             return self._select_structural(sel, env)
+        if _needs_structural_group(sel):
+            # dialect aggregates with no SQL-text spelling (*_cate, top,
+            # top_n_*, topn_frequency, ...) in GROUP BY context: evaluate
+            # the FROM/JOIN/WHERE part as text, then group structurally
+            # via the AggSpec.group lowerings
+            base = copy.deepcopy(sel)
+            base.items = [SelectItem([], None, star=True)]
+            base.group_by, base.having = [], None
+            base.limit, base.distinct = None, False
+            df = self._select_text(base, env)
+            return self._group_structural(df, sel)
         return self._select_text(sel, env)
+
+    def _group_structural(self, df: DataFrame, sel: Select) -> DataFrame:
+        """GROUP BY with dialect aggregates, lowered onto
+        ``df.groupBy(...).agg(...)`` via the AggSpec ``group`` builders —
+        one hash-aggregate shuffle, map-side partial combine, same plan
+        shape Catalyst gives text-path aggregation (reference: full-table
+        *_cate / top_n_* aggregation, test_full_table.yaml)."""
+        gen = itertools.count()
+        cols = df.columns
+        keys = []
+        for i, g in enumerate(sel.group_by):
+            nm = None
+            if all(t.kind == "name" or t.text == "." for t in g) and g[-1].kind == "name":
+                nm = g[-1].text
+            keys.append(
+                F.expr(rewrite_expr(_dequalify(g, cols))).alias(nm or f"__gk{i}")
+            )
+        aggs: dict[str, "A.AggSpec"] = {}
+        residuals: list[list[Tok]] = []
+        names: list[str] = []
+        for it in sel.items:
+            if it.star:
+                raise ValueError(
+                    "SELECT * is not valid with GROUP BY dialect aggregates"
+                )
+            residual, subs = _split_nested_aggs(_dequalify(it.expr, cols), gen)
+            aggs.update(subs)
+            residuals.append(residual)
+            names.append(it.alias or _derived_name(it.expr))
+        hav = None
+        if sel.having is not None:
+            hav, subs = _split_nested_aggs(_dequalify(sel.having, cols), gen)
+            aggs.update(subs)
+        agg_cols = []
+        for nm, spec in aggs.items():
+            if spec.group is None:
+                raise ValueError(
+                    f"aggregate {spec.name!r} is not supported in GROUP BY"
+                )
+            agg_cols.append(spec.group(spec.fields).alias(nm))
+        gdf = df.groupBy(*keys).agg(*agg_cols)
+        if hav is not None:
+            gdf = gdf.filter(F.expr(rewrite_expr(hav)))
+        out = gdf.select(
+            *[F.expr(rewrite_expr(r)).alias(nm) for r, nm in zip(residuals, names)]
+        )
+        if sel.distinct:
+            out = out.distinct()
+        if sel.limit is not None:
+            out = out.limit(sel.limit)
+        return out
 
     # -- text path: re-render standard SQL, let Catalyst do everything ------
     def _view(self, df: DataFrame) -> str:

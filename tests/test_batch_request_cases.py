@@ -69,6 +69,9 @@ def test_batch_request_case(spark, case):
     common = req_block.get("common", [])
     out = dep.run_batch_request(requests, common)
 
+    if case["expect"].get("success") is True:
+        out.collect()
+        return
     exp_schema = _parse_schema(case["expect"]["schema"])
     exp_rows = _parse_rows(case["expect"]["data"], exp_schema)
     assert out.columns == [n for n, _ in exp_schema]

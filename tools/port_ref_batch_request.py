@@ -34,7 +34,7 @@ def _emit(ref, case, cid) -> None:
             text = text.replace("{" + str(i) + "}", nm)
         return text
 
-    print(f"  - id: {cid}")
+    print(f'  - id: "{cid}"')
     desc = str(case.get("desc", "")).replace('"', "'").strip()
     print(f'    desc: "{desc} (ported {ref.split("/cases/")[-1]} id {cid})"')
     print("    statements:")
@@ -74,11 +74,14 @@ def _emit(ref, case, cid) -> None:
     print(indent(conv_rows(br["rows"]), "        "))
     exp = case["expect"]
     print("    expect:")
-    print(f"      schema: {conv_cols(exp['columns'])}")
-    if exp.get("order"):
-        print(f"      order: {exp['order']}")
-    print("      data: |")
-    print(indent(conv_rows(exp["rows"]), "        "))
+    if "columns" in exp:
+        print(f"      schema: {conv_cols(exp['columns'])}")
+        if exp.get("order"):
+            print(f"      order: {exp['order']}")
+        print("      data: |")
+        print(indent(conv_rows(exp["rows"]), "        "))
+    else:
+        print("      success: true")
     print()
 
 
