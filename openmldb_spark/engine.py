@@ -332,8 +332,12 @@ class Engine:
             return self._create_index(sql_text)
         if head == "DROP" and second == "INDEX":
             # DROP INDEX table.index_name (DROP_INDEX_STATEMENT.md)
-            tail = render(toks[2:]).replace(" ", "")
-            tname, _, iname = tail.partition(".")
+            tail = render(toks[2:]).replace(" ", "").rstrip(";")
+            if "." not in tail:
+                # the reference requires the qualified form
+                # (test_delete_index id 4)
+                raise ValueError("DROP INDEX takes <table>.<index_name>")
+            tname, _, iname = tail.rpartition(".")
             td = self.table_defs.get(tname)
             if td is not None:
                 td.indexes = [i for i in td.indexes if i.name != iname]

@@ -72,6 +72,32 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
                 df.collect()
         return
     got_df = run_all()
+    if "idxs" in exp:
+        # DESC index expectations (delete_index corpus): compare the
+        # __index__ summary rows. Reference ttl spellings normalize
+        # (100min == 100m; a 0min/absent ttl == None) and ttlType names
+        # map from the proto enums.
+        _TTLT = {
+            "kAbsoluteTime": "absolute", "kLatestTime": "latest",
+            "kAbsAndLat": "absandlat", "kAbsOrLat": "absorlat",
+        }
+
+        def _norm_ttl(v):
+            v = str(v).replace("min", "m").strip()
+            return None if v in ("0m", "0", "None", "") else v
+
+        rows = [r for r in got_df.collect() if r["field"].startswith("__index__")]
+        assert len(rows) == len(exp["idxs"]), (rows, exp["idxs"])
+        for r, want in zip(rows, exp["idxs"]):
+            kv = dict(p.split("=", 1) for p in r["type"].split())
+            assert kv["keys"] == ",".join(want["keys"]), (kv, want)
+            if "ts" in want:
+                assert kv["ts"] == want["ts"], (kv, want)
+            if "ttl" in want:
+                assert _norm_ttl(kv["ttl"]) == _norm_ttl(want["ttl"]), (kv, want)
+            if "ttlType" in want:
+                assert kv["ttl_type"] == _TTLT[want["ttlType"]], (kv, want)
+        return
     if exp.get("success") is True:
         # a DEPLOY returns a SqlDeployment (already compile-validated)
         if got_df is not None and hasattr(got_df, "collect"):

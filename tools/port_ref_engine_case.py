@@ -190,6 +190,15 @@ def _emit(ref, case, cid) -> None:
                 print(f"      order: {exp['order']}")
             print("      data: |")
             print(indent(conv_rows(exp.get("rows") or []), "        "))
+        elif "idxs" in exp:
+            import json as _json
+
+            print("      idxs:")
+            for ix in exp["idxs"]:
+                print(f"        - keys: {_json.dumps(ix['keys'])}")
+                for k in ("ts", "ttl", "ttlType"):
+                    if k in ix:
+                        print(f"          {k}: {_json.dumps(str(ix[k]))}")
         elif "count" in exp:
             print(f"      count: {exp['count']}")
         elif "deploymentCount" in exp:
