@@ -143,6 +143,11 @@ class Engine:
         #: session variables (SET / SHOW VARIABLES); engine-meaningful ones
         #: only — unknown names are stored and echoed, like the reference
         self.variables: dict[str, str] = {"execute_mode": "online"}
+        #: offline-job log (the reference's TaskManager job table, SURVEY
+        #: §3.3): statements that the reference runs as async Spark jobs
+        #: (LOAD DATA / SELECT INTO) execute synchronously here, so every
+        #: job is recorded already FINISHED. (job_id, type, state)
+        self.jobs: list[tuple[int, str, str]] = []
 
     @property
     def databases(self) -> set[str]:
@@ -345,9 +350,26 @@ class Engine:
         if head == "CALL":
             return self._call(toks)
         if head == "LOAD":
-            return self._load_data(sql_text)
+            out = self._load_data(sql_text)
+            self.jobs.append((len(self.jobs) + 1, "ImportOfflineData", "FINISHED"))
+            return out
         if head == "DEPLOY":
             return self._deploy(toks, sql_text)
+        if head == "SHOW" and second == "JOB" and len(toks) > 2:
+            jid = int(toks[2].text)
+            rows = [j for j in self.jobs if j[0] == jid]
+            if not rows:
+                raise ValueError(f"unknown job {jid}")
+            return self.spark.createDataFrame(
+                rows, "job_id int, job_type string, state string"
+            )
+        if head == "STOP" and second == "JOB":
+            jid = int(toks[2].text)
+            if not any(j[0] == jid for j in self.jobs):
+                raise ValueError(f"unknown job {jid}")
+            # synchronous execution: the job already finished — STOP is a
+            # no-op acknowledgment, like stopping a FINISHED reference job
+            return None
         if head == "SHOW" and second == "CREATE":
             return self._show_create(toks[3].text)
         if head == "SHOW":
@@ -359,7 +381,9 @@ class Engine:
         if head in ("SELECT", "WITH"):
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
             if m:
-                return self._select_into(sql_text, m)
+                out = self._select_into(sql_text, m)
+                self.jobs.append((len(self.jobs) + 1, "ExportOfflineData", "FINISHED"))
+                return out
             return Lowerer(self.spark, self._table_view()).query(P.parse(sql_text), {})
         raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
 
@@ -814,6 +838,10 @@ class Engine:
         if what == "DATABASES":
             return self.spark.createDataFrame(
                 [(d,) for d in sorted(self.databases)], "database_name string"
+            )
+        if what == "JOBS":
+            return self.spark.createDataFrame(
+                self.jobs or [], "job_id int, job_type string, state string"
             )
         if what == "DEPLOYMENTS":
             return self.spark.createDataFrame(

@@ -375,3 +375,26 @@ def test_deploy_parameterized_request_and_batch(eng, spark):
         dep.run_batch(parameters=[])
     with _pt.raises(ValueError):
         dep.run_batch(parameters=[1.0, 2.0])
+
+
+def test_show_jobs_surface(eng, tmp_path):
+    """SHOW JOBS / SHOW JOB <id> / STOP JOB <id> (SURVEY §3.3 — the
+    reference's TaskManager surface; jobs here run synchronously so they
+    list as FINISHED)."""
+    assert eng.execute("SHOW JOBS").count() == 0
+    csv = tmp_path / "j.csv"
+    csv.write_text("id,name\n1,x\n")
+    eng.execute("CREATE TABLE jsrc (id int, name string)")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE jsrc OPTIONS(format='csv')")
+    eng.execute(
+        f"SELECT * FROM jsrc INTO OUTFILE '{tmp_path}/jout' OPTIONS(format='csv')"
+    )
+    jobs = {r["job_id"]: (r["job_type"], r["state"]) for r in eng.execute("SHOW JOBS").collect()}
+    assert jobs == {1: ("ImportOfflineData", "FINISHED"),
+                    2: ("ExportOfflineData", "FINISHED")}
+    assert eng.execute("SHOW JOB 2").collect()[0]["job_type"] == "ExportOfflineData"
+    eng.execute("STOP JOB 1")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        eng.execute("SHOW JOB 99")
