@@ -118,6 +118,39 @@ class _NsView:
         return self._cur().values()
 
 
+class _TTLView(dict):
+    """Lazy Lowerer resolution mapping: a name resolves to its TTL-filtered
+    DataFrame on first lookup (``__missing__``), so a statement only pays
+    plan construction for the tables it references. Explicit assignments
+    (``view['__history'] = df``) shadow catalog names, dict-style."""
+
+    def __init__(self, eng: "Engine"):
+        super().__init__()
+        self._eng = eng
+
+    def _locate(self, key: str):
+        eng = self._eng
+        db, bare = eng._loc(key)
+        return db, bare, eng._dbs.get(db, {}).get(bare)
+
+    def __missing__(self, key: str) -> DataFrame:
+        db, bare, df = self._locate(key)
+        if df is None:
+            raise KeyError(key)
+        out = self._eng._with_ttl(db, bare, df)
+        self[key] = out
+        return out
+
+    def __contains__(self, key) -> bool:
+        return dict.__contains__(self, key) or self._locate(key)[2] is not None
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
+
+
 class Engine:
     """One engine = one SparkSession + one catalog of named tables."""
 
@@ -194,16 +227,11 @@ class Engine:
         return df
 
     def _table_view(self) -> dict[str, DataFrame]:
-        """Resolution dict for the Lowerer: current db's tables under their
-        bare names + every db's tables under mangled names. Reads are
-        TTL-filtered (online semantics)."""
-        view: dict[str, DataFrame] = {}
-        for db, tabs in self._dbs.items():
-            for n, df in tabs.items():
-                view[f"{self._DBM}{db}__{n}"] = self._with_ttl(db, n, df)
-        for n, df in self._dbs[self.current_db].items():
-            view[n] = self._with_ttl(self.current_db, n, df)
-        return view
+        """Resolution mapping for the Lowerer: current db's tables under
+        their bare names + every db's tables under mangled names. Reads are
+        TTL-filtered (online semantics), materialized lazily per referenced
+        table — not for the whole catalog on every statement."""
+        return _TTLView(self)
 
     def _mangle_sql(self, sql_text: str) -> str:
         """Rewrite db-qualified references (`db1.t0`, `db1.t0.c1`) into flat
@@ -355,7 +383,7 @@ class Engine:
             return out
         if head == "DEPLOY":
             return self._deploy(toks, sql_text)
-        if head == "SHOW" and second == "JOB" and len(toks) > 2:
+        if head == "SHOW" and second == "JOB" and len(toks) > 2 and toks[2].kind == "num":
             jid = int(toks[2].text)
             rows = [j for j in self.jobs if j[0] == jid]
             if not rows:
@@ -364,6 +392,8 @@ class Engine:
                 rows, "job_id int, job_type string, state string"
             )
         if head == "STOP" and second == "JOB":
+            if len(toks) < 3 or toks[2].kind != "num":
+                raise ValueError("STOP JOB takes a numeric job id")
             jid = int(toks[2].text)
             if not any(j[0] == jid for j in self.jobs):
                 raise ValueError(f"unknown job {jid}")
@@ -736,6 +766,7 @@ class Engine:
             null_value=opts.get("null_value", "null"),
             quote=opts.get("quote", '"'),
             mode=opts.get("mode", "error_if_exists").lower(),
+            coalesce=int(opts["coalesce"]) if "coalesce" in opts else None,
         )
         return None
 
@@ -777,7 +808,6 @@ class Engine:
                 P.parse(select_sql), {}
             ).schema
         self.deployments[name] = dep
-        dep.db_name = self.current_db
         return dep
 
     #: Spark type -> the reference's column-type naming (SHOW DEPLOYMENT)
@@ -952,21 +982,52 @@ class SqlDeployment:
         q = self._query_with_params(parameters)
         return self._run_request_on(q, requests, history)
 
+    def _serving_history(self, history: Optional[DataFrame]) -> DataFrame:
+        """Stored history for request-mode serving — TTL-filtered like every
+        other online read (the reference's online storage GCs expired rows
+        before serving sees them, so batch and request mode agree)."""
+        if history is not None:
+            return history
+        eng = self.engine
+        db, bare = eng._loc(self.request_table)
+        return eng._with_ttl(db, bare, eng.tables[self.request_table])
+
+    def _history_from_ref(self, body: "P.Select") -> "P.TableRef":
+        """FROM ref binding ``__history`` through the deployed query's own
+        FROM pipeline: a subquery FROM (``FROM (SELECT ... FROM t) x``)
+        filters/projects history exactly as it does the request rows, so
+        frames never see rows the subquery excludes."""
+        if body.from_.subquery is None:
+            return P.TableRef(
+                name="__history", alias=body.from_.alias or body.from_.name
+            )
+        ref = copy.deepcopy(body.from_)
+        sel = ref.subquery.body
+        while (
+            isinstance(sel, P.Select)
+            and sel.from_ is not None
+            and sel.from_.name is None
+            and sel.from_.subquery is not None
+        ):
+            sel = sel.from_.subquery.body
+        if not sel.from_.alias:
+            sel.from_.alias = sel.from_.name
+        sel.from_.name = "__history"
+        return ref
+
     def _run_request_on(
         self,
         q: "P.Query",
         requests: DataFrame,
         history: Optional[DataFrame] = None,
     ) -> DataFrame:
-        hist = history if history is not None else self.engine.tables[self.request_table]
+        hist = self._serving_history(history)
         body = q.body
+        hist_from = self._history_from_ref(body)
         if body.joins or body.where is not None:
             # the window runs over the POST-join/filter relation (batch =
             # join then window), so the history side must flow through the
             # same joins/filters for schemas and semantics to line up
-            hist_from = P.TableRef(
-                name="__history", alias=body.from_.alias or body.from_.name
-            )
             hist_sel = P.Select(
                 items=[P.SelectItem([], None, star=True)],
                 from_=hist_from,
@@ -974,6 +1035,8 @@ class SqlDeployment:
                 where=copy.deepcopy(body.where),
             )
             union_ref = P.TableRef(subquery=P.Query(hist_sel))
+        elif hist_from.subquery is not None:
+            union_ref = hist_from
         else:
             union_ref = P.TableRef(name="__history")
         for w in body.windows.values():
@@ -1035,6 +1098,22 @@ class SqlDeployment:
         common = set(common_columns)
         body = self.query.body
         if not common:
+            return self.run_request(requests, history)
+
+        req_cols_all = (
+            {f.name for f in self.input_schema.fields}
+            if self.input_schema is not None
+            else set()
+        )
+        where_req = {
+            t.text
+            for t in (body.where or [])
+            if t.kind == "name" and t.text in req_cols_all
+        }
+        if not where_req <= common:
+            # the WHERE verdict depends on non-common request columns, so
+            # row survival — and with it every item value — is per-row;
+            # a single representative row cannot stand in for the batch
             return self.run_request(requests, history)
 
         # columns the right sides of joins contribute (not request columns):
@@ -1108,6 +1187,13 @@ class SqlDeployment:
         toks = [t for t in cond_tokens]
         _OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
         if (
+            len(toks) == 4
+            and toks[2].text == "-"
+            and toks[3].kind == "num"
+        ):
+            # fold unary minus: <col> <op> - <num>
+            toks = toks[:2] + [P.Tok("num", "-" + toks[3].text)]
+        if (
             len(toks) == 3
             and toks[0].kind == "name"
             and toks[1].text in _OPS
@@ -1168,7 +1254,7 @@ class SqlDeployment:
         from openmldb_spark.plans.longwindow import preaggregate
         from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
 
-        hist = history if history is not None else self.engine.tables[self.request_table]
+        hist = self._serving_history(history)
         body = self.query.body
         # partition keys may be qualified (`PARTITION BY t0.c1`): resolve
         # them against the main-table alias and store under safe flat names
@@ -1213,7 +1299,7 @@ class SqlDeployment:
         if len(lw) != n_window_items or body.joins or body.where is not None:
             return self.run_request(requests, history)
         self.prepare_preagg(history)
-        hist = history if history is not None else self.engine.tables[self.request_table]
+        hist = self._serving_history(history)
 
         bind = body.from_.alias or self.request_table
         hist = hist.alias(bind)

@@ -480,7 +480,9 @@ class Lowerer:
         tables: Optional[dict[str, DataFrame]] = None,
     ):
         self.spark = spark
-        self.tables = dict(tables or {})
+        # keep the caller's mapping as-is: the engine passes a lazy
+        # TTL-resolving view, and a dict() copy would materialize it whole
+        self.tables = tables if tables is not None else {}
 
     # -- name resolution ----------------------------------------------------
     def resolve(self, name: str, env: dict[str, DataFrame]) -> DataFrame:
@@ -823,6 +825,7 @@ class Lowerer:
 
     # -- window def ---------------------------------------------------------
     def _window_def(self, df: DataFrame, w: WindowClause) -> WindowDef:
+        orderless = w.order_by is None
         if w.order_by is None:
             if not (
                 w.frame_kind == "rows_range"
@@ -903,6 +906,13 @@ class Lowerer:
                 kw["end_rows"] = int(uval) + 1
             else:
                 kw["end_range"] = str(parse_interval_ms(uval) + 1)
+        if orderless:
+            # whole-partition frame: the synthetic constant ORDER BY makes
+            # every row a peer, so the RANGE path (peers share one frame)
+            # aggregates the full partition; the default ROWS lowering of
+            # an unbounded frame would give per-row prefixes in arbitrary
+            # tiebreak order instead
+            kw["end_range"] = "0"
         return WindowDef(
             partition_by=parts,
             order_by=ord_col,
