@@ -239,8 +239,12 @@ class Engine:
         with current db `db` resolves subquery alias t1 — reference id 7);
         other known dbs mangle to `__omdb__{db}__{t}`. Unknown-db refs pass
         through untouched and fail resolution downstream, matching the
-        reference's 'database not found' errors."""
+        reference's 'database not found' errors. A qualifier that is also
+        a table/subquery ALIAS declared in this statement is NOT mangled —
+        `SELECT d.c1 FROM t AS d` with a database named `d` binds the
+        alias, not the database (alias scope shadows the catalog)."""
         toks = tokenize(sql_text)
+        aliases = _declared_aliases(toks)
         out: list[Tok] = []
         i, n, changed = 0, len(toks), False
         while i < n:
@@ -250,6 +254,7 @@ class Engine:
                 t.kind == "name"
                 and not prev_dot
                 and t.text in self._dbs
+                and t.text not in aliases
                 and i + 2 < n
                 and toks[i + 1].text == "."
                 and toks[i + 2].kind == "name"
@@ -1127,6 +1132,7 @@ class SqlDeployment:
             if self.input_schema is not None
             else set()
         )
+        join_aliases: set = set()
         for j in body.joins:
             jtoks = list(j.on or [])
             for ob in j.order_by or []:
@@ -1137,6 +1143,31 @@ class SqlDeployment:
             rdf = self.engine.tables.get(j.table.name) if j.table.name else None
             if rdf is not None:
                 join_right_names |= set(rdf.columns)
+            if j.table.alias:
+                join_aliases.add(j.table.alias)
+            if j.table.name:
+                join_aliases.add(j.table.name)
+
+        def _refs_join_side(toks_seq) -> bool:
+            """True if a token stream references the join side: a bare name
+            that only the right side defines, or any alias-qualified ref
+            ``t1.c`` whose qualifier names a join table — the latter catches
+            right-side columns that SHADOW a request-column name (bare-name
+            set difference would miss them)."""
+            toks = list(toks_seq)
+            names = {t.text for t in toks if t.kind == "name"}
+            if names & (join_right_names - req_cols):
+                return True
+            for k, t in enumerate(toks):
+                if (
+                    t.kind == "name"
+                    and t.text in join_aliases
+                    and k + 2 < len(toks)
+                    and toks[k + 1].text == "."
+                    and toks[k + 2].kind == "name"
+                ):
+                    return True
+            return False
 
         common_idx, noncommon_idx = [], []
         for idx, it in enumerate(body.items):
@@ -1144,15 +1175,11 @@ class SqlDeployment:
                 noncommon_idx.append(idx)
                 continue
             cols = self._item_cols(body, it)
-            toks = {t.text for t in it.expr if t.kind == "name"}
-            uses_join_col = bool(toks & (join_right_names - req_cols))
+            uses_join_col = _refs_join_side(it.expr)
             if it.over is not None:
                 # a window item may aggregate joined-in columns
                 for a in it.over.args:
-                    uses_join_col |= bool(
-                        {t.text for t in a if t.kind == "name"}
-                        & (join_right_names - req_cols)
-                    )
+                    uses_join_col |= _refs_join_side(a)
             ok = cols <= common and (not uses_join_col or join_common)
             (common_idx if ok else noncommon_idx).append(idx)
 
@@ -1402,6 +1429,48 @@ class SqlDeployment:
 
 
 # -- token helpers -----------------------------------------------------------
+
+
+#: statement words that can precede/be a name token without declaring an
+#: alias — used by _declared_aliases to avoid reading keywords as aliases
+_ALIAS_STOPWORDS = {
+    "SELECT", "FROM", "WHERE", "GROUP", "BY", "HAVING", "WINDOW", "LIMIT",
+    "UNION", "ALL", "DISTINCT", "ORDER", "ON", "LAST", "LEFT", "RIGHT",
+    "INNER", "JOIN", "CONFIG", "ROWS", "ROWS_RANGE", "PARTITION", "EXCEPT",
+    "INTERSECT", "AND", "OR", "NOT", "XOR", "IN", "BETWEEN", "LIKE",
+    "ILIKE", "RLIKE", "IS", "NULL", "TRUE", "FALSE", "CASE", "WHEN",
+    "THEN", "ELSE", "END", "CAST", "AS", "OVER", "INTERVAL", "DAY",
+    "HOUR", "MINUTE", "SECOND", "ESCAPE", "DIV", "MOD", "DESC", "ASC",
+    "PRECEDING", "FOLLOWING", "CURRENT", "CURRENT_ROW", "CURRENT_TIME",
+    "UNBOUNDED", "OPEN", "MAXSIZE", "EXCLUDE", "INSTANCE_NOT_IN_WINDOW",
+    "INTO", "OUTFILE", "OPTIONS", "VALUES", "TABLE", "INDEX", "KEY", "TS",
+    "TTL", "TTL_TYPE",
+}
+
+
+def _declared_aliases(toks: list[Tok]) -> set[str]:
+    """Names declared as table/subquery/column aliases in a token stream:
+    a name after AS, or a name directly following another name / ')' in an
+    alias position (``FROM t d``, ``) d``). Over-detection is safe — it only
+    widens the set of qualifiers _mangle_sql leaves alone, and a genuine
+    db-qualified ref never has its db token in alias position."""
+    out: set[str] = set()
+    for k in range(1, len(toks)):
+        t = toks[k]
+        if t.kind != "name" or t.upper in _ALIAS_STOPWORDS:
+            continue
+        prev = toks[k - 1]
+        if prev.kind == "name" and prev.upper == "AS":
+            out.add(t.text)
+            continue
+        if prev.text == ")" or (
+            prev.kind == "name" and prev.upper not in _ALIAS_STOPWORDS
+        ):
+            nxt = toks[k + 1] if k + 1 < len(toks) else None
+            if nxt is not None and nxt.text in ("(", "."):
+                continue  # function call / qualifier, not an alias
+            out.add(t.text)
+    return out
 
 
 def _split_commas(toks: list[Tok]) -> list[list[Tok]]:

@@ -37,8 +37,20 @@ _MODES = {"overwrite": "overwrite", "append": "append", "error_if_exists": "erro
 
 
 def _parse_ddl(schema: str) -> list[tuple[str, str]]:
-    out = []
-    for part in schema.split(","):
+    # split on top-level commas only: parameterized types such as
+    # decimal(10,2) / varchar(20) carry commas inside parens
+    out, depth, start = [], 0, 0
+    parts: list[str] = []
+    for i, ch in enumerate(schema):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(schema[start:i])
+            start = i + 1
+    parts.append(schema[start:])
+    for part in parts:
         name, typ = part.strip().split(None, 1)
         out.append((name.strip("`"), typ.strip()))
     return out
@@ -60,11 +72,15 @@ def _strict_csv(
       silently become NULL (reference rejects type mismatches);
     - ``header=true`` against a header-less file FAILS (the reference
       verifies the header line matches the table's column names);
-    - header lines are dropped WHEREVER they appear, so csv directories
-      whose ``mode='append'`` parts were written with ``header=false``
-      still round-trip (the reference appends to one physical file; Spark
-      appends part files — per-row filtering is the distributed analog
-      and stays a narrow, shuffle-free transform).
+    - a header is removed only from the FIRST physical row of each file
+      (the reference strips the leading header line per file), so csv
+      directories whose ``mode='append'`` parts carry their own headers
+      round-trip, while a legitimate data row that coincidentally equals
+      the column names mid-file is KEPT. Per-file first rows come from a
+      per-file min over ``monotonically_increasing_id`` (ids increase in
+      read order; a file's offset-0 split packs before its later splits),
+      a tiny map-side-combined aggregate broadcast-joined back — no
+      shuffle of the data itself.
     """
     cols = _parse_ddl(schema)
     raw = (
@@ -85,13 +101,19 @@ def _strict_csv(
         t = F.col(c) == F.lit(name)
         is_header = t if is_header is None else (is_header & t)
     if header:
+        raw = raw.withColumn("__file", F.input_file_name()).withColumn(
+            "__mid", F.monotonically_increasing_id()
+        )
+        first = raw.groupBy("__file").agg(F.min("__mid").alias("__first"))
+        raw = raw.join(F.broadcast(first), "__file")
+        hdr = is_header & (F.col("__mid") == F.col("__first"))
         # the reference checks the header matches the table's columns
-        if raw.filter(is_header).limit(1).count() == 0:
+        if raw.filter(hdr).limit(1).count() == 0:
             raise ValueError(
                 "LOAD DATA: header=true but the file's header does not "
                 f"match the table columns {[n for n, _ in cols]}"
             )
-        raw = raw.filter(~is_header)
+        raw = raw.filter(~hdr).drop("__file", "__mid", "__first")
     proj = []
     for c, (name, typ) in zip(rc, cols):
         lt = typ.lower()
