@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openmldb_spark.catalog import IndexDef, TableDef
+from openmldb_spark.jobs import JOB_SCHEMA, JobManager
 from openmldb_spark.plans.deploy import Deployment
 from openmldb_spark.sources.loader import load_data, select_into
 from openmldb_spark.sql import parser as P
@@ -177,10 +178,12 @@ class Engine:
         #: only — unknown names are stored and echoed, like the reference
         self.variables: dict[str, str] = {"execute_mode": "online"}
         #: offline-job log (the reference's TaskManager job table, SURVEY
-        #: §3.3): statements that the reference runs as async Spark jobs
-        #: (LOAD DATA / SELECT INTO) execute synchronously here, so every
-        #: job is recorded already FINISHED. (job_id, type, state)
-        self.jobs: list[tuple[int, str, str]] = []
+        #: §3.3): LOAD DATA / SELECT INTO run as tracked jobs under their
+        #: own Spark job groups (openmldb_spark.jobs) — synchronous by
+        #: default (divergence: the reference defaults async; SET
+        #: @@sync_job='false' restores that), with SHOW JOBS / SHOW JOB /
+        #: STOP JOB over the live state machine
+        self.jobman = JobManager(spark)
 
     @property
     def databases(self) -> set[str]:
@@ -356,6 +359,9 @@ class Engine:
         if head == "INSERT":
             return self._insert(toks)
         if head == "DELETE":
+            if second == "JOB":
+                # JobInfoManager.scala:127 — "Delete job is not supported yet"
+                raise ValueError("DELETE JOB is not supported")
             return self._delete(sql_text)
         if head == "TRUNCATE":
             # TRUNCATE TABLE t | TRUNCATE t (TRUNCATE_TABLE_STATEMENT.md)
@@ -383,28 +389,20 @@ class Engine:
         if head == "CALL":
             return self._call(toks)
         if head == "LOAD":
-            out = self._load_data(sql_text)
-            self.jobs.append((len(self.jobs) + 1, "ImportOfflineData", "FINISHED"))
-            return out
+            return self._load_data(sql_text)
         if head == "DEPLOY":
             return self._deploy(toks, sql_text)
         if head == "SHOW" and second == "JOB" and len(toks) > 2 and toks[2].kind == "num":
-            jid = int(toks[2].text)
-            rows = [j for j in self.jobs if j[0] == jid]
-            if not rows:
-                raise ValueError(f"unknown job {jid}")
-            return self.spark.createDataFrame(
-                rows, "job_id int, job_type string, state string"
-            )
+            job = self.jobman.get(int(toks[2].text))
+            return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
         if head == "STOP" and second == "JOB":
             if len(toks) < 3 or toks[2].kind != "num":
                 raise ValueError("STOP JOB takes a numeric job id")
-            jid = int(toks[2].text)
-            if not any(j[0] == jid for j in self.jobs):
-                raise ValueError(f"unknown job {jid}")
-            # synchronous execution: the job already finished — STOP is a
-            # no-op acknowledgment, like stopping a FINISHED reference job
-            return None
+            # cancels the job's Spark job group (kills its running stages)
+            # and returns the job row with the final state — the
+            # reference's JobInfoManager.stopJob contract
+            job = self.jobman.stop(int(toks[2].text))
+            return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
         if head == "SHOW" and second == "CREATE":
             return self._show_create(toks[3].text)
         if head == "SHOW":
@@ -416,9 +414,7 @@ class Engine:
         if head in ("SELECT", "WITH"):
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
             if m:
-                out = self._select_into(sql_text, m)
-                self.jobs.append((len(self.jobs) + 1, "ExportOfflineData", "FINISHED"))
-                return out
+                return self._select_into(sql_text, m)
             return Lowerer(self.spark, self._table_view()).query(P.parse(sql_text), {})
         raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
 
@@ -726,28 +722,43 @@ class Engine:
         schema = None
         if name in self.table_defs:
             schema = self.table_defs[name].schema_ddl
-        df = load_data(
-            self.spark,
-            path,
-            fmt=opts.get("format", "csv").lower(),
-            delimiter=opts.get("delimiter", ","),
-            header=opts.get("header", "true").lower() == "true",
-            null_value=opts.get("null_value", "null"),
-            quote=opts.get("quote", '"'),
-            schema=schema,
+
+        def job_body() -> None:
+            df = load_data(
+                self.spark,
+                path,
+                fmt=opts.get("format", "csv").lower(),
+                delimiter=opts.get("delimiter", ","),
+                header=opts.get("header", "true").lower() == "true",
+                null_value=opts.get("null_value", "null"),
+                quote=opts.get("quote", '"'),
+                schema=schema,
+            )
+            # an import is a job: the noop sink evaluates EVERY column so
+            # malformed data fails the JOB (strict-cast errors surface
+            # here), like the reference's offline import; count() would
+            # prune the cast projections away. At scale this materializes
+            # to managed storage; here the validated DataFrame is the
+            # managed table, published only when the job succeeds.
+            df.write.format("noop").mode("overwrite").save()
+            if mode == "append" and self.tables[name].columns:
+                self.tables[name] = self.tables[name].unionByName(df)
+            else:
+                self.tables[name] = df
+
+        # OpenmldbBatchjobManager.scala: online-mode imports are
+        # ImportOnlineData jobs, offline ImportOfflineData
+        jtype = (
+            "ImportOnlineData"
+            if self.variables.get("execute_mode", "online") == "online"
+            else "ImportOfflineData"
         )
-        # an import is a job: run it now so malformed data fails the LOAD
-        # statement itself (strict-cast errors surface here), like the
-        # reference's offline import. The noop sink evaluates EVERY column
-        # (count() would prune the cast projections away); at scale this
-        # materializes to managed storage; here the validated DataFrame is
-        # the managed table.
-        df.write.format("noop").mode("overwrite").save()
-        if mode == "append" and self.tables[name].columns:
-            self.tables[name] = self.tables[name].unionByName(df)
-        else:
-            self.tables[name] = df
-        return None
+        job = self.jobman.submit(jtype, sql_text.strip(), job_body, sync=self._sync_job)
+        # async submit hands back the job row (the reference CLI prints it);
+        # sync keeps the statement's side-effect-only contract
+        return None if self._sync_job else self.spark.createDataFrame(
+            [job.row()], JOB_SCHEMA
+        )
 
     def _select_into(self, sql_text: str, m: "re.Match"):
         # SELECT ... INTO OUTFILE 'path' [OPTIONS(...)]
@@ -761,19 +772,36 @@ class Engine:
         opts = _parse_options(opts_s, quoted)
         _check_options(opts, quoted, _OUTFILE_OPTS, "OUTFILE")
         query = sql_text[: m.start()]
+        # lowering is synchronous (schema/SQL errors fail the statement);
+        # the write runs as the tracked job
         df = Lowerer(self.spark, self._table_view()).query(P.parse(query), {})
-        select_into(
-            df,
-            path,
-            fmt=opts.get("format", "csv").lower(),
-            delimiter=opts.get("delimiter", ","),
-            header=opts.get("header", "true").lower() == "true",
-            null_value=opts.get("null_value", "null"),
-            quote=opts.get("quote", '"'),
-            mode=opts.get("mode", "error_if_exists").lower(),
-            coalesce=int(opts["coalesce"]) if "coalesce" in opts else None,
+
+        def job_body() -> None:
+            select_into(
+                df,
+                path,
+                fmt=opts.get("format", "csv").lower(),
+                delimiter=opts.get("delimiter", ","),
+                header=opts.get("header", "true").lower() == "true",
+                null_value=opts.get("null_value", "null"),
+                quote=opts.get("quote", '"'),
+                mode=opts.get("mode", "error_if_exists").lower(),
+                coalesce=int(opts["coalesce"]) if "coalesce" in opts else None,
+            )
+
+        job = self.jobman.submit(
+            "ExportOfflineData", sql_text.strip(), job_body, sync=self._sync_job
         )
-        return None
+        return None if self._sync_job else self.spark.createDataFrame(
+            [job.row()], JOB_SCHEMA
+        )
+
+    @property
+    def _sync_job(self) -> bool:
+        """SET @@sync_job — default true here (divergence from the
+        reference's async default: ported LOAD-then-SELECT scripts expect
+        their data without polling; see openmldb_spark.jobs docstring)."""
+        return self.variables.get("sync_job", "true").lower() != "false"
 
     # -- DEPLOY ---------------------------------------------------------------
     def _deploy(self, toks: list[Tok], sql_text: str):
@@ -875,9 +903,7 @@ class Engine:
                 [(d,) for d in sorted(self.databases)], "database_name string"
             )
         if what == "JOBS":
-            return self.spark.createDataFrame(
-                self.jobs or [], "job_id int, job_type string, state string"
-            )
+            return self.spark.createDataFrame(self.jobman.rows() or [], JOB_SCHEMA)
         if what == "DEPLOYMENTS":
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.deployments)] or [], "deployment string"

@@ -379,8 +379,10 @@ def test_deploy_parameterized_request_and_batch(eng, spark):
 
 def test_show_jobs_surface(eng, tmp_path):
     """SHOW JOBS / SHOW JOB <id> / STOP JOB <id> (SURVEY §3.3 — the
-    reference's TaskManager surface; jobs here run synchronously so they
-    list as FINISHED)."""
+    reference's TaskManager surface; default sync_job=true so statements
+    list FINISHED). Row contract = the reference JOB_INFO schema
+    (cases/integration_test/out_in/test_job.yaml id 0); online-mode LOAD
+    is an ImportOnlineData job (OpenmldbBatchjobManager.scala)."""
     assert eng.execute("SHOW JOBS").count() == 0
     csv = tmp_path / "j.csv"
     csv.write_text("id,name\n1,x\n")
@@ -389,12 +391,23 @@ def test_show_jobs_surface(eng, tmp_path):
     eng.execute(
         f"SELECT * FROM jsrc INTO OUTFILE '{tmp_path}/jout' OPTIONS(format='csv')"
     )
-    jobs = {r["job_id"]: (r["job_type"], r["state"]) for r in eng.execute("SHOW JOBS").collect()}
-    assert jobs == {1: ("ImportOfflineData", "FINISHED"),
+    rows = eng.execute("SHOW JOBS").collect()
+    assert [r["id"] for r in rows] == [2, 1]  # newest first
+    jobs = {r["id"]: (r["job_type"], r["state"]) for r in rows}
+    assert jobs == {1: ("ImportOnlineData", "FINISHED"),
                     2: ("ExportOfflineData", "FINISHED")}
+    assert rows[0]["start_time"] is not None and rows[0]["end_time"] is not None
+    assert rows[0]["parameter"].upper().startswith("SELECT")
     assert eng.execute("SHOW JOB 2").collect()[0]["job_type"] == "ExportOfflineData"
-    eng.execute("STOP JOB 1")
+    # STOP JOB returns the job row; the reference sets STOPPED even on an
+    # already-finished non-YARN job (JobInfoManager.scala:117)
+    stopped = eng.execute("STOP JOB 1").collect()[0]
+    assert stopped["id"] == 1 and stopped["state"] == "STOPPED"
     import pytest as _pytest
 
     with _pytest.raises(Exception):
         eng.execute("SHOW JOB 99")
+    with _pytest.raises(Exception):
+        eng.execute("STOP JOB 99")
+    with _pytest.raises(ValueError, match="not supported"):
+        eng.execute("DELETE JOB 1")
