@@ -260,10 +260,16 @@ def minhash_lsh_candidates(
         ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"))
 
-    # boilerplate guard: drop degenerate buckets
-    sized = banded.withColumn(
-        "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__band", "__bucket"))
-    ).filter(F.col("__bsize") <= max_bucket)
+    # boilerplate guard: drop degenerate buckets. groupBy+anti-join, not a
+    # Window.partitionBy count: the partial aggregation combines hot
+    # buckets map-side, and the oversized survivors are a tiny broadcast
+    big = (
+        banded.groupBy("__band", "__bucket")
+        .agg(F.count(F.lit(1)).alias("__bsize"))
+        .filter(F.col("__bsize") > max_bucket)
+        .select("__band", "__bucket")
+    )
+    sized = banded.join(F.broadcast(big), ["__band", "__bucket"], "left_anti")
 
     a = sized.select("__band", "__bucket", F.col("__id").alias("a"))
     b = sized.select("__band", "__bucket", F.col("__id").alias("b"))
@@ -699,9 +705,14 @@ def embedding_dedup(
         withb = proj.mapInPandas(
             bucketize, f"__id {id_t}, __v {vec_t}, __bucket long"
         )
-    sized = withb.withColumn(
-        "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
-    ).filter(F.col("__bsize") <= max_bucket)
+    # same map-side-combine + broadcast-anti-join shape as minhash banding
+    big = (
+        withb.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("__bsize"))
+        .filter(F.col("__bsize") > max_bucket)
+        .select("__bucket")
+    )
+    sized = withb.join(F.broadcast(big), "__bucket", "left_anti")
     a = sized.select(F.col("__bucket"), F.col("__id").alias("a"), F.col("__v").alias("va"))
     b = sized.select(F.col("__bucket"), F.col("__id").alias("b"), F.col("__v").alias("vb"))
     pairs = (

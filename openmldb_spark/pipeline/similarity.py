@@ -344,9 +344,18 @@ def lsh_topk_join(
     ca = with_bucket(corpus, corpus_id, corpus_vec, "neighbor_id").withColumnRenamed("__v", "__cv")
     qa = with_bucket(queries, query_id, query_vec, "query_id").withColumnRenamed("__v", "__qv")
     if max_bucket is not None:
-        ca = ca.withColumn(
-            "__bsize", F.count(F.lit(1)).over(Window.partitionBy("__bucket"))
-        ).filter(F.col("__bsize") <= max_bucket).drop("__bsize")
+        # oversized-bucket drop via groupBy+anti-join: the partial count
+        # combines hot buckets MAP-SIDE (a Window.partitionBy count would
+        # shuffle every member of the hottest bucket to one reducer before
+        # the filter could drop it), and the >max_bucket survivors are a
+        # tiny broadcast for the anti join
+        big = (
+            ca.groupBy("__bucket")
+            .agg(F.count(F.lit(1)).alias("__bsize"))
+            .filter(F.col("__bsize") > max_bucket)
+            .select("__bucket")
+        )
+        ca = ca.join(F.broadcast(big), "__bucket", "left_anti")
 
     scored = qa.join(ca, "__bucket").select(
         "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")

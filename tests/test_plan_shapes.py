@@ -1,0 +1,153 @@
+"""Plan-shape regression pins (VERDICT r6 item 5) — the Spark analogue of
+the reference's ``cases/plan/*.yaml`` plan goldens.
+
+The bench-drift adjudications (last_join r4, embedding_topk r5,
+embedding_lsh_topk_join r6) kept finding plan-tier costs after the fact;
+these asserts pin the scale-critical shapes up front so a plan regression
+fails a unit test, not a bench round:
+
+- broadcast dim join in the fact-side aggregation (join_agg)
+- LAST JOIN dedupe-right is a partial+final hash aggregate (map-side
+  combine), not a row_number window
+- the ANN paths add NO corpus Exchange when the scan is already parallel
+  (similarity._spread guard)
+- dedup candidate generation computes document/bucket frequencies with
+  partial aggregation before any exchange (groupBy, never a
+  Window.partitionBy count over the raw stream)
+
+All asserts read the analyzed/physical plan only — nothing executes.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry
+from openmldb_spark.pipeline import similarity as S
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    mode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return entry.queries()
+
+
+def test_join_agg_broadcasts_dim(spark, qs):
+    plan = _plan(qs["join_agg"](spark, SF))
+    assert "BroadcastHashJoin" in plan, plan
+    # the broadcast side must be the dim table, so no shuffle of it
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_last_join_is_hash_aggregate_not_window(spark, qs):
+    plan = _plan(qs["last_join"](spark, SF))
+    # r5 root fix: dedupe-right via max_by hash aggregate (partial+final —
+    # at most one candidate per key per partition crosses the shuffle)
+    assert "max_by" in plan, plan
+    assert "partial_max_by" in plan, plan
+    # the r2-r4 plan this replaced: a row_number window over all right rows
+    assert "row_number" not in plan, plan
+
+
+def test_ann_paths_no_corpus_exchange_when_scan_parallel(spark):
+    """The _spread contract: a source that is already parallel must flow
+    to the scorer with zero added Exchange (at 100 TB the scan always is;
+    an unconditional repartition would be the plan's only non-scan
+    shuffle)."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(int(i), [float(x) for x in rng.randn(8)]) for i in range(256)]
+    # an "already parallel" source with NO Exchange of its own in the plan
+    rdd = spark.sparkContext.parallelize(rows, 32)
+    corpus = spark.createDataFrame(rdd, "vec_id long, embedding array<double>")
+    queries = corpus.where(F.col("vec_id") < 4)
+
+    # brute force: the corpus side below MapInPandas must have no Exchange
+    # (tree string prints output at top, scan at bottom — the text after
+    # the MapInPandas node is its input subtree)
+    bf = S.brute_force_topk(
+        corpus, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3,
+    )
+    tree = bf._jdf.queryExecution().executedPlan().toString()
+    scoring = tree.split("MapInPandas")[-1]
+    assert "Exchange" not in scoring, scoring
+
+    # LSH bucket join (portable, dim passed: zero driver actions): the
+    # only exchanges are the bucket equi-join's and the per-query rank
+    # window's — none on the corpus scan side below the bucketize
+    lsh = S.lsh_topk_join(
+        corpus, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3, planes=4,
+        portable=True, dim=8,
+    )
+    plan = _plan(lsh)
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 3, f"{n_ex} hash exchanges (expected join + rank only):\n{plan}"
+    assert "Exchange RoundRobinPartitioning" not in plan, plan
+
+    # IVF join: same contract
+    ivf = S.ivf_topk_join(
+        corpus, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3, n_centroids=4,
+        nprobe=2, seed=42,
+    )
+    assert "Exchange RoundRobinPartitioning" not in _plan(ivf), _plan(ivf)
+
+
+def test_dedup_ngram_candidate_gen_partial_agg(spark, qs):
+    """Shingle document-frequency must partial-aggregate map-side (r6
+    verdict item 3): a Window.partitionBy count over the raw
+    (shingle, doc) stream would shuffle every occurrence of a hot
+    boilerplate shingle to one reducer before the df filter can drop it."""
+    plan = _plan(qs["dedup_ngram_jaccard"](spark, SF))
+    assert "partial_count" in plan, plan
+    # no window over the shingle stream in the candidate generator
+    assert "Window" not in plan.split("SortMergeJoin")[0], plan
+
+
+def test_dedup_minhash_candidate_gen_partial_agg(spark, qs):
+    plan = _plan(qs["dedup_minhash"](spark, SF))
+    assert "partial_count" in plan, plan
+
+
+def test_hot_bucket_caps_are_anti_joins_not_windows(spark):
+    """max_bucket drops (LSH banding, embedding dedup, lsh_topk_join) use
+    groupBy + broadcast anti-join — partial agg combines hot buckets
+    map-side; the sized-bucket Window formulation must not come back."""
+    from openmldb_spark.pipeline import dedup as D
+    import numpy as np
+
+    docs = spark.createDataFrame(
+        [(i, f"some text body number {i % 7} repeated") for i in range(64)],
+        "doc_id long, text string",
+    )
+    mh = D.minhash_signatures(
+        docs, "text", id_col="doc_id", num_hashes=8, shingle_n=3
+    )
+    cand = D.minhash_lsh_pairs(mh, "doc_id", bands=4, max_bucket=10)
+    plan = _plan(cand)
+    assert "partial_count" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "Window" not in plan, plan
+
+    rng = np.random.RandomState(3)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in rng.randn(6)]) for i in range(64)],
+        "vec_id long, embedding array<double>",
+    )
+    out = S.lsh_topk_join(
+        emb, emb.limit(4), corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=3, planes=4,
+        portable=True, dim=6, max_bucket=10,
+    )
+    plan = _plan(out)
+    assert "LeftAnti" in plan and "partial_count" in plan, plan
