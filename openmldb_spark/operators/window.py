@@ -96,7 +96,9 @@ class WindowDef:
     exclude_current_time: bool = False
     maxsize: Optional[int] = None                 # ROWS_RANGE ... MAXSIZE k
     #: bounded lookback used when EXCLUDE CURRENT_TIME forces a rows-frame
-    #: over-collect (same-ts runs longer than this are truncated; documented)
+    #: over-collect. Same-ts runs longer than this RAISE at evaluation time
+    #: (overflow is detected per row, never silently truncated — see the
+    #: guard in window_agg / DIVERGENCES #6); raise it for skewed ts data
     lookback_slack: int = 256
     #: unique column breaking same-ts ties deterministically. Default: a
     #: monotonically-increasing id — stable within one plan, but NOT across
@@ -303,6 +305,37 @@ def window_agg(
             .when(a["r"] > b["r"], 1)
             .otherwise(0),
         )
+
+        if (
+            wdef.exclude_current_time
+            and wdef.rows is not None
+            and not instance_not_in_window
+        ):
+            # overflow DETECTION (DIVERGENCES #6, hardened r7): the bounded
+            # collect holds rows+slack physical rows; if the current row has
+            # more than `slack` same-ts predecessors AND the buffer is full
+            # (partition start not reached), eligible older rows may have
+            # been pushed out — raise instead of silently under-counting
+            # (a skewed ts column, e.g. a constant 1970 epoch default,
+            # trips this in production). Costs one row_number sharing the
+            # existing partition sort.
+            run_rn = F.row_number().over(
+                Window.partitionBy(*parts, F.col(_ORD)).orderBy(F.col(_RID))
+            )
+            full = F.size(elems) >= F.lit(wdef.rows + wdef.lookback_slack + 1)
+            overflow = ((run_rn - F.lit(1)) > F.lit(wdef.lookback_slack)) & full
+            elems = F.when(
+                overflow,
+                F.raise_error(
+                    F.lit(
+                        "EXCLUDE CURRENT_TIME: a same-ts run exceeds "
+                        f"lookback_slack={wdef.lookback_slack}; the bounded "
+                        "lookback would silently drop eligible rows — raise "
+                        "WindowDef.lookback_slack above the longest same-ts "
+                        "run per key (DIVERGENCES #6)"
+                    )
+                ),
+            ).otherwise(elems)
 
         cur_ord, cur_rid = F.col(_ORD), F.col(_RID)
         # positional upper end: drop the physical tail before eligibility

@@ -233,3 +233,64 @@ def test_union_rows_frame_survives_many_interleaved_main_rows(spark):
     # every main row's frame = last 2 union rows + itself
     assert r[0] == 7 + 11 + 0
     assert r[499] == 7 + 11 + 499
+
+
+def test_exclude_current_time_slack_overflow_raises(spark):
+    """DIVERGENCES #6 hardening (VERDICT r6 item 6): a same-ts run longer
+    than lookback_slack with a FULL physical buffer must raise, never
+    silently under-count — the constant-ts (e.g. default 1970 epoch)
+    production trap."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+
+    # 20 rows: 10 old-ts rows then a 10-row same-ts run; rows=3, slack=4
+    # -> buffer holds 8 physical rows; the run's tail rows have >4 same-ts
+    # predecessors pushing eligible old rows out of the buffer
+    rows = [(i, "k", 100, 1) for i in range(10)] + [
+        (10 + i, "k", 500, 1) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "id long, pk string, ts long, v long")
+    wd = WindowDef(
+        partition_by=["pk"], order_by="ts", rows=3,
+        exclude_current_time=True, lookback_slack=4, tiebreak="id",
+    )
+    out = window_agg(df, wd, {"s": A.sum_("v")})
+    with pytest.raises(Exception, match="lookback_slack"):
+        out.collect()
+
+
+def test_exclude_current_time_slack_sufficient_is_exact(spark):
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+
+    rows = [(i, "k", 100, 1) for i in range(4)] + [
+        (4 + i, "k", 500, 1) for i in range(6)
+    ]
+    df = spark.createDataFrame(rows, "id long, pk string, ts long, v long")
+    wd = WindowDef(
+        partition_by=["pk"], order_by="ts", rows=3,
+        exclude_current_time=True, lookback_slack=8, tiebreak="id",
+    )
+    out = window_agg(df, wd, {"s": A.sum_("v")})
+    r = {x["id"]: x["s"] for x in out.collect()}
+    # same-ts rows see only the strictly-older ts rows + themselves:
+    # frame = last 3 eligible before current + current
+    assert r[4] == 4  # 3 old rows + self
+    assert r[9] == 4  # same (ts-500 peers excluded)
+
+
+def test_exclude_current_time_partial_buffer_no_false_raise(spark):
+    """A long same-ts run at the PARTITION START must not raise: the
+    buffer is not full, so nothing was truncated — results stay exact."""
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+
+    rows = [(i, "k", 500, 1) for i in range(6)]
+    df = spark.createDataFrame(rows, "id long, pk string, ts long, v long")
+    wd = WindowDef(
+        partition_by=["pk"], order_by="ts", rows=3,
+        exclude_current_time=True, lookback_slack=4, tiebreak="id",
+    )
+    out = window_agg(df, wd, {"s": A.sum_("v")})
+    r = {x["id"]: x["s"] for x in out.collect()}
+    assert all(v == 1 for v in r.values())  # only self eligible
