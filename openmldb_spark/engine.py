@@ -132,7 +132,13 @@ class _TTLView(dict):
     def _locate(self, key: str):
         eng = self._eng
         db, bare = eng._loc(key)
-        return db, bare, eng._dbs.get(db, {}).get(bare)
+        df = eng._dbs.get(db, {}).get(bare)
+        if df is not None and eng._offline_mode:
+            # offline reads see the table's OFFLINE store (empty until an
+            # offline import/insert), never online rows — the reference's
+            # storage split
+            df = eng._db_off.get(db, {}).get(bare, df.limit(0))
+        return db, bare, df
 
     def __missing__(self, key: str) -> DataFrame:
         db, bare, df = self._locate(key)
@@ -174,9 +180,17 @@ class Engine:
         self._db_deps: dict[str, dict[str, "SqlDeployment"]] = {"default": {}}
         #: name -> (is_aggregate, return_type_ddl, source_file)
         self.functions: dict[str, tuple[bool, str, str]] = {}
-        #: session variables (SET / SHOW VARIABLES); engine-meaningful ones
-        #: only — unknown names are stored and echoed, like the reference
-        self.variables: dict[str, str] = {"execute_mode": "online"}
+        #: session variables (SET / SHOW VARIABLES) — seeded with the
+        #: reference's standard four (SHOW_VARIABLES_STATEMENT.md); unknown
+        #: names are stored and echoed, like the reference. Divergent
+        #: defaults: execute_mode=online (no offline/online storage split
+        #: here) and sync_job=true (DIVERGENCES #18)
+        self.variables: dict[str, str] = {
+            "enable_trace": "false",
+            "execute_mode": "online",
+            "job_timeout": "20000",
+            "sync_job": "true",
+        }
         #: offline-job log (the reference's TaskManager job table, SURVEY
         #: §3.3): LOAD DATA / SELECT INTO run as tracked jobs under their
         #: own Spark job groups (openmldb_spark.jobs) — synchronous by
@@ -184,6 +198,13 @@ class Engine:
         #: @@sync_job='false' restores that), with SHOW JOBS / SHOW JOB /
         #: STOP JOB over the live state machine
         self.jobman = JobManager(spark)
+        #: OFFLINE storage, per db per table — the reference keeps online
+        #: (tablet) and offline (HDFS) data as SEPARATE stores and
+        #: execute_mode picks which one reads and imports/inserts touch
+        #: (docs SET_STATEMENT.md; out_in/test_select_into_load_data.yaml
+        #: interleaves the two). Offline storage starts empty; absent
+        #: entries read as an empty frame with the table's schema.
+        self._db_off: dict[str, dict[str, DataFrame]] = {}
 
     @property
     def databases(self) -> set[str]:
@@ -228,6 +249,33 @@ class Engine:
                 now = self.variables.get("ttl_now_ms")
                 return apply_ttl(df, idx, now_ms=int(now) if now else None)
         return df
+
+    @property
+    def _offline_mode(self) -> bool:
+        return self.variables.get("execute_mode", "online") == "offline"
+
+    def _store_get(self, name: str, offline: Optional[bool] = None) -> DataFrame:
+        """A table's storage under the given (default: current) execute
+        mode. ``offline`` is passed explicitly by async jobs, which must
+        keep the mode they were SUBMITTED under."""
+        if offline is None:
+            offline = self._offline_mode
+        db, bare = self._loc(name)
+        online = self._dbs[db][bare]
+        if not offline:
+            return online
+        return self._db_off.get(db, {}).get(bare, online.limit(0))
+
+    def _store_set(
+        self, name: str, df: DataFrame, offline: Optional[bool] = None
+    ) -> None:
+        if offline is None:
+            offline = self._offline_mode
+        db, bare = self._loc(name)
+        if offline:
+            self._db_off.setdefault(db, {})[bare] = df
+        else:
+            self._dbs[db][bare] = df
 
     def _table_view(self) -> dict[str, DataFrame]:
         """Resolution mapping for the Lowerer: current db's tables under
@@ -338,6 +386,7 @@ class Engine:
             self._dbs.pop(name, None)
             self._db_defs.pop(name, None)
             self._db_deps.pop(name, None)
+            self._db_off.pop(name, None)
             return None
         if head == "USE":
             if toks[1].text not in self._dbs:
@@ -353,8 +402,10 @@ class Engine:
             self.functions.pop(toks[2].text, None)
             return None
         if head == "DROP" and second == "TABLE":
+            db, bare = self._loc(toks[2].text)
             self.tables.pop(toks[2].text, None)
             self.table_defs.pop(toks[2].text, None)
+            self._db_off.get(db, {}).pop(bare, None)
             return None
         if head == "INSERT":
             return self._insert(toks)
@@ -405,6 +456,17 @@ class Engine:
             return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
         if head == "SHOW" and second == "CREATE":
             return self._show_create(toks[3].text)
+        if (
+            head == "SHOW"
+            and second in ("SESSION", "GLOBAL")
+            and len(toks) > 2
+            and toks[2].upper == "VARIABLES"
+        ):
+            # SHOW [SESSION|GLOBAL] VARIABLES — one variable store here
+            # (the reference's global/session split is a cluster concept)
+            if any(t.text != ";" for t in toks[3:]):
+                raise ValueError(f"unexpected tokens after SHOW {second} VARIABLES")
+            return self._show("VARIABLES")
         if head == "SHOW":
             if any(t.text != ";" for t in toks[2:]):
                 # e.g. `SHOW DEPLOYMENTS name` — the reference rejects
@@ -493,7 +555,7 @@ class Engine:
             raise ValueError(
                 f"unexpected tokens after INSERT VALUES: {render(toks[i:i+3])}"
             )
-        existing = self.tables[name]
+        existing = self._store_get(name)
         schema = existing.schema
         if cols:
             order = {c: k for k, c in enumerate(cols)}
@@ -505,7 +567,7 @@ class Engine:
             [_coerce(v, f.dataType) for v, f in zip(r, schema.fields)] for r in rows
         ]
         new = self.spark.createDataFrame(rows, schema)
-        self.tables[name] = existing.unionByName(new)
+        self._store_set(name, existing.unionByName(new))
         return None
 
     def _delete(self, sql_text: str):
@@ -603,7 +665,8 @@ class Engine:
         return None
 
     def _set(self, sql_text: str):
-        """SET [@@[session.|global.]]var = value (SET_STATEMENT.md)."""
+        """SET [@@[session.|global.]]var = value (SET_STATEMENT.md);
+        unsupported names are rejected like the reference."""
         m = re.match(
             r"\s*SET\s+(?:@@)?(?:(?:SESSION|GLOBAL)\.)?(\w+)\s*=\s*(.+?)\s*;?\s*$",
             sql_text,
@@ -611,7 +674,16 @@ class Engine:
         )
         if not m:
             raise ValueError("SET [@@]var = value")
-        self.variables[m.group(1).lower()] = m.group(2).strip().strip("'\"")
+        name = m.group(1).lower()
+        value = m.group(2).strip().strip("'\"")
+        if name not in _KNOWN_VARIABLES:
+            # the reference rejects unsupported system variables
+            # (v040/test_execute_mode.yaml id 2; SET_STATEMENT.md's table
+            # is the supported set)
+            raise ValueError(f"unsupported system variable {name!r}")
+        if name == "execute_mode" and value not in ("online", "offline"):
+            raise ValueError(f"execute_mode must be online|offline, got {value!r}")
+        self.variables[name] = value
         return None
 
     def _call(self, toks: list[Tok]) -> DataFrame:
@@ -708,20 +780,52 @@ class Engine:
         quoted: set = set()
         opts = _parse_options(opts_s, quoted)
         _check_options(opts, quoted, _LOAD_OPTS, "LOAD DATA")
-        mode = opts.get("mode", "append").lower()
-        if mode not in ("append", "overwrite", "error_if_exists", "errorifexists"):
+        mode = opts.get("mode", "error_if_exists").lower()
+        if mode == "errorifexists":
+            mode = "error_if_exists"
+        if mode not in ("append", "overwrite", "error_if_exists"):
             raise ValueError(f"invalid LOAD DATA mode {mode!r}")
         if name not in self.tables:
             # the reference requires the target table to exist
             # (test_out_in id 26)
             raise ValueError(f"unknown table {name!r}")
-        if mode.startswith("error") and self.tables[name].limit(1).count() > 0:
-            raise ValueError(
-                f"LOAD DATA mode=error_if_exists: table {name!r} has data"
-            )
+        deep = opts.get("deep_copy", "true").lower() == "true"
+        # reference cluster import rules (LOAD_DATA_STATEMENT.md; corpus
+        # out_in/test_select_into_load_data.yaml ids 39-50/59):
+        # - online import only allows append (default error_if_exists errors)
+        # - deep_copy=false (symbolic path) is offline-only, never append,
+        #   and only onto a table with no existing offline info
+        if not self._offline_mode:
+            if mode != "append":
+                raise ValueError(
+                    "online import only supports mode='append' "
+                    f"(got {mode!r})"
+                )
+            if not deep:
+                raise ValueError(
+                    "deep_copy=false is only supported by offline import"
+                )
+        else:
+            _db, _bare = self._loc(name)
+            has_off = _bare in self._db_off.get(_db, {})
+            if not deep and has_off:
+                # corpus rule (ids 45/46/48/59 vs 45-2/47/53): the FIRST
+                # soft-copy load onto a clean offline state succeeds under
+                # any mode; a soft copy onto EXISTING offline info (hard or
+                # soft) always errors
+                raise ValueError(
+                    f"table {name!r} already has offline data; a "
+                    "soft-copy load needs a clean offline state"
+                )
+            if mode == "error_if_exists" and has_off:
+                raise ValueError(
+                    f"LOAD DATA mode=error_if_exists: table {name!r} "
+                    "already has offline data"
+                )
         schema = None
         if name in self.table_defs:
             schema = self.table_defs[name].schema_ddl
+        off = self._offline_mode
 
         def job_body() -> None:
             df = load_data(
@@ -741,10 +845,14 @@ class Engine:
             # to managed storage; here the validated DataFrame is the
             # managed table, published only when the job succeeds.
             df.write.format("noop").mode("overwrite").save()
-            if mode == "append" and self.tables[name].columns:
-                self.tables[name] = self.tables[name].unionByName(df)
+            # publish into the submit-time execute_mode's store (online vs
+            # offline are separate, like the reference's tablet/HDFS split;
+            # `off` is snapshotted — an async job keeps its mode even if
+            # the session switches before it finishes)
+            if mode == "append" and self._store_get(name, off).columns:
+                self._store_set(name, self._store_get(name, off).unionByName(df), off)
             else:
-                self.tables[name] = df
+                self._store_set(name, df, off)
 
         # OpenmldbBatchjobManager.scala: online-mode imports are
         # ImportOnlineData jobs, offline ImportOfflineData
@@ -909,8 +1017,10 @@ class Engine:
                 [(n,) for n in sorted(self.deployments)] or [], "deployment string"
             )
         if what == "VARIABLES":
+            # reference output contract: Variable_name / Value columns
+            # (docs/en/openmldb_sql/ddl/SHOW_VARIABLES_STATEMENT.md)
             return self.spark.createDataFrame(
-                sorted(self.variables.items()), "variable_name string, value string"
+                sorted(self.variables.items()), "Variable_name string, Value string"
             )
         if what == "FUNCTIONS":
             rows = [
@@ -1645,6 +1755,20 @@ def _parse_options(opts_s: str, quoted: Optional[set] = None) -> dict[str, str]:
 #: option keys the reference's LOAD DATA / SELECT INTO accept
 #: (LOAD_DATA_STATEMENT.md:53-66 / SELECT_INTO_STATEMENT.md) — unknown
 #: keys are rejected (test_out_in id 12)
+#: SET-able system variables: the reference's supported set
+#: (SET_STATEMENT.md) plus this repo's ttl_now_ms extension (pins "now"
+#: for deterministic TTL tests)
+_KNOWN_VARIABLES = {
+    "execute_mode",
+    "enable_trace",
+    "sync_job",
+    "sync_timeout",
+    "job_timeout",
+    "spark_config",
+    "insert_memory_usage_limit",
+    "ttl_now_ms",
+}
+
 _LOAD_OPTS = {"format", "delimiter", "header", "null_value", "quote", "mode", "deep_copy", "load_mode", "thread"}
 _OUTFILE_OPTS = {"format", "delimiter", "header", "null_value", "quote", "mode", "coalesce"}
 _BOOL_OPTS = {"header", "deep_copy"}

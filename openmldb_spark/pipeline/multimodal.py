@@ -77,13 +77,72 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
-def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode an image payload: PIL when available, stub otherwise.
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decoder for uncompressed 24/32-bpp BMP — pure numpy, no image
+    libs. Parses BITMAPFILEHEADER + BITMAPINFOHEADER, reads the padded
+    bottom-up (or top-down) pixel raster, and emits the same 8-dim feature
+    the PIL path does (2x2 grayscale thumbnail + mean/max/min/range), so
+    at least one image decode path is real in-sandbox.
 
-    The PIL path emits real dimensions and an 8-dim feature (mean/std of a
-    2x2 grayscale thumbnail) — cheap, deterministic, and shaped exactly
-    like the stub's output so downstream schemas never change.
+    Raises OSError on malformed/unsupported BMPs (same contract as a real
+    codec: the caller nulls the decode columns).
     """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54:
+        raise OSError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    top_down = height < 0
+    height = abs(height)
+    if width <= 0 or height == 0:
+        raise OSError("bad BMP dimensions")
+    if bpp not in (24, 32) or compression != 0:
+        raise OSError(f"unsupported BMP ({bpp}bpp, compression={compression})")
+    nch = bpp // 8
+    stride = (bpp * width + 31) // 32 * 4  # rows pad to 4 bytes
+    need = data_offset + stride * height
+    if len(payload) < need:
+        raise OSError("truncated BMP raster")
+    raster = np.frombuffer(payload, np.uint8, stride * height, data_offset)
+    rows = raster.reshape(height, stride)[:, : width * nch].reshape(
+        height, width, nch
+    )
+    if not top_down:
+        rows = rows[::-1]
+    # BMP stores BGR(A); luma via ITU-R 601 weights, scaled to [0, 1]
+    gray = (
+        0.114 * rows[:, :, 0] + 0.587 * rows[:, :, 1] + 0.299 * rows[:, :, 2]
+    ) / 255.0
+    # 2x2 thumbnail = quadrant means (left/right, top/bottom halves; odd
+    # dims put the middle row/col in the second half, like a box filter)
+    hs, ws = height // 2, width // 2
+    quads = [
+        gray[:hs or 1, :ws or 1],
+        gray[:hs or 1, ws:],
+        gray[hs:, :ws or 1],
+        gray[hs:, ws:],
+    ]
+    px = [float(q.mean()) for q in quads]
+    mean = sum(px) / 4.0
+    return width, height, px + [mean, max(px), min(px), max(px) - min(px)]
+
+
+def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
+    """Decode an image payload: BMP natively (pure numpy — real pixels,
+    real dims, no image libs needed), anything else via PIL when available,
+    stub otherwise.
+
+    Every path emits real-or-fake dimensions and an 8-dim feature (2x2
+    grayscale thumbnail + stats) — identical output shape, so downstream
+    schemas never change.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
         img = _PILImage.open(io.BytesIO(payload))
         width, height = img.size

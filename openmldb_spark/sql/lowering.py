@@ -426,6 +426,14 @@ def _split_embedded_overs(
 def _build_agg(call: OverCall) -> "A.AggSpec":
     if call.func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
         return A.count_all()
+    if call.func == "count" and len(call.args) == 1:
+        from openmldb_spark.sql.rewrite import _is_const_literal
+
+        if _is_const_literal(call.args[0]):
+            # reference rejects count over a constant (test_udaf_table id 1)
+            raise ValueError(
+                "count over a constant is not supported; use count(*)"
+            )
     try:
         builder, kinds = _AGGS[call.func]
     except KeyError:

@@ -467,6 +467,17 @@ def _fmt_signature_call(fname: str, inner: list[Tok]):
     return None
 
 
+def _is_const_literal(toks: list[Tok]) -> bool:
+    """True when a call-argument token slice is one bare constant literal
+    (number, string, bool, or NULL)."""
+    if len(toks) != 1:
+        return False
+    t = toks[0]
+    return t.kind in ("num", "str") or (
+        t.kind == "name" and t.text.lower() in ("true", "false", "null")
+    )
+
+
 def rewrite_tokens(tokens: list[Tok]) -> str:
     """Rewrite one expression token slice into Spark SQL text."""
     out: list[Tok] = []
@@ -548,6 +559,11 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
                 continue
             inner = tokens[i + 2 : j]
             fname = t.text.lower()
+            if fname == "count" and _is_const_literal(inner):
+                # the reference rejects count over a constant (count(1):
+                # 'Un-support ... const' — test_udaf_table.yaml id 1);
+                # count(*) is the row-count spelling
+                raise ValueError("count over a constant is not supported; use count(*)")
             if fname in ("csv", "gcformat", "libsvm"):
                 txt = _fmt_signature_call(fname, inner)
                 if txt is not None:

@@ -78,7 +78,7 @@ def test_strict_csv_keeps_data_row_matching_header(eng, tmp_path):
     eng.execute("CREATE TABLE hh (id string, name string)")
     eng.execute(
         f"LOAD DATA INFILE '{p}' INTO TABLE hh "
-        "OPTIONS(format='csv', header=true, mode='overwrite')"
+        "OPTIONS(format='csv', header=true, mode='append')"
     )
     rows = {tuple(r) for r in eng.execute("SELECT * FROM hh").collect()}
     # first physical row (the real header) stripped; the lookalike kept
@@ -95,7 +95,7 @@ def test_strict_csv_append_parts_with_headers_roundtrip(eng, tmp_path):
     eng.execute("CREATE TABLE pp (id int, name string)")
     eng.execute(
         f"LOAD DATA INFILE '{d}' INTO TABLE pp "
-        "OPTIONS(format='csv', header=true, mode='overwrite')"
+        "OPTIONS(format='csv', header=true, mode='append')"
     )
     rows = {tuple(r) for r in eng.execute("SELECT * FROM pp").collect()}
     assert rows == {(1, "x"), (2, "y")}

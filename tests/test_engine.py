@@ -42,7 +42,7 @@ def test_load_and_select_into_roundtrip(eng, tmp_path):
     csv.write_text("id,name\n1,x\n2,y\n")
     # the reference requires the target table to exist (test_out_in id 26)
     eng.execute("CREATE TABLE src (id int, name string)")
-    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE src OPTIONS(format='csv')")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE src OPTIONS(format='csv', mode='append')")
     assert eng.execute("SELECT count(*) AS n FROM src").collect()[0]["n"] == 2
     out_dir = tmp_path / "out"
     eng.execute(
@@ -50,7 +50,7 @@ def test_load_and_select_into_roundtrip(eng, tmp_path):
         "OPTIONS(format='csv', mode='overwrite')"
     )
     eng.execute("CREATE TABLE back (id int, un string)")
-    eng.execute(f"LOAD DATA INFILE '{out_dir}' INTO TABLE back OPTIONS(format='csv')")
+    eng.execute(f"LOAD DATA INFILE '{out_dir}' INTO TABLE back OPTIONS(format='csv', mode='append')")
     assert {tuple(r) for r in eng.execute("SELECT * FROM back").collect()} == {
         (1, "X"), (2, "Y"),
     }
@@ -196,7 +196,7 @@ def test_load_options_preserve_value_case(eng, tmp_path):
     eng.execute("CREATE TABLE tc (id int, name string)")
     eng.execute(
         f"LOAD DATA INFILE '{p}' INTO TABLE tc "
-        "OPTIONS(format='csv', header=true, null_value='NULL', mode='overwrite')"
+        "OPTIONS(format='csv', header=true, null_value='NULL', mode='append')"
     )
     rows = {r["id"]: r["name"] for r in eng.execute("SELECT * FROM tc").collect()}
     assert rows == {1: None, 2: "Alice"}
@@ -320,8 +320,13 @@ def test_statement_surface_misc(eng, spark):
     assert all(i.name != "i2" for i in eng.table_defs["ms"].indexes)
 
     eng.execute("SET @@execute_mode = 'offline'")
-    vs = {r["variable_name"]: r["value"] for r in eng.execute("SHOW VARIABLES").collect()}
+    vs = {r["Variable_name"]: r["Value"] for r in eng.execute("SHOW VARIABLES").collect()}
     assert vs["execute_mode"] == "offline"
+    # the reference's standard four are seeded (SHOW_VARIABLES_STATEMENT.md)
+    assert vs["enable_trace"] == "false" and vs["job_timeout"] == "20000"
+    vs2 = {r["Variable_name"]: r["Value"]
+           for r in eng.execute("SHOW SESSION VARIABLES").collect()}
+    assert vs2 == vs
 
     dep = eng.execute(
         "DEPLOY dcall SELECT pk, ts, sum(v) OVER w1 AS sv FROM ms "
@@ -387,7 +392,7 @@ def test_show_jobs_surface(eng, tmp_path):
     csv = tmp_path / "j.csv"
     csv.write_text("id,name\n1,x\n")
     eng.execute("CREATE TABLE jsrc (id int, name string)")
-    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE jsrc OPTIONS(format='csv')")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE jsrc OPTIONS(format='csv', mode='append')")
     eng.execute(
         f"SELECT * FROM jsrc INTO OUTFILE '{tmp_path}/jout' OPTIONS(format='csv')"
     )
@@ -411,3 +416,45 @@ def test_show_jobs_surface(eng, tmp_path):
         eng.execute("STOP JOB 99")
     with _pytest.raises(ValueError, match="not supported"):
         eng.execute("DELETE JOB 1")
+
+
+def test_unique_expect_request_side(eng, spark):
+    """The reference's one `unequalExpect` case
+    (cases/function/ut_case/test_unique_expect.yaml id 0): with an
+    out-of-order ts column and ROWS_RANGE ... MAXSIZE 3, request-mode
+    replay in INSERTION order sees only already-stored history, so rows
+    replayed before their ts-predecessors aggregate a smaller frame than
+    batch. Batch golden lives in
+    tests/cases/ref_ported_unique_expect_cases.yaml; this is the
+    `request_expect` side."""
+    eng.execute(
+        "CREATE TABLE uq (id int, c1 string, c3 int, c4 bigint, "
+        "c5 float, c6 double, c7 bigint, c8 date)"
+    )
+    dep = eng.execute(
+        "DEPLOY uqd SELECT id, c1, sum(c4) OVER w1 AS w1_c4_sum FROM uq "
+        "WINDOW w1 AS (PARTITION BY uq.c1 ORDER BY uq.c7 "
+        "ROWS_RANGE BETWEEN 6 PRECEDING AND CURRENT ROW MAXSIZE 3)"
+    )
+    # reference insertion order: ids 4, 3, 1, 2, 5
+    rows = [
+        (4, "aa", 23, 33, 1590738990003),
+        (3, "aa", 22, 32, 1590738990002),
+        (1, "aa", 20, 30, 1590738990000),
+        (2, "aa", 21, 31, 1590738990001),
+        (5, "aa", 24, 34, 1590738990004),
+    ]
+    golden = {1: 30, 2: 61, 3: 32, 4: 33, 5: 99}
+    ddl = ("`id` int, `c1` string, `c3` int, `c4` long, "
+           "`c5` float, `c6` double, `c7` long, `c8` date")
+    for i, (rid, c1, c3, c4, c7) in enumerate(rows):
+        hist_rows = [
+            (p, q, r, s, 1.0, 2.0, t, None) for p, q, r, s, t in rows[:i]
+        ]
+        hist = spark.createDataFrame(hist_rows, ddl)
+        req = spark.createDataFrame(
+            [(rid, c1, c3, c4, 1.0, 2.0, c7, None)], ddl
+        )
+        got = dep.run_request(req, hist).collect()
+        assert len(got) == 1
+        assert got[0]["w1_c4_sum"] == golden[rid], f"id {rid}"

@@ -47,7 +47,7 @@ def test_async_load_transitions_to_finished(eng, spark, tmp_path):
     eng.execute("CREATE TABLE asrc (id int, name string)")
     eng.execute("SET @@sync_job = 'false'")
     out = eng.execute(
-        f"LOAD DATA INFILE '{csv}' INTO TABLE asrc OPTIONS(format='csv')"
+        f"LOAD DATA INFILE '{csv}' INTO TABLE asrc OPTIONS(format='csv', mode='append')"
     )
     # async submit returns the job row immediately
     [row] = out.collect()
@@ -70,7 +70,7 @@ def test_stop_job_kills_running_import(eng, spark, tmp_path):
     eng.execute("SET @@sync_job = 'false'")
     out = eng.execute(
         f"LOAD DATA INFILE '{big}' INTO TABLE bsrc "
-        "OPTIONS(format='csv', mode='overwrite')"
+        "OPTIONS(format='csv', mode='append')"
     )
     jid = out.collect()[0]["id"]
     job = eng.jobman.get(jid)
@@ -93,7 +93,7 @@ def test_async_failure_records_failed_with_error(eng, spark, tmp_path):
     eng.execute("CREATE TABLE fsrc (id int, name string)")
     eng.execute("SET @@sync_job = 'false'")
     out = eng.execute(
-        f"LOAD DATA INFILE '{bad}' INTO TABLE fsrc OPTIONS(format='csv')"
+        f"LOAD DATA INFILE '{bad}' INTO TABLE fsrc OPTIONS(format='csv', mode='append')"
     )
     job = eng.jobman.get(out.collect()[0]["id"])
     assert _wait_state(job, {"FAILED"}) == "FAILED"
@@ -107,7 +107,7 @@ def test_sync_failure_raises_and_records_failed(eng, tmp_path):
     eng.execute("CREATE TABLE gsrc (id int, name string)")
     with pytest.raises(Exception):
         eng.execute(
-            f"LOAD DATA INFILE '{bad}' INTO TABLE gsrc OPTIONS(format='csv')"
+            f"LOAD DATA INFILE '{bad}' INTO TABLE gsrc OPTIONS(format='csv', mode='append')"
         )
     [row] = eng.execute("SHOW JOBS").collect()
     assert row["state"] == "FAILED" and row["error"]
@@ -118,7 +118,7 @@ def test_offline_mode_job_type(eng, tmp_path):
     csv.write_text("id,name\n1,x\n")
     eng.execute("CREATE TABLE osrc (id int, name string)")
     eng.execute("SET @@execute_mode = 'offline'")
-    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE osrc OPTIONS(format='csv')")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE osrc OPTIONS(format='csv', mode='append')")
     [row] = eng.execute("SHOW JOBS").collect()
     assert row["job_type"] == "ImportOfflineData"
 

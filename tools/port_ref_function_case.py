@@ -57,8 +57,8 @@ def fmt_val(v):
     if isinstance(v, float):
         return repr(v)
     s = str(v)
-    if s in ("null", "NULL"):
-        return "NULL"
+    # NOTE: a YAML-quoted "null" is a REAL string value (the out_in corpus
+    # round-trips it on purpose); only Python None (unquoted null) is NULL
     if s == "":
         return '""'
     return s
