@@ -38,6 +38,14 @@ class IndexDef:
     ts_col: Optional[str] = None
     ttl: Optional[str] = None        # e.g. '30d' (absolute) or '100' (latest N)
     ttl_type: str = "absolute"       # absolute | latest | absandlat | absorlat
+    #: "ddl" = user-declared (read-enforced on every online read);
+    #: "deploy" = DEPLOY-derived absolute index (enforced only on the
+    #: deployment's own serving reads — the reference expires per access
+    #: path, so other indexes still serve the rows);
+    #: "deploy_lazy" = DEPLOY-derived latest-N index (the reference only
+    #: compacts these at GC time and reads see un-collected rows, so it is
+    #: metadata here, never a read filter)
+    origin: str = "ddl"
 
 
 @dataclass
@@ -45,6 +53,9 @@ class TableDef:
     name: str
     schema_ddl: str                   # Spark DDL string, e.g. 'id int, ts timestamp'
     indexes: list[IndexDef] = field(default_factory=list)
+    #: columns declared NOT NULL — metadata for DESC / the API server's
+    #: table info (not enforced on the DataFrame schema)
+    not_null: set = field(default_factory=set)
 
     def primary_index(self) -> Optional[IndexDef]:
         return self.indexes[0] if self.indexes else None

@@ -245,7 +245,7 @@ class Engine:
         if td is None:
             return df
         for idx in td.indexes:
-            if idx.ttl and idx.ts_col:
+            if idx.ttl and idx.ts_col and idx.origin == "ddl":
                 now = self.variables.get("ttl_now_ms")
                 return apply_ttl(df, idx, now_ms=int(now) if now else None)
         return df
@@ -443,6 +443,15 @@ class Engine:
             return self._load_data(sql_text)
         if head == "DEPLOY":
             return self._deploy(toks, sql_text)
+        if head == "CREATE" and second == "PROCEDURE":
+            return self._create_procedure(sql_text)
+        if head == "DROP" and second == "PROCEDURE":
+            name = toks[2].text
+            db, dep = self._dep_lookup(name)
+            if dep.kind != "procedure":
+                raise ValueError(f"procedure {name!r} not found")
+            del self._db_deps[db][name.rpartition(".")[2]]
+            return None
         if head == "SHOW" and second == "JOB" and len(toks) > 2 and toks[2].kind == "num":
             job = self.jobman.get(int(toks[2].text))
             return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
@@ -498,6 +507,7 @@ class Engine:
         body = toks[i + 1 : j]
         cols: list[tuple[str, str]] = []
         indexes: list[IndexDef] = []
+        not_null: set[str] = set()
         for item in _split_commas(body):
             if item[0].upper == "INDEX":
                 indexes.append(self._parse_index(item, len(indexes)))
@@ -506,9 +516,17 @@ class Engine:
                 ctype = _TYPES.get(item[1].text.lower())
                 if ctype is None:
                     raise ValueError(f"unknown column type {item[1].text!r}")
-                cols.append((cname, ctype))  # NOT NULL / DEFAULT ignored (batch)
+                cols.append((cname, ctype))
+                # NOT NULL is metadata only (DESC / API server table info) —
+                # enforcing it on the DataFrame schema would reject the
+                # reference's own null-bearing inserts; DEFAULT ignored
+                if any(
+                    t.upper == "NOT" and item[k + 1].upper == "NULL"
+                    for k, t in enumerate(item[:-1])
+                ):
+                    not_null.add(cname)
         ddl = ", ".join(f"{c} {t}" for c, t in cols)
-        self.table_defs[name] = TableDef(name, ddl, indexes)
+        self.table_defs[name] = TableDef(name, ddl, indexes, not_null=not_null)
         self.tables[name] = self.spark.createDataFrame([], ddl)
         return None
 
@@ -525,7 +543,14 @@ class Engine:
         ts = opts["TS"][0].text if "TS" in opts else None
         ttl = render(opts["TTL"]) if "TTL" in opts else None
         ttl_type = opts["TTL_TYPE"][0].text.lower() if "TTL_TYPE" in opts else "absolute"
-        return IndexDef(f"idx{n}", keys=keys, ts_col=ts, ttl=ttl, ttl_type=ttl_type)
+        if ttl and ttl.startswith("("):
+            # DDL paired spelling TTL=(abs, lat) -> the canonical "a&&b" /
+            # "a||b" form the reference's DESC prints and catalog.apply_ttl
+            # splits on (absandlat conjoins, absorlat disjoins)
+            parts = [p.strip() for p in ttl.strip("()").split(",")]
+            ttl = ("||" if ttl_type == "absorlat" else "&&").join(parts)
+        iname = opts["NAME"][0].text if "NAME" in opts else f"idx{n}"
+        return IndexDef(iname, keys=keys, ts_col=ts, ttl=ttl, ttl_type=ttl_type)
 
     # -- DML ------------------------------------------------------------------
     def _insert(self, toks: list[Tok]):
@@ -948,6 +973,145 @@ class Engine:
             dep.output_schema = Lowerer(self.spark, self._table_view()).query(
                 P.parse(select_sql), {}
             ).schema
+        self._auto_index(dep)
+        self.deployments[name] = dep
+        return dep
+
+    def _auto_index(self, dep: "SqlDeployment") -> None:
+        """DEPLOY creates the serving indexes its windows need (reference
+        DEPLOY_STATEMENT.md "Index Requirements"; TTL derivation
+        ``UpdateTTLByWindow``, ``src/base/ddl_parser.cc:530-562``):
+
+        - ROWS frame -> latest-N index (N = |lower bound|, 0 -> 1). The
+          reference expires latest-N lazily at GC, and reads see
+          un-collected rows (its own deploy corpus pins this:
+          cases/restful/v030 caseId 19 still aggregates pre-deploy rows),
+          so the index is metadata here (``origin="deploy_lazy"``).
+        - ROWS_RANGE frame -> absolute index of ceil(range / 1min)
+          (``AbsTTLConvert``). The reference's storage iterator enforces
+          absolute bounds at read time per ACCESS PATH — a row expired in
+          the deploy index is still served through other indexes — so the
+          filter applies only to this deployment's serving history
+          (``SqlDeployment._serving_history``), never to plain reads.
+
+        An existing index with the same keys+ts is left untouched: the DDL
+        default TTL 0 means never-expire, and ``TTLValueMerge`` keeps the
+        unbounded side (restful corpus caseId 2/3 vs 19/20)."""
+        from openmldb_spark.operators.window import parse_interval_ms
+
+        td = self.table_defs.get(dep.request_table)
+        if td is None:
+            return
+        tcols = set(self.tables[dep.request_table].columns)
+        for w in dep.query.body.windows.values():
+            keys = []
+            for ktoks in w.partition_by:
+                names = [t.text for t in ktoks if t.kind == "name"]
+                keys.append(names[-1] if names else None)
+            onames = [t.text for t in (w.order_by or []) if t.kind == "name"]
+            ts = onames[-1] if onames else None
+            if (
+                not keys
+                or any(k is None or k not in tcols for k in keys)
+                or ts is None
+                or ts not in tcols
+            ):
+                # window over joined/derived columns — the reference indexes
+                # the source table of those columns; out of scope here
+                continue
+            if any(
+                set(i.keys) == set(keys) and i.ts_col == ts
+                for i in td.indexes
+            ):
+                continue
+            kind, bound = w.lower
+            iname = f"deploy_{dep.name}_{len(td.indexes)}"
+            if w.frame_kind == "rows_range":
+                if kind == "preceding" and bound is not None:
+                    ms = (
+                        parse_interval_ms(bound)
+                        if any(c.isalpha() for c in bound)
+                        else int(bound)
+                    )
+                    mins = max(1, -(-ms // 60000))
+                    idx = IndexDef(iname, keys, ts, ttl=f"{mins}min",
+                                   ttl_type="absolute", origin="deploy")
+                else:  # unbounded -> never expires
+                    idx = IndexDef(iname, keys, ts, origin="deploy")
+            else:
+                n = int(bound) if kind == "preceding" and bound else 0
+                idx = IndexDef(iname, keys, ts, ttl=str(max(1, n)),
+                               ttl_type="latest", origin="deploy_lazy")
+            td.indexes.append(idx)
+
+    #: procedure param type -> acceptable Spark simpleString spellings
+    _PROC_TYPES = {
+        "string": {"string"}, "varchar": {"string"},
+        "smallint": {"smallint", "short"}, "int16": {"smallint", "short"},
+        "int": {"int", "integer"}, "int32": {"int", "integer"},
+        "bigint": {"bigint", "long"}, "int64": {"bigint", "long"},
+        "float": {"float"}, "double": {"double"},
+        "timestamp": {"timestamp", "timestamp_ntz"}, "date": {"date"},
+        "bool": {"boolean"}, "boolean": {"boolean"},
+    }
+
+    def _create_procedure(self, sql_text: str):
+        """``CREATE PROCEDURE name(p1 t1, const p2 t2, ...) BEGIN <select>;
+        END`` — the reference's stored-procedure surface (SQLClusterRouter::
+        HandleSQLCreateProcedure; served over HTTP by the APIServer,
+        ``src/apiserver/api_server_impl.cc:446``). A procedure is a
+        deployment with an EXPLICIT input signature: the parameter list must
+        match the request table's schema, and ``const`` parameters mark the
+        batch-request common columns (``sdk::Schema::IsConstant``)."""
+        m = re.match(
+            r"\s*CREATE\s+PROCEDURE\s+(\w+)\s*\((.*?)\)\s*"
+            r"BEGIN\s+(.*?)\s*END\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE | re.DOTALL,
+        )
+        if not m:
+            raise ValueError(
+                "CREATE PROCEDURE name(args) BEGIN <select>; END"
+            )
+        name, params_s, body_sql = m.group(1), m.group(2), m.group(3)
+        if name in self.deployments:
+            raise ValueError(f"procedure {name!r} already exists")
+        body_sql = body_sql.rstrip().rstrip(";")
+        if not re.match(r"\s*(SELECT|WITH)\b", body_sql, re.IGNORECASE):
+            raise ValueError("CREATE PROCEDURE body must be a SELECT")
+        declared: list[tuple[str, str, bool]] = []  # (name, type, is_const)
+        for part in params_s.split(","):
+            ptoks = part.split()
+            is_const = bool(ptoks) and ptoks[0].lower() == "const"
+            if is_const:
+                ptoks = ptoks[1:]
+            if len(ptoks) != 2:
+                raise ValueError(f"bad procedure parameter {part.strip()!r}")
+            pname, ptype = ptoks[0].strip("`"), ptoks[1].lower()
+            if ptype not in self._PROC_TYPES:
+                raise ValueError(f"unknown parameter type {ptype!r}")
+            declared.append((pname, ptype, is_const))
+        dep = SqlDeployment(self, name, body_sql)
+        dep.kind = "procedure"
+        dep.create_sql = sql_text.strip()
+        dep.const_cols = [n for n, _, c in declared if c]
+        # compile-time validation + output contract, like _deploy
+        if not any(t.text == "?" for t in tokenize(body_sql)):
+            dep.output_schema = Lowerer(self.spark, self._table_view()).query(
+                P.parse(body_sql), {}
+            ).schema
+        if dep.input_schema is not None:
+            # the reference requires the signature to match the main
+            # (request) table's schema exactly, column for column
+            fields = dep.input_schema.fields
+            if len(fields) != len(declared) or any(
+                f.name != n or f.dataType.simpleString() not in self._PROC_TYPES[t]
+                for f, (n, t, _) in zip(fields, declared)
+            ):
+                raise ValueError(
+                    f"procedure signature does not match table "
+                    f"{dep.request_table!r} schema"
+                )
         self.deployments[name] = dep
         return dep
 
@@ -1055,6 +1219,13 @@ class SqlDeployment:
         self.engine = engine
         self.name = name
         self.sql_text = select_sql
+        #: "deployment" (DEPLOY) vs "procedure" (CREATE PROCEDURE) — the
+        #: reference's kReqDeployment / kReqProcedure split
+        self.kind = "deployment"
+        #: full CREATE PROCEDURE text (sp_info->GetSql())
+        self.create_sql = select_sql
+        #: const (common) request columns, procedure signatures only
+        self.const_cols: list[str] = []
         self.long_windows = dict(long_windows or {})
         self.query = P.parse(select_sql)
         self._preagg: dict[tuple[str, str], DataFrame] = {}
@@ -1126,12 +1297,47 @@ class SqlDeployment:
     def _serving_history(self, history: Optional[DataFrame]) -> DataFrame:
         """Stored history for request-mode serving — TTL-filtered like every
         other online read (the reference's online storage GCs expired rows
-        before serving sees them, so batch and request mode agree)."""
+        before serving sees them, so batch and request mode agree).
+
+        DEPLOY-derived absolute indexes (``Engine._auto_index``) additionally
+        bound THIS deployment's serving reads: the reference's storage
+        iterator skips abs-expired rows on the deployed access path while
+        other indexes still serve them, so the filter lives here rather than
+        in the table-wide ``_with_ttl``. Applied only when the deployment's
+        windows resolve to ONE deploy index — with several, per-path expiry
+        cannot be expressed as a single history filter (conservative: skip)."""
         if history is not None:
             return history
         eng = self.engine
         db, bare = eng._loc(self.request_table)
-        return eng._with_ttl(db, bare, eng.tables[self.request_table])
+        df = eng._with_ttl(db, bare, eng.tables[self.request_table])
+        td = eng._db_defs.get(db, {}).get(bare)
+        if td is None:
+            return df
+        wants = set()
+        for w in self.query.body.windows.values():
+            keys = frozenset(
+                toks[-1].text
+                for toks in ([t for t in k if t.kind == "name"] for k in w.partition_by)
+                if toks
+            )
+            onames = [t.text for t in (w.order_by or []) if t.kind == "name"]
+            if keys and onames:
+                wants.add((keys, onames[-1]))
+        dep_idx = [
+            i
+            for i in td.indexes
+            if i.origin == "deploy"
+            and i.ttl
+            and i.ts_col
+            and (frozenset(i.keys), i.ts_col) in wants
+        ]
+        if len(dep_idx) == 1:
+            from openmldb_spark.catalog import apply_ttl
+
+            now = eng.variables.get("ttl_now_ms")
+            df = apply_ttl(df, dep_idx[0], now_ms=int(now) if now else None)
+        return df
 
     def _history_from_ref(self, body: "P.Select") -> "P.TableRef":
         """FROM ref binding ``__history`` through the deployed query's own
@@ -1241,6 +1447,44 @@ class SqlDeployment:
         if not common:
             return self.run_request(requests, history)
 
+        cls = self._classify_common(common)
+        if cls is None:
+            return self.run_request(requests, history)
+        common_idx, noncommon_idx = cls
+
+        if not common_idx:
+            return self.run_request(requests, history)
+
+        names = [self._item_out_name(it) for it in body.items]
+
+        def sub_query(keep: list) -> "P.Query":
+            q = self._query_with_params(None)
+            q.body.items = [q.body.items[i] for i in keep]
+            return q
+
+        one = requests.limit(1)
+        common_df = self._run_request_on(sub_query(common_idx), one, history)
+        if not noncommon_idx:
+            out = requests.select().crossJoin(F.broadcast(common_df))
+        else:
+            non_df = self._run_request_on(
+                sub_query(noncommon_idx), requests, history
+            )
+            out = non_df.crossJoin(F.broadcast(common_df))
+        return out.select(*names)
+
+    def _classify_common(
+        self, common: set
+    ) -> Optional[tuple[list[int], list[int]]]:
+        """Classify select items under the batch-request optimizer's rules
+        (``hybridse/src/vm/batch_request_optimize.h:40-56``): returns
+        ``(common_item_indices, noncommon_item_indices)``, or ``None`` when
+        the whole batch must fall back to per-row execution (the WHERE
+        verdict depends on a non-common request column). Also the source of
+        the OUTPUT-side constant flags the reference's procedure/deployment
+        serving surface reports (``sdk::Schema::IsConstant``): an output is
+        constant iff its item classifies common here."""
+        body = self.query.body
         req_cols_all = (
             {f.name for f in self.input_schema.fields}
             if self.input_schema is not None
@@ -1255,7 +1499,7 @@ class SqlDeployment:
             # the WHERE verdict depends on non-common request columns, so
             # row survival — and with it every item value — is per-row;
             # a single representative row cannot stand in for the batch
-            return self.run_request(requests, history)
+            return None
 
         # columns the right sides of joins contribute (not request columns):
         # common only if every request-side join input is common —
@@ -1319,26 +1563,8 @@ class SqlDeployment:
             ok = cols <= common and (not uses_join_col or join_common)
             (common_idx if ok else noncommon_idx).append(idx)
 
-        if not common_idx:
-            return self.run_request(requests, history)
+        return common_idx, noncommon_idx
 
-        names = [self._item_out_name(it) for it in body.items]
-
-        def sub_query(keep: list) -> "P.Query":
-            q = self._query_with_params(None)
-            q.body.items = [q.body.items[i] for i in keep]
-            return q
-
-        one = requests.limit(1)
-        common_df = self._run_request_on(sub_query(common_idx), one, history)
-        if not noncommon_idx:
-            out = requests.select().crossJoin(F.broadcast(common_df))
-        else:
-            non_df = self._run_request_on(
-                sub_query(noncommon_idx), requests, history
-            )
-            out = non_df.crossJoin(F.broadcast(common_df))
-        return out.select(*names)
     _LW_AGGS = ("sum", "count", "avg", "min", "max")
     _LW_WHERE_AGGS = tuple(f"{a}_where" for a in _LW_AGGS)
 

@@ -55,19 +55,23 @@ _RID = "__omsk_rid"
 _ORD = "__omsk_ord"
 _FLAG = "__omsk_flag"
 
-_INTERVAL_MS = {"ms": 1, "s": 1000, "m": 60_000, "h": 3_600_000, "d": 86_400_000}
+_INTERVAL_MS = {
+    "ms": 1, "s": 1000, "min": 60_000, "m": 60_000,
+    "h": 3_600_000, "d": 86_400_000,
+}
 
 
 def parse_interval_ms(v: Union[int, str]) -> int:
     """'10s' / '2m' / '1h' / '30d' / '250ms' / plain int -> milliseconds.
 
     Interval literal units per ``node_enum.h:190-196`` (kHour/kMinute/
-    kSecond/kDay) plus bare ms.
+    kSecond/kDay) plus bare ms and the TTL DDL's 'min' spelling
+    (100min == 100m, CREATE_TABLE_STATEMENT.md).
     """
     if isinstance(v, int):
         return v
     s = v.strip().lower()
-    for suffix in ("ms", "s", "m", "h", "d"):
+    for suffix in ("ms", "min", "s", "m", "h", "d"):
         if s.endswith(suffix):
             return int(s[: -len(suffix)]) * _INTERVAL_MS[suffix]
     return int(s)
