@@ -476,6 +476,11 @@ def jaccard_dedup(
         per_doc = ex.groupBy("__dd_id").agg(
             F.array_sort(F.collect_set("__dd_h")).alias("__hset")
         ).persist()
+        # materialize NOW: three branches (prefix index, both verify sides)
+        # otherwise race through the uncached shingle pipeline in one job —
+        # the same 10-20x first-run swing minhash_dedup pins with its eager
+        # count(). (At real scale: checkpoint to storage instead.)
+        per_doc.count()
         exd = per_doc.select(
             "__dd_id", F.size("__hset").alias("__n"), F.explode("__hset").alias("__dd_h")
         )
