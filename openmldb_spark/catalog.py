@@ -56,6 +56,10 @@ class TableDef:
     #: columns declared NOT NULL — metadata for DESC / the API server's
     #: table info (not enforced on the DataFrame schema)
     not_null: set = field(default_factory=set)
+    #: CREATE TABLE ... OPTIONS(storage_mode=...) — memory|ssd|hdd
+    #: (reference CREATE_TABLE_STATEMENT.md; surfaced by SHOW TABLE STATUS
+    #: as Storage_type). Metadata only: every table here is a DataFrame.
+    storage_mode: str = "memory"
 
     def primary_index(self) -> Optional[IndexDef]:
         return self.indexes[0] if self.indexes else None

@@ -34,6 +34,7 @@ construction.
 from __future__ import annotations
 
 import copy
+import datetime
 import re
 from typing import Optional, Sequence
 
@@ -205,6 +206,24 @@ class Engine:
         #: interleaves the two). Offline storage starts empty; absent
         #: entries read as an empty frame with the table's schema.
         self._db_off: dict[str, dict[str, DataFrame]] = {}
+        #: offline-info components per (db, table) — the reference's
+        #: TableInfo offline_table_info (data_path + symbolic_paths +
+        #: format): {"base": DataFrame|None (deep-copy data),
+        #: "sym": {path: DataFrame} (soft copies / ALTER TABLE ADD
+        #: OFFLINE_PATH), "fmt": str|None}. ``_db_off`` always holds the
+        #: union; this ledger lets ALTER TABLE DROP OFFLINE_PATH rebuild it
+        #: and SHOW TABLE STATUS report Offline_format/symbolic_paths.
+        self._off_parts: dict[tuple, dict] = {}
+        #: user registry (CREATE/ALTER/DROP USER, SHOW CURRENT_USER) —
+        #: name -> password. Metadata only: a single-session engine has no
+        #: authentication boundary (the reference authenticates at the
+        #: nameserver); seeded with root like the reference.
+        self.users: dict[str, str] = {"root": ""}
+        self.current_user = "root"
+        #: (db, bare) -> table id (SHOW TABLE STATUS Table_id) — assigned
+        #: in registration order like the reference's nameserver tid
+        self._table_ids: dict[tuple, int] = {}
+        self._next_tid = 1
 
     @property
     def databases(self) -> set[str]:
@@ -335,6 +354,138 @@ class Engine:
             out.append(self.execute(stmt))
         return out
 
+    @staticmethod
+    def statement_kind(sql_text: str) -> str:
+        """Classify one statement WITHOUT executing it — the counterpart of
+        the reference parser's top plan-node tag (``cases/plan/*.yaml``
+        ``node_tree_str`` first node; ported as
+        ``tests/plan_cases/ref_ported_plan_cases.yaml``). Returns the
+        reference's tag names: ``kQuery``, ``kInsertStmt``, ``CREATE``,
+        ``kCreateIndexStmt``, ``kCreateSpStmt``, ``kCreateUserStmt``,
+        ``kAlterUserStmt``, ``kAlterTableStmt``, ``kDeleteStmt``,
+        ``kDeployStmt``, ``kLoadDataStmt``, ``kSelectIntoStmt``,
+        ``kSetStmt``, ``kShowStmt`` (SHOW JOBS with a FROM/LIKE tail), or
+        ``CMD:<cmd_type>`` for the CLI-command nodes (show/desc/use/drop/
+        create/stop/truncate/exit). Raises on statements the dialect
+        rejects. Catalog-free: names are not resolved, so this accepts
+        statements over tables that do not exist (parser parity, not
+        execution)."""
+        if re.match(r"\s*SET\b", sql_text, re.IGNORECASE):
+            # value must be one literal/identifier token (the reference
+            # rejects expressions: cmd.yaml set_select_mode_2,
+            # error_unsupport set_global_to_expr)
+            m = re.match(
+                r"\s*SET\s+(?:(?:GLOBAL|SESSION)\s+|@@(?:(?:global|session)\.)?)?"
+                r"[\w.]+\s*=\s*(.+?)\s*;?\s*$",
+                sql_text,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not m:
+                raise ValueError(f"cannot parse SET statement: {sql_text!r}")
+            vtoks = tokenize(m.group(1))
+            if len(vtoks) != 1 or vtoks[0].kind not in ("str", "num", "name"):
+                raise ValueError("SET value must be a single literal")
+            return "kSetStmt"
+        toks = tokenize(sql_text)
+        if not toks:
+            raise ValueError("empty statement")
+        head = toks[0].upper
+        second = toks[1].upper if len(toks) > 1 else ""
+        if head in ("SELECT", "WITH") or (
+            head == "(" and any(t.upper == "UNION" for t in toks)
+        ):
+            if re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE):
+                return "kSelectIntoStmt"
+            P.parse(sql_text)
+            return "kQuery"
+        if head == "INSERT":
+            body = [t for t in toks if t.text != ";"]
+            if not (len(body) > 3 and body[1].upper == "INTO"):
+                raise ValueError("INSERT INTO <table> ... VALUES (...)")
+            if not any(t.upper == "VALUES" for t in body):
+                raise ValueError("INSERT requires VALUES")
+            for t in body:
+                if t.kind == "num" and t.text.isdigit() and int(t.text) > (1 << 63) - 1:
+                    # int64 overflow is a parse error in the reference
+                    # (error_unsupport_sql.yaml id 21)
+                    raise ValueError(f"integer literal out of int64 range: {t.text}")
+            return "kInsertStmt"
+        if head == "CREATE":
+            if second == "TABLE":
+                return "CREATE"
+            if second == "DATABASE":
+                return "CMD:create"
+            if second == "INDEX":
+                return "kCreateIndexStmt"
+            if second in ("PROCEDURE", "OR", "TEMP"):
+                # CREATE [OR REPLACE] [TEMP] PROCEDURE (create.yaml id 17)
+                return "kCreateSpStmt"
+            if second == "USER":
+                return "kCreateUserStmt"
+            if second in ("FUNCTION", "AGGREGATE"):
+                return "kCreateFunctionStmt"
+            if second == "GROUP":
+                return "CMD:create"
+            raise ValueError(f"unsupported CREATE {second}")
+        if head == "ALTER":
+            if second == "USER":
+                return "kAlterUserStmt"
+            if second == "TABLE":
+                # validate the action grammar without touching the catalog
+                if not re.match(
+                    r"\s*ALTER\s+TABLE\s+[`\w.]+\s+"
+                    r"(ADD|DROP)\s+OFFLINE_PATH\s+'[^']*'"
+                    r"(\s*,\s*(ADD|DROP)\s+OFFLINE_PATH\s+'[^']*')*\s*;?\s*$",
+                    sql_text,
+                    re.IGNORECASE,
+                ):
+                    raise ValueError("ALTER TABLE t ADD|DROP OFFLINE_PATH '<path>'")
+                return "kAlterTableStmt"
+            raise ValueError(f"unsupported ALTER {second}")
+        if head == "DELETE":
+            if second == "JOB":
+                if len(toks) < 3 or toks[2].kind != "num":
+                    raise ValueError("DELETE JOB takes a numeric job id")
+                return "kDeleteStmt"
+            if second != "FROM":
+                raise ValueError("DELETE FROM <table> WHERE ... | DELETE JOB <id>")
+            return "kDeleteStmt"
+        if head == "DEPLOY":
+            return "kDeployStmt"
+        if head == "LOAD":
+            if second != "DATA":
+                raise ValueError("LOAD DATA INFILE ...")
+            return "kLoadDataStmt"
+        if head == "SHOW":
+            if second == "JOB":
+                if len(toks) < 3 or toks[2].text == ";":
+                    # SHOW JOB without an id is a parse error
+                    # (error_query.yaml id 9)
+                    raise ValueError("SHOW JOB takes a job id")
+                return "CMD:show"
+            if second == "JOBS" and len(toks) > 2 and toks[2].text != ";":
+                return "kShowStmt"
+            return "CMD:show"
+        if head in ("DESC", "DESCRIBE"):
+            return "CMD:desc"
+        if head == "USE":
+            return "CMD:use"
+        if head == "DROP":
+            return "CMD:drop"
+        if head == "STOP":
+            if second != "JOB" or len(toks) < 3 or toks[2].text == ";":
+                raise ValueError("STOP JOB <id>")
+            return "CMD:stop"
+        if head == "TRUNCATE":
+            return "CMD:truncate"
+        if head == "EXIT":
+            return "CMD:exit"
+        if head == "EXPLAIN":
+            return "kExplainStmt"
+        if head == "CALL":
+            return "kCallStmt"
+        raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
+
     def execute(self, sql_text: str, parameters: Optional[Sequence] = None):
         """Run one statement. Returns a DataFrame for queries/SHOW, None
         for DDL/DML side effects, a SqlDeployment for DEPLOY.
@@ -362,6 +513,15 @@ class Engine:
         )
         if sm:
             return self._show_deployment(sm.group(1))
+        # SHOW CREATE PROCEDURE also routes pre-mangle: db.sp stays dotted
+        # for _dep_lookup (the reference's kCmdShowCreateSp takes [db.]name)
+        pm = re.match(
+            r"\s*SHOW\s+CREATE\s+PROCEDURE\s+([\w.]+)\s*;?\s*$",
+            sql_text,
+            re.IGNORECASE,
+        )
+        if pm:
+            return self._show_create_procedure(pm.group(1))
         sql_text = self._mangle_sql(sql_text)
         toks = tokenize(sql_text)
         if not toks:
@@ -387,6 +547,10 @@ class Engine:
             self._db_defs.pop(name, None)
             self._db_deps.pop(name, None)
             self._db_off.pop(name, None)
+            for key in [k for k in self._off_parts if k[0] == name]:
+                del self._off_parts[key]
+            for key in [k for k in self._table_ids if k[0] == name]:
+                del self._table_ids[key]
             return None
         if head == "USE":
             if toks[1].text not in self._dbs:
@@ -406,6 +570,8 @@ class Engine:
             self.tables.pop(toks[2].text, None)
             self.table_defs.pop(toks[2].text, None)
             self._db_off.get(db, {}).pop(bare, None)
+            self._off_parts.pop((db, bare), None)
+            self._table_ids.pop((db, bare), None)
             return None
         if head == "INSERT":
             return self._insert(toks)
@@ -437,8 +603,22 @@ class Engine:
             if td is not None:
                 td.indexes = [i for i in td.indexes if i.name != iname]
             return None
+        if head == "ALTER" and second == "TABLE":
+            return self._alter_table(toks)
+        if head in ("CREATE", "ALTER", "DROP") and second == "USER":
+            return self._user_admin(head, toks)
+        if head == "CREATE" and second == "GROUP":
+            # nameserver tablet-group management — no cluster topology to
+            # group in a single-SparkSession engine (the parser accepts it;
+            # see statement_kind)
+            raise ValueError("CREATE GROUP is not supported by this engine")
+        if head == "EXPLAIN":
+            return self._explain(toks, sql_text)
         if head == "CALL":
             return self._call(toks)
+        if head == "EXIT":
+            # the CLI's session terminator — no interactive session here
+            return None
         if head == "LOAD":
             return self._load_data(sql_text)
         if head == "DEPLOY":
@@ -455,6 +635,26 @@ class Engine:
         if head == "SHOW" and second == "JOB" and len(toks) > 2 and toks[2].kind == "num":
             job = self.jobman.get(int(toks[2].text))
             return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
+        if head == "SHOW" and second == "JOBLOG":
+            # SHOW JOBLOG job_id (SHOW_JOBLOG.md) — the job's lifecycle log
+            if len(toks) < 3 or toks[2].kind != "num":
+                raise ValueError("SHOW JOBLOG takes a numeric job id")
+            job = self.jobman.get(int(toks[2].text))
+            return self.spark.createDataFrame([(job.log_text(),)], "log string")
+        if head == "SHOW" and second == "JOBS" and len(toks) > 2 and toks[2].text != ";":
+            return self._show_jobs_from(toks)
+        if head == "SHOW" and second == "TABLE" and len(toks) > 2 and toks[2].upper == "STATUS":
+            return self._show_table_status(toks)
+        if (
+            head == "SHOW"
+            and second == "PROCEDURE"
+            and len(toks) > 2
+            and toks[2].upper == "STATUS"
+        ):
+            # SHOW PROCEDURE STATUS ≡ SHOW PROCEDURES (cmd.yaml ids 9/10)
+            return self._show("PROCEDURES")
+        if head == "SHOW" and second == "CURRENT_USER":
+            return self.spark.createDataFrame([(self.current_user,)], "User string")
         if head == "STOP" and second == "JOB":
             if len(toks) < 3 or toks[2].kind != "num":
                 raise ValueError("STOP JOB takes a numeric job id")
@@ -526,8 +726,20 @@ class Engine:
                 ):
                     not_null.add(cname)
         ddl = ", ".join(f"{c} {t}" for c, t in cols)
-        self.table_defs[name] = TableDef(name, ddl, indexes, not_null=not_null)
+        td = TableDef(name, ddl, indexes, not_null=not_null)
+        # trailing OPTIONS (storage_mode='Memory'|'SSD'|'HDD', partitionnum,
+        # replicanum, ... — CREATE_TABLE_STATEMENT.md): storage_mode is
+        # recorded for SHOW TABLE STATUS / disk-table DESC; the cluster
+        # topology options have no meaning in one SparkSession
+        if j + 1 < len(toks) and toks[j + 1].upper == "OPTIONS":
+            k = _match_paren(toks, j + 2)
+            for item in _split_commas(toks[j + 3 : k]):
+                if item and item[0].upper == "STORAGE_MODE" and len(item) >= 3:
+                    td.storage_mode = item[2].text.strip("'\"").lower()
+        self.table_defs[name] = td
         self.tables[name] = self.spark.createDataFrame([], ddl)
+        db, bare = self._loc(name)
+        self._tid(db, bare)
         return None
 
     @staticmethod
@@ -874,10 +1086,36 @@ class Engine:
             # offline are separate, like the reference's tablet/HDFS split;
             # `off` is snapshotted — an async job keeps its mode even if
             # the session switches before it finishes)
-            if mode == "append" and self._store_get(name, off).columns:
-                self._store_set(name, self._store_get(name, off).unionByName(df), off)
+            if not off:
+                if mode == "append" and self._store_get(name, off).columns:
+                    self._store_set(
+                        name, self._store_get(name, off).unionByName(df), off
+                    )
+                else:
+                    self._store_set(name, df, off)
+                return
+            # offline publish goes through the offline-info ledger so
+            # ALTER TABLE DROP OFFLINE_PATH / SHOW TABLE STATUS see the
+            # component structure (data_path vs symbolic_paths)
+            _ldb, _lbare = self._loc(name)
+            parts = self._off_ledger(_ldb, _lbare)
+            if not deep:
+                # soft copy: the path IS the data (clean state guaranteed
+                # by the checks above)
+                parts["sym"] = {path: df}
+                parts["base"] = None
+            elif mode == "append" and parts["base"] is not None:
+                parts["base"] = parts["base"].unionByName(df)
+            elif mode == "overwrite":
+                # the reference's overwrite drops ALL offline info,
+                # symbolic links included
+                parts["base"] = df
+                parts["sym"] = {}
             else:
-                self._store_set(name, df, off)
+                parts["base"] = df
+            if parts["fmt"] is None:
+                parts["fmt"] = opts.get("format", "csv").lower()
+            self._off_rebuild(_ldb, _lbare)
 
         # OpenmldbBatchjobManager.scala: online-mode imports are
         # ImportOnlineData jobs, offline ImportOfflineData
@@ -1166,6 +1404,256 @@ class Engine:
         )
 
     # -- SHOW -----------------------------------------------------------------
+    # -- ALTER / users / status surface ---------------------------------------
+    def _tid(self, db: str, bare: str) -> int:
+        """Stable table id in registration order (the nameserver's tid)."""
+        key = (db, bare)
+        if key not in self._table_ids:
+            self._table_ids[key] = self._next_tid
+            self._next_tid += 1
+        return self._table_ids[key]
+
+    def _off_ledger(self, db: str, bare: str) -> dict:
+        return self._off_parts.setdefault(
+            (db, bare), {"base": None, "sym": {}, "fmt": None}
+        )
+
+    def _off_rebuild(self, db: str, bare: str) -> None:
+        """Recompose the offline store from its ledger (base ∪ symbolic)."""
+        parts = self._off_ledger(db, bare)
+        dfs = ([parts["base"]] if parts["base"] is not None else []) + list(
+            parts["sym"].values()
+        )
+        if not dfs:
+            self._db_off.get(db, {}).pop(bare, None)
+            self._off_parts.pop((db, bare), None)
+            return
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        self._db_off.setdefault(db, {})[bare] = out
+
+    def _alter_table(self, toks: list[Tok]):
+        """``ALTER TABLE [db.]t (ADD|DROP) OFFLINE_PATH 'path' [, ...]`` —
+        the reference's only ALTER TABLE form (ALTER_STATEMENT.md;
+        AddPathAction/DropPathAction, cases/plan/cmd.yaml alter-table-*):
+        edit the offline table info's symbolic path list. Spark-first: a
+        symbolic path is a lazy ``spark.read`` over that path — the offline
+        view unions it in; nothing is copied (the reference likewise only
+        updates nameserver metadata and reads at query time)."""
+        if len(toks) < 3:
+            raise ValueError("ALTER TABLE <name> ADD|DROP OFFLINE_PATH '<path>'")
+        name = toks[2].text
+        if name not in self.tables:
+            raise ValueError(f"unknown table {name!r}")
+        db, bare = self._loc(name)
+        # parse the action list: (ADD|DROP) OFFLINE_PATH '<path>' {, ...}
+        i = 3
+        actions: list[tuple[str, str]] = []
+        while i < len(toks) and toks[i].text != ";":
+            act = toks[i].upper
+            if act not in ("ADD", "DROP"):
+                raise ValueError(f"ALTER TABLE action must be ADD or DROP, got {toks[i].text!r}")
+            if i + 2 >= len(toks) or toks[i + 1].upper != "OFFLINE_PATH":
+                raise ValueError("ALTER TABLE only supports ADD/DROP OFFLINE_PATH")
+            if toks[i + 2].kind != "str":
+                raise ValueError("OFFLINE_PATH takes a quoted path")
+            actions.append((act, toks[i + 2].text.strip("'\"")))
+            i += 3
+            if i < len(toks) and toks[i].text == ",":
+                i += 1
+        if not actions:
+            raise ValueError("ALTER TABLE <name> ADD|DROP OFFLINE_PATH '<path>'")
+        parts = self._off_ledger(db, bare)
+        schema = None
+        if name in self.table_defs:
+            schema = self.table_defs[name].schema_ddl
+        for act, path in actions:
+            if act == "ADD":
+                if path in parts["sym"]:
+                    raise ValueError(f"offline path {path!r} already added")
+                fmt = parts["fmt"] or _infer_fmt(path)
+                parts["sym"][path] = load_data(
+                    self.spark, path, fmt=fmt, schema=schema
+                )
+                parts["fmt"] = fmt
+            else:
+                if path not in parts["sym"]:
+                    raise ValueError(f"offline path {path!r} not found on {name!r}")
+                del parts["sym"][path]
+        self._off_rebuild(db, bare)
+        return None
+
+    def _user_admin(self, head: str, toks: list[Tok]):
+        """CREATE/ALTER/DROP USER (+IF [NOT] EXISTS, OPTIONS(password=...))
+        — CREATE_USER/ALTER_USER/DROP_USER_STATEMENT.md. Metadata registry:
+        one SparkSession has no authentication boundary to enforce."""
+        i = 2
+        guarded = False
+        if toks[i].upper == "IF":
+            # CREATE USER IF NOT EXISTS x / ALTER|DROP USER IF EXISTS x
+            guarded = True
+            i += 3 if head == "CREATE" else 2
+        name = toks[i].text
+        i += 1
+        if head == "ALTER" and i < len(toks) and toks[i].upper == "SET":
+            i += 1
+        opts: dict[str, str] = {}
+        if i < len(toks) and toks[i].upper == "OPTIONS":
+            j = _match_paren(toks, i + 1)
+            quoted: set = set()
+            opts = _parse_options(render(toks[i + 2 : j]), quoted)
+            i = j + 1
+        bad = set(opts) - {"password"}
+        if bad:
+            # the reference: "Only the password can be specified"
+            raise ValueError(f"unsupported user option(s): {sorted(bad)}")
+        if i < len(toks) and toks[i].text != ";":
+            raise ValueError(f"unexpected tokens after {head} USER: {render(toks[i:i+3])}")
+        if head == "CREATE":
+            if name in self.users:
+                if guarded:
+                    return None
+                raise ValueError(f"user {name!r} already exists")
+            self.users[name] = opts.get("password", "")
+        elif head == "ALTER":
+            if name not in self.users:
+                if guarded:
+                    return None
+                raise ValueError(f"user {name!r} does not exist")
+            if "password" in opts:
+                self.users[name] = opts["password"]
+        else:  # DROP
+            if name == "root":
+                # the reference refuses to drop root (HandleDropUser)
+                raise ValueError("cannot drop user 'root'")
+            if name not in self.users:
+                if guarded:
+                    return None
+                raise ValueError(f"user {name!r} does not exist")
+            del self.users[name]
+        return None
+
+    def _show_jobs_from(self, toks: list[Tok]) -> DataFrame:
+        """SHOW JOBS FROM TASKMANAGER|NAMESERVER [LIKE 'pat'] (SHOW_JOBS.md).
+        All this engine's jobs are TaskManager-style offline jobs; the
+        nameserver's internal op list has no analogue (no tablets), so FROM
+        NAMESERVER is always empty."""
+        i = 2
+        component = "TASKMANAGER"
+        if toks[i].upper == "FROM":
+            component = toks[i + 1].upper
+            if component not in ("TASKMANAGER", "NAMESERVER"):
+                raise ValueError(f"SHOW JOBS FROM takes TASKMANAGER or NAMESERVER")
+            i += 2
+        pattern = None
+        if i < len(toks) and toks[i].upper == "LIKE":
+            if toks[i + 1].kind != "str":
+                raise ValueError("SHOW JOBS ... LIKE takes a quoted pattern")
+            pattern = toks[i + 1].text.strip("'\"")
+            i += 2
+        if i < len(toks) and toks[i].text != ";":
+            raise ValueError(f"unexpected tokens after SHOW JOBS: {render(toks[i:i+3])}")
+        rows = self.jobman.rows() if component == "TASKMANAGER" else []
+        if pattern is not None:
+            rx = re.compile("^" + _like_to_regex(pattern) + "$", re.IGNORECASE)
+            rows = [r for r in rows if rx.match(str(r[0]))]
+        return self.spark.createDataFrame(rows or [], JOB_SCHEMA)
+
+    def _show_table_status(self, toks: list[Tok]) -> DataFrame:
+        """SHOW TABLE STATUS [LIKE 'db-pattern'] (SHOW_TABLE_STATUS.md) —
+        one row per table; the LIKE pattern matches DATABASE names (the
+        reference's semantics), no pattern means the current database.
+        Sizes come from Catalyst plan statistics (the metadata-level
+        answer — no data scan); Rows is the one per-table action."""
+        i = 3
+        pattern = None
+        if i < len(toks) and toks[i].upper == "LIKE":
+            if i + 1 >= len(toks) or toks[i + 1].kind != "str":
+                raise ValueError("SHOW TABLE STATUS LIKE takes a quoted pattern")
+            pattern = toks[i + 1].text.strip("'\"")
+            i += 2
+        if i < len(toks) and toks[i].text != ";":
+            raise ValueError(
+                f"unexpected tokens after SHOW TABLE STATUS: {render(toks[i:i+3])}"
+            )
+        if pattern is None:
+            dbs = [self.current_db]
+        else:
+            rx = re.compile("^" + _like_to_regex(pattern) + "$", re.IGNORECASE)
+            dbs = [d for d in sorted(self._dbs) if rx.match(d)]
+        rows = []
+        for db in dbs:
+            for bare in sorted(self._dbs[db]):
+                df = self._dbs[db][bare]
+                td = self._db_defs.get(db, {}).get(bare)
+                storage = td.storage_mode if td else "memory"
+                nbytes = int(
+                    str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+                )
+                # Catalyst reports defaultSizeInBytes (~Long.Max) for leaves
+                # it can't size (in-memory RDD-backed tables); the honest
+                # metadata answer there is 0, like the reference's empty
+                # tablet stats
+                size = str(nbytes if nbytes < 1 << 60 else 0)
+                parts = self._off_parts.get((db, bare)) or {}
+                sym = ",".join(parts.get("sym", {})) or None
+                n_part = df.rdd.getNumPartitions()
+                rows.append(
+                    (
+                        str(self._tid(db, bare)), bare, db, storage,
+                        str(df.count()),
+                        size if storage == "memory" else "0",
+                        "0" if storage == "memory" else size,
+                        str(n_part), "0", "1",
+                        None,
+                        parts.get("fmt"),
+                        sym,
+                        "",
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows or [],
+            "Table_id string, Table_name string, Database_name string, "
+            "Storage_type string, Rows string, Memory_data_size string, "
+            "Disk_data_size string, Partition string, Partition_unalive string, "
+            "Replica string, Offline_path string, Offline_format string, "
+            "Offline_symbolic_paths string, Warnings string",
+        )
+
+    def _explain(self, toks: list[Tok], sql_text: str):
+        """EXPLAIN [LOGICAL] <query> (cmd.yaml ids 8/9) — returns the
+        engine's plan for the query as one row. Spark-first: the physical
+        plan IS Spark's executed plan (what the reference's EXPLAIN prints
+        from its own codegen pipeline), LOGICAL is Catalyst's optimized
+        logical plan."""
+        mode = "physical"
+        body = toks[1:]
+        if body and body[0].upper in ("LOGICAL", "PHYSICAL"):
+            mode = body[0].text.lower()
+            body = body[1:]
+        if not body or body[0].upper not in ("SELECT", "WITH"):
+            raise ValueError("EXPLAIN [LOGICAL] <select query>")
+        while body and body[-1].text == ";":
+            body = body[:-1]
+        query = render(body)
+        df = Lowerer(self.spark, self._table_view()).query(P.parse(query), {})
+        qe = df._jdf.queryExecution()
+        text = str(qe.optimizedPlan() if mode == "logical" else qe.executedPlan())
+        return self.spark.createDataFrame([(text,)], "plan string")
+
+    def _show_create_procedure(self, name: str) -> DataFrame:
+        """SHOW CREATE PROCEDURE [db.]name -> (Procedure, Create Procedure)
+        with the original DDL (divergence: the reference's handler builds
+        the info but returns an empty result set — sql_cluster_router.cc
+        kCmdShowCreateSp has its print commented out; returning the DDL is
+        strictly more useful and mirrors SHOW CREATE TABLE)."""
+        db, dep = self._dep_lookup(name)
+        ddl = getattr(dep, "create_sql", None) or dep.sql_text
+        return self.spark.createDataFrame(
+            [(dep.name, ddl)], "`Procedure` string, `Create Procedure` string"
+        )
+
     def _show(self, what: str) -> DataFrame:
         if what == "TABLES":
             rows = [(n,) for n in sorted(self.tables)]
@@ -1193,6 +1681,40 @@ class Engine:
             ]
             return self.spark.createDataFrame(
                 rows or [], "name string, kind string, return_type string, file string"
+            )
+        if what == "PROCEDURES":
+            # kCmdShowProcedures: ("DB", "SP") rows across ALL databases —
+            # the reference lists every stored procedure INCLUDING
+            # deployments (a deployment IS a procedure of type
+            # kReqDeployment; sql_cluster_router.cc:2126)
+            rows = [
+                (db, n)
+                for db in sorted(self._db_deps)
+                for n in sorted(self._db_deps[db])
+            ]
+            return self.spark.createDataFrame(rows or [], "DB string, SP string")
+        if what == "COMPONENTS":
+            # SHOW_COMPONENTS.md: (Endpoint, Role, Connect_time, Status,
+            # Ns_role). One SparkSession plays every role the reference
+            # distributes (tablet storage, nameserver catalog, taskmanager
+            # jobs) — one row per role, all at the driver's endpoint.
+            sc = self.spark.sparkContext
+            try:
+                host = sc.getConf().get("spark.driver.host")
+                port = sc.getConf().get("spark.driver.port")
+                endpoint = f"{host}:{port}"
+            except Exception:
+                endpoint = sc.master
+            started = datetime.datetime.fromtimestamp(sc.startTime / 1000.0)
+            rows = [
+                (endpoint, role, started, "online",
+                 "master" if role == "nameserver" else None)
+                for role in ("tablet", "nameserver", "taskmanager")
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "Endpoint string, Role string, Connect_time timestamp, "
+                "Status string, Ns_role string",
             )
         raise ValueError(f"SHOW {what} not supported")
 
@@ -1808,6 +2330,29 @@ _ALIAS_STOPWORDS = {
     "INTO", "OUTFILE", "OPTIONS", "VALUES", "TABLE", "INDEX", "KEY", "TS",
     "TTL", "TTL_TYPE",
 }
+
+
+def _like_to_regex(pattern: str) -> str:
+    """SQL LIKE pattern -> anchored-regex body (% -> .*, _ -> .)."""
+    out = []
+    for ch in pattern:
+        if ch == "%":
+            out.append(".*")
+        elif ch == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def _infer_fmt(path: str) -> str:
+    """Offline-path format when the table has none recorded yet: by
+    extension, else the LOAD DATA default (csv)."""
+    p = path.rstrip("/").lower()
+    for fmt in ("parquet", "json", "tsv"):
+        if p.endswith("." + fmt):
+            return fmt
+    return "csv"
 
 
 def _declared_aliases(toks: list[Tok]) -> set[str]:

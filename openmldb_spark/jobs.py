@@ -67,9 +67,23 @@ class JobInfo:
     start_time_ms: Optional[int] = None
     end_time_ms: Optional[int] = None
     error: str = ""
+    #: lifecycle log lines — the in-process analogue of the reference's
+    #: per-job spark-submit stdout/stderr files (SHOW JOBLOG reads them,
+    #: JobInfoManager.scala job log dirs); one SparkSession has no child
+    #: process output to capture, so the log records state transitions and
+    #: the full failure traceback instead
+    log: list = field(default_factory=list, repr=False)
     _thread: Optional[threading.Thread] = field(default=None, repr=False)
     _cancel: threading.Event = field(default_factory=threading.Event, repr=False)
     _exc: Optional[BaseException] = field(default=None, repr=False)
+
+    def _log(self, line: str) -> None:
+        self.log.append(f"{datetime.datetime.now():%Y-%m-%d %H:%M:%S} {line}")
+
+    def log_text(self) -> str:
+        """SHOW JOBLOG body — the reference prints 'Stdout:' then 'Stderr:'
+        sections (docs/en/openmldb_sql/task_manage/SHOW_JOBLOG.md)."""
+        return "Stdout:\n\nStderr:\n" + "\n".join(self.log)
 
     @property
     def group_id(self) -> str:
@@ -122,11 +136,13 @@ class JobManager:
         (the reference's ``@@sync_job``); ``sync=False`` returns the
         Submitted/Running JobInfo immediately (reference default)."""
         job = self._new(job_type, parameter)
+        job._log(f"job {job.id} ({job_type}) submitted")
         sc = self.spark.sparkContext
 
         def run() -> None:
             job.start_time_ms = int(time.time() * 1000)
             job.state = "Running"
+            job._log(f"job {job.id} ({job.job_type}) running: {job.parameter}")
             # thread-scoped under pinned-thread mode: only THIS job's
             # Spark actions join the group, so cancelJobGroup is precise
             sc.setJobGroup(job.group_id, f"{job.job_type} job {job.id}", True)
@@ -136,13 +152,21 @@ class JobManager:
                 job.end_time_ms = int(time.time() * 1000)
                 if job._cancel.is_set():
                     job.state = "STOPPED"
+                    job._log(f"job {job.id} stopped")
                 else:
                     job.state = "FAILED"
                     job.error = str(e)
                     job._exc = e
+                    import traceback
+
+                    job._log(
+                        f"job {job.id} failed:\n"
+                        + "".join(traceback.format_exception(type(e), e, e.__traceback__))
+                    )
                 return
             job.end_time_ms = int(time.time() * 1000)
             job.state = "STOPPED" if job._cancel.is_set() else "FINISHED"
+            job._log(f"job {job.id} {job.state.lower()}")
 
         t = threading.Thread(target=run, daemon=True, name=job.group_id)
         job._thread = t

@@ -519,6 +519,9 @@ class Lowerer:
         return df
 
     def body(self, b: object, env: dict[str, DataFrame]) -> DataFrame:
+        if isinstance(b, Query):
+            # parenthesized query as a set-operation arm / whole body
+            return self.query(b, env)
         if isinstance(b, SetOp):
             left = self.query(b.left, env)
             right = self.query(b.right, env)
@@ -627,7 +630,10 @@ class Lowerer:
         if sel.from_ is not None:
             parts.append("FROM " + self._from_sql(sel.from_, env))
             for j in sel.joins:
-                kw = {"left": "LEFT JOIN", "inner": "JOIN"}[j.kind]
+                kw = {
+                    "left": "LEFT JOIN", "inner": "JOIN",
+                    "right": "RIGHT JOIN", "full": "FULL JOIN",
+                }[j.kind]
                 parts.append(f"{kw} {self._from_sql(j.table, env)}")
                 if j.on is not None:
                     parts.append("ON " + rewrite_expr(j.on))
@@ -934,7 +940,7 @@ class Lowerer:
     # -- joins ---------------------------------------------------------------
     def _join(self, left: DataFrame, j: Join, env: dict[str, DataFrame]) -> DataFrame:
         right = self.table_ref(j.table, env)
-        if j.kind in ("left", "inner"):
+        if j.kind in ("left", "inner", "right", "full"):
             cond = F.expr(rewrite_expr(j.on)) if j.on is not None else F.lit(True)
             return left.join(right, cond, j.kind)
         assert j.kind == "last"

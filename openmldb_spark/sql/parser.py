@@ -57,8 +57,22 @@ def tokenize(sql: str) -> list[Tok]:
         kind = m.lastgroup
         if kind == "ws":
             continue
+        if kind == "num":
+            sm = re.match(
+                r"^(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?([A-Za-z]*)$", m.group()
+            )
+            if sm is None or sm.group(1).lower() not in _NUM_SUFFIXES:
+                # the reference rejects malformed literals like 100ss and
+                # 0xFF (error_unsupport_sql.yaml id 6, error_query id 6);
+                # valid suffixes are the type markers (L/f/s for i16) and
+                # the interval units (10s/5m/2h/1d/100ms/3min)
+                raise SyntaxError(f"malformed numeric literal {m.group()!r}")
         out.append(Tok(kind, m.group()))
     return out
+
+
+#: allowed alpha suffixes on numeric literals: type markers + interval units
+_NUM_SUFFIXES = {"", "l", "f", "s", "m", "h", "d", "ms", "min"}
 
 
 def render(tokens: list[Tok]) -> str:
@@ -181,7 +195,7 @@ class Query:
 
 _CLAUSE_STOPS = {
     "FROM", "WHERE", "GROUP", "HAVING", "WINDOW", "LIMIT", "UNION",
-    "ORDER", "ON", ")", ";", "LAST", "LEFT", "RIGHT", "INNER", "JOIN",
+    "ORDER", "ON", ")", ";", "LAST", "LEFT", "RIGHT", "FULL", "INNER", "JOIN",
     "CONFIG", "ROWS", "ROWS_RANGE", "PARTITION", "EXCEPT", "INTERSECT",
 }
 
@@ -230,14 +244,41 @@ class Parser:
                 ctes.append((name, q))
                 if not self.accept(","):
                     break
-        body: object = self.parse_select()
+        if self.at("("):
+            # parenthesized LEFT arm of a set operation:
+            # `(SELECT ... LIMIT 10) UNION ALL ...` (reference
+            # cases/plan/union_query.yaml id 5)
+            self.expect("(")
+            lq = self.parse_query()
+            self.expect(")")
+            body: object = lq
+        else:
+            body = self.parse_select()
+        prev_union_all: Optional[bool] = None
+        if (
+            self.at("UNION", "EXCEPT", "INTERSECT")
+            and isinstance(body, Select)
+            and body.limit is not None
+        ):
+            # an unparenthesized LIMIT cannot feed a set operation —
+            # parenthesize the arm (union_query.yaml id 4 vs id 5)
+            raise SyntaxError("LIMIT before a set operation requires parentheses")
         while self.at("UNION", "EXCEPT", "INTERSECT"):
             op = self.eat().upper.lower()
             all_ = False
             if self.accept("ALL"):
                 all_ = True
-            else:
-                self.accept("DISTINCT")
+            elif not self.accept("DISTINCT") and op == "union":
+                # the reference's grammar requires UNION ALL or UNION
+                # DISTINCT — bare UNION is a parse error
+                # (cases/plan/union_query.yaml ids 2-4)
+                raise SyntaxError("UNION requires ALL or DISTINCT")
+            if op == "union":
+                if prev_union_all is not None and prev_union_all != all_:
+                    # a flat chain may not mix ALL and DISTINCT
+                    # (union_query.yaml id 3; parenthesize to mix, id 5)
+                    raise SyntaxError("cannot mix UNION ALL and UNION DISTINCT")
+                prev_union_all = all_
             if self.at("("):
                 # parenthesized right arm: `... union all (select ... union
                 # all select ...)` — nested set ops group to the right
@@ -273,6 +314,10 @@ class Parser:
         if self.accept("WINDOW"):
             while True:
                 w = self.parse_window_def()
+                if w.name in sel.windows:
+                    # the reference rejects duplicate window names
+                    # (cases/plan/error_query.yaml id 2)
+                    raise SyntaxError(f"duplicate window name {w.name!r}")
                 sel.windows[w.name] = w
                 if not self.accept(","):
                     break
@@ -302,6 +347,11 @@ class Parser:
                 elif depth == 0 and t.upper == "OVER":
                     it.expr = it.expr[: i + 1] + [Tok("name", name)]
                     break
+        # every named OVER reference must resolve to a defined window
+        # (cases/plan/error_query.yaml id 3)
+        for it in sel.items:
+            if it.over is not None and it.over.window and it.over.window not in sel.windows:
+                raise SyntaxError(f"undefined window {it.over.window!r}")
         if self.accept("LIMIT"):
             sel.limit = int(self.eat().text)
         if self.accept("CONFIG"):      # CONFIG (k='v', ...) — execution hints
@@ -378,9 +428,15 @@ class Parser:
             # name here is either an unknown db (resolution fails with a
             # clear error, matching the reference) or a real Spark-catalog
             # table (db.t resolves via spark.table)
+            dots = 0
             while self.at("."):
                 self.eat()
                 name = f"{name}.{self.eat().text}"
+                dots += 1
+            if dots > 1:
+                # table refs are at most db.table
+                # (error_unsupport_sql.yaml id 8-1)
+                raise SyntaxError(f"table reference deeper than db.table: {name!r}")
             ref = TableRef(name=_unquote(name))
         if self.accept("AS"):
             ref.alias = _unquote(self.eat().text)
@@ -402,6 +458,14 @@ class Parser:
             self.accept("OUTER")
             self.expect("JOIN")
             kind = "left"
+        elif self.accept("RIGHT"):
+            self.accept("OUTER")
+            self.expect("JOIN")
+            kind = "right"
+        elif self.accept("FULL"):
+            self.accept("OUTER")
+            self.expect("JOIN")
+            kind = "full"
         elif self.accept("INNER"):
             self.expect("JOIN")
             kind = "inner"
@@ -515,6 +579,18 @@ class Parser:
             else:
                 break
         self.expect(")")
+        if w.maxsize is not None and w.frame_kind == "rows":
+            # the reference only allows MAXSIZE on ROWS_RANGE frames
+            # (error_window.yaml id 13, plan error_query.yaml ids 4/5)
+            raise SyntaxError("MAXSIZE is only supported on ROWS_RANGE frames")
+        if w.upper is not None and w.lower and w.lower[0] == "preceding":
+            lo, up = _bound_ms(w.lower[1]), _bound_ms(w.upper[1])
+            if lo is not None and up is not None and lo < up:
+                # start bound must reach at least as far back as the end
+                # bound (plan error_query.yaml ids 7/8)
+                raise SyntaxError(
+                    "window frame start bound must precede its end bound"
+                )
         return w
 
     # -- expression slices --------------------------------------------------
@@ -659,8 +735,54 @@ def _unquote(name: str) -> str:
     return name
 
 
+#: interval multipliers for frame-bound comparison (ms)
+_BOUND_MULT = {"": 1, "ms": 1, "s": 1000, "m": 60000, "min": 60000,
+               "h": 3600000, "d": 86400000}
+
+
+def _bound_ms(v) -> Optional[int]:
+    """Frame-bound literal -> milliseconds (plain ints pass through as-is,
+    so ROWS counts compare correctly too). None if not a simple literal."""
+    m = re.match(r"^(\d+)(ms|s|min|m|h|d)?$", str(v), re.IGNORECASE)
+    if not m:
+        return None
+    return int(m.group(1)) * _BOUND_MULT[(m.group(2) or "").lower()]
+
+
+#: constructs the reference's parser rejects outright
+#: (cases/plan/error_unsupport_sql.yaml)
+_REJECTED_KEYWORDS = {"PIVOT", "UNPIVOT", "TABLESAMPLE", "UNNEST"}
+
+
 def parse(sql: str) -> Query:
-    return Parser(tokenize(sql)).parse_query()
+    toks = tokenize(sql)
+    for i, t in enumerate(toks):
+        if t.kind == "name" and t.upper in _REJECTED_KEYWORDS:
+            raise SyntaxError(f"{t.upper} is not in the dialect")
+        # empty IN list (error_unsupport_sql.yaml in_predicate_fail)
+        if (
+            t.upper == "IN"
+            and i + 2 < len(toks)
+            and toks[i + 1].text == "("
+            and toks[i + 2].text == ")"
+        ):
+            raise SyntaxError("IN () requires at least one element")
+        # name paths deeper than db.table.column
+        # (error_unsupport_sql.yaml ids 7/8-2)
+        if (
+            t.text == "."
+            and i >= 5
+            and all(toks[i - k].text == "." for k in (2, 4))
+            and all(toks[i - k].kind == "name" for k in (1, 3, 5))
+        ):
+            raise SyntaxError("name path deeper than db.table.column")
+    p = Parser(toks)
+    q = p.parse_query()
+    if p.peek() is not None:
+        # trailing unparsed tokens would be silently dropped otherwise —
+        # reject like the reference (FOR SYSTEM_TIME, WITH OFFSET, ...)
+        raise SyntaxError(f"unexpected trailing tokens: {p.peek().text!r}")
+    return q
 
 
 def render_literal(v) -> str:
