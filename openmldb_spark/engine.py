@@ -692,6 +692,35 @@ class Engine:
     # -- DDL ------------------------------------------------------------------
     def _create_table(self, toks: list[Tok]):
         name = toks[2].text
+        if len(toks) > 3 and toks[3].upper == "LIKE":
+            # CREATE TABLE t LIKE PARQUET|HIVE '<path>'
+            # (CREATE_TABLE_STATEMENT.md; cases/plan/create.yaml ids 32/33):
+            # schema copied from the source, no data, no indexes
+            if len(toks) < 6 or toks[5].kind != "str":
+                raise ValueError("CREATE TABLE t LIKE PARQUET|HIVE '<path>'")
+            like_kind = toks[4].upper
+            path = toks[5].text.strip("'\"")
+            if like_kind == "PARQUET":
+                schema = self.spark.read.parquet(
+                    path[7:] if path.startswith("file://") else path
+                ).schema
+            elif like_kind == "HIVE":
+                # hive:// needs a metastore — same documented gap as LOAD
+                # DATA's hive format (DataSourceUtil.scala)
+                raise ValueError(
+                    "CREATE TABLE LIKE HIVE needs a Hive metastore "
+                    "(not available in this build)"
+                )
+            else:
+                raise ValueError(f"CREATE TABLE LIKE takes PARQUET or HIVE, got {like_kind}")
+            ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in schema.fields
+            )
+            self.table_defs[name] = TableDef(name, ddl, [])
+            self.tables[name] = self.spark.createDataFrame([], schema)
+            db, bare = self._loc(name)
+            self._tid(db, bare)
+            return None
         # body between the outermost parens
         i = 3
         assert toks[i].text == "(", "CREATE TABLE t (...) expected"
@@ -708,14 +737,12 @@ class Engine:
         cols: list[tuple[str, str]] = []
         indexes: list[IndexDef] = []
         not_null: set[str] = set()
-        for item in _split_commas(body):
+        for item in _split_commas(body, angles=True):
             if item[0].upper == "INDEX":
                 indexes.append(self._parse_index(item, len(indexes)))
             else:
                 cname = item[0].text
-                ctype = _TYPES.get(item[1].text.lower())
-                if ctype is None:
-                    raise ValueError(f"unknown column type {item[1].text!r}")
+                ctype, _k = _parse_coltype(item, 1)
                 cols.append((cname, ctype))
                 # NOT NULL is metadata only (DESC / API server table info) —
                 # enforcing it on the DataFrame schema would reject the
@@ -2380,14 +2407,17 @@ def _declared_aliases(toks: list[Tok]) -> set[str]:
     return out
 
 
-def _split_commas(toks: list[Tok]) -> list[list[Tok]]:
+def _split_commas(toks: list[Tok], angles: bool = False) -> list[list[Tok]]:
+    """Split on top-level commas. ``angles=True`` additionally treats
+    ``<...>`` as nesting — for CREATE TABLE bodies, where MAP<K, V> column
+    types carry commas (never for expression lists, where ``<`` compares)."""
     out: list[list[Tok]] = []
     cur: list[Tok] = []
     depth = 0
     for t in toks:
-        if t.text in "([":
+        if t.text in "([" or (angles and t.text == "<"):
             depth += 1
-        elif t.text in ")]":
+        elif t.text in ")]" or (angles and t.text == ">"):
             depth -= 1
         if t.text == "," and depth == 0:
             out.append(cur)
@@ -2397,6 +2427,31 @@ def _split_commas(toks: list[Tok]) -> list[list[Tok]]:
     if cur:
         out.append(cur)
     return out
+
+
+def _parse_coltype(item: list[Tok], k: int) -> tuple[str, int]:
+    """Column type at item[k:] -> (Spark DDL type, next index). Handles the
+    reference's composite types (cases/plan/create.yaml id 35,
+    map_data_type): ARRAY<T> / MAP<K, V>, arbitrarily nested."""
+    if k >= len(item):
+        raise ValueError("unterminated composite column type")
+    base = item[k].text.strip("`").lower()
+    if base in ("array", "map") and k + 1 < len(item) and item[k + 1].text == "<":
+        t1, k = _parse_coltype(item, k + 2)
+        if base == "map":
+            if k >= len(item) or item[k].text != ",":
+                raise ValueError("MAP<K, V> expected")
+            t2, k = _parse_coltype(item, k + 1)
+            if k >= len(item) or item[k].text != ">":
+                raise ValueError("unterminated MAP<...> type")
+            return f"map<{t1},{t2}>", k + 1
+        if k >= len(item) or item[k].text != ">":
+            raise ValueError("unterminated ARRAY<...> type")
+        return f"array<{t1}>", k + 1
+    t = _TYPES.get(base)
+    if t is None:
+        raise ValueError(f"unknown column type {item[k].text!r}")
+    return t, k + 1
 
 
 def _match_paren(toks: list[Tok], i: int) -> int:

@@ -196,6 +196,33 @@ def test_show_joblog_and_jobs_from(eng, tmp_path):
     assert eng.execute("EXIT;") is None
 
 
+# -- CREATE TABLE extensions --------------------------------------------------
+
+
+def test_create_table_composite_types(eng):
+    eng.execute(
+        "CREATE TABLE tc (id int, member ARRAY<STRING> NOT NULL, "
+        "attrs MAP<STRING, INT>, nested ARRAY<MAP<STRING, BIGINT>>)"
+    )
+    assert eng.tables["tc"].schema.simpleString() == (
+        "struct<id:int,member:array<string>,attrs:map<string,int>,"
+        "nested:array<map<string,bigint>>>"
+    )
+    with pytest.raises(ValueError):
+        eng.execute("CREATE TABLE bad (a ARRAY<STRING)")
+
+
+def test_create_table_like_parquet(eng, spark, tmp_path):
+    src = str(tmp_path / "src.parquet")
+    spark.createDataFrame([(1, "a")], "id int, v string").write.parquet(src)
+    eng.execute(f"CREATE TABLE tl LIKE PARQUET 'file://{src}'")
+    assert eng.tables["tl"].schema.simpleString() == "struct<id:int,v:string>"
+    assert eng.tables["tl"].count() == 0  # schema only, no data
+    with pytest.raises(ValueError):
+        eng.execute("CREATE TABLE th LIKE HIVE 'hive://db.t'")
+    assert Engine.statement_kind("create table t1 like parquet 'p'") == "CREATE"
+
+
 # -- right/full joins ---------------------------------------------------------
 
 
