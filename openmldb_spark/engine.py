@@ -404,11 +404,14 @@ class Engine:
                 raise ValueError("INSERT INTO <table> ... VALUES (...)")
             if not any(t.upper == "VALUES" for t in body):
                 raise ValueError("INSERT requires VALUES")
-            for t in body:
-                if t.kind == "num" and t.text.isdigit() and int(t.text) > (1 << 63) - 1:
+            for bi, t in enumerate(body):
+                if t.kind == "num" and t.text.isdigit():
                     # int64 overflow is a parse error in the reference
-                    # (error_unsupport_sql.yaml id 21)
-                    raise ValueError(f"integer literal out of int64 range: {t.text}")
+                    # (error_unsupport_sql.yaml id 21); a leading '-' folds
+                    # into the literal, so the negative range is one wider
+                    neg = bi > 0 and body[bi - 1].text == "-"
+                    if int(t.text) > (1 << 63) - (0 if neg else 1):
+                        raise ValueError(f"integer literal out of int64 range: {t.text}")
             return "kInsertStmt"
         if head == "CREATE":
             if second == "TABLE":
@@ -682,7 +685,11 @@ class Engine:
                 # trailing tokens (test_show_deploy id 2)
                 raise ValueError(f"unexpected tokens after SHOW {second}")
             return self._show(second)
-        if head in ("SELECT", "WITH"):
+        if head in ("SELECT", "WITH") or (
+            head == "(" and any(t.upper in ("UNION", "EXCEPT", "INTERSECT") for t in toks)
+        ):
+            # head == "(": parenthesized set-operation arm
+            # (union_query.yaml id 5)
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
             if m:
                 return self._select_into(sql_text, m)
@@ -762,7 +769,11 @@ class Engine:
             k = _match_paren(toks, j + 2)
             for item in _split_commas(toks[j + 3 : k]):
                 if item and item[0].upper == "STORAGE_MODE" and len(item) >= 3:
-                    td.storage_mode = item[2].text.strip("'\"").lower()
+                    mode_v = item[2].text.strip("'\"").lower()
+                    if mode_v not in ("memory", "ssd", "hdd"):
+                        # CREATE_TABLE_STATEMENT.md: Memory|SSD|HDD only
+                        raise ValueError(f"invalid storage_mode {mode_v!r}")
+                    td.storage_mode = mode_v
         self.table_defs[name] = td
         self.tables[name] = self.spark.createDataFrame([], ddl)
         db, bare = self._loc(name)
@@ -1135,9 +1146,10 @@ class Engine:
                 parts["base"] = parts["base"].unionByName(df)
             elif mode == "overwrite":
                 # the reference's overwrite drops ALL offline info,
-                # symbolic links included
+                # symbolic links AND the recorded format included
                 parts["base"] = df
                 parts["sym"] = {}
+                parts["fmt"] = None
             else:
                 parts["base"] = df
             if parts["fmt"] is None:
@@ -1491,7 +1503,10 @@ class Engine:
                 i += 1
         if not actions:
             raise ValueError("ALTER TABLE <name> ADD|DROP OFFLINE_PATH '<path>'")
-        parts = self._off_ledger(db, bare)
+        # apply to a COPY of the ledger and commit only when every action
+        # succeeds — a failed multi-action statement must not half-apply
+        old = self._off_parts.get((db, bare)) or {"base": None, "sym": {}, "fmt": None}
+        parts = {"base": old["base"], "sym": dict(old["sym"]), "fmt": old["fmt"]}
         schema = None
         if name in self.table_defs:
             schema = self.table_defs[name].schema_ddl
@@ -1508,6 +1523,7 @@ class Engine:
                 if path not in parts["sym"]:
                     raise ValueError(f"offline path {path!r} not found on {name!r}")
                 del parts["sym"][path]
+        self._off_parts[(db, bare)] = parts
         self._off_rebuild(db, bare)
         return None
 
@@ -1517,10 +1533,12 @@ class Engine:
         one SparkSession has no authentication boundary to enforce."""
         i = 2
         guarded = False
-        if toks[i].upper == "IF":
+        if len(toks) > i and toks[i].upper == "IF":
             # CREATE USER IF NOT EXISTS x / ALTER|DROP USER IF EXISTS x
             guarded = True
             i += 3 if head == "CREATE" else 2
+        if i >= len(toks) or toks[i].kind != "name":
+            raise ValueError(f"{head} USER takes a user name")
         name = toks[i].text
         i += 1
         if head == "ALTER" and i < len(toks) and toks[i].upper == "SET":
@@ -1569,13 +1587,15 @@ class Engine:
         i = 2
         component = "TASKMANAGER"
         if toks[i].upper == "FROM":
+            if i + 1 >= len(toks) or toks[i + 1].upper not in (
+                "TASKMANAGER", "NAMESERVER",
+            ):
+                raise ValueError("SHOW JOBS FROM takes TASKMANAGER or NAMESERVER")
             component = toks[i + 1].upper
-            if component not in ("TASKMANAGER", "NAMESERVER"):
-                raise ValueError(f"SHOW JOBS FROM takes TASKMANAGER or NAMESERVER")
             i += 2
         pattern = None
         if i < len(toks) and toks[i].upper == "LIKE":
-            if toks[i + 1].kind != "str":
+            if i + 1 >= len(toks) or toks[i + 1].kind != "str":
                 raise ValueError("SHOW JOBS ... LIKE takes a quoted pattern")
             pattern = toks[i + 1].text.strip("'\"")
             i += 2

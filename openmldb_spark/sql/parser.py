@@ -255,6 +255,7 @@ class Parser:
         else:
             body = self.parse_select()
         prev_union_all: Optional[bool] = None
+        trailing_limit: Optional[int] = None
         if (
             self.at("UNION", "EXCEPT", "INTERSECT")
             and isinstance(body, Select)
@@ -287,8 +288,21 @@ class Parser:
                 self.expect(")")
             else:
                 rq = Query(self.parse_select())
+                if rq.body.limit is not None:
+                    if self.at("UNION", "EXCEPT", "INTERSECT"):
+                        # same rule as the first arm: an unparenthesized
+                        # LIMIT cannot feed the next set operation
+                        raise SyntaxError(
+                            "LIMIT before a set operation requires parentheses"
+                        )
+                    # trailing LIMIT binds to the WHOLE set operation
+                    # (ANSI), not the last arm
+                    trailing_limit = rq.body.limit
+                    rq.body.limit = None
             body = SetOp(op, all_, Query(body), rq)
         q = Query(body, ctes)
+        if trailing_limit is not None:
+            q.limit = trailing_limit
         if self.accept("LIMIT"):
             q.limit = int(self.eat().text)
         self.accept(";")

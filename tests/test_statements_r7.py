@@ -240,6 +240,73 @@ def test_right_and_full_join(eng):
     assert {(r.lid, r.rid) for r in rows} == {(1, None), (2, 2), (None, 3)}
 
 
+# -- round-7 self-review regressions ------------------------------------------
+
+
+def test_overwrite_resets_offline_format(eng, tmp_path):
+    """Review finding: mode=overwrite kept the stale Offline_format."""
+    csv = tmp_path / "a.csv"
+    csv.write_text("id,c1,ts\n7,q,3000\n")
+    eng.execute("SET @@execute_mode='offline'")
+    eng.execute(f"LOAD DATA INFILE '{csv}' INTO TABLE t1 OPTIONS (mode='append')")
+    assert eng._off_parts[("default", "t1")]["fmt"] == "csv"
+    pq = tmp_path / "b.parquet"
+    eng.tables["t1"].limit(0).write.parquet(str(pq))
+    eng.execute(
+        f"LOAD DATA INFILE '{pq}' INTO TABLE t1 "
+        "OPTIONS (mode='overwrite', format='parquet')"
+    )
+    assert eng._off_parts[("default", "t1")]["fmt"] == "parquet"
+
+
+def test_alter_table_multi_action_is_atomic(eng, spark, tmp_path):
+    """Review finding: a failed action list must not half-apply."""
+    p1 = str(tmp_path / "p1.parquet")
+    _write_part(spark, p1, [(9, "z", datetime.datetime(2020, 1, 1))])
+    with pytest.raises(ValueError):
+        eng.execute(
+            f"ALTER TABLE t1 ADD offline_path '{p1}', DROP offline_path '/missing'"
+        )
+    # nothing applied, no dangling ledger entry
+    assert ("default", "t1") not in eng._off_parts
+
+
+def test_parenthesized_set_op_executes(eng):
+    rows = eng.execute(
+        "(SELECT id FROM t1 LIMIT 1) UNION ALL (SELECT id FROM t1)"
+    ).collect()
+    assert len(rows) == 3
+
+
+def test_trailing_limit_applies_to_whole_union(eng):
+    """Review follow-up: a trailing LIMIT binds to the set operation, not
+    the last arm."""
+    n = eng.execute(
+        "SELECT id FROM t1 UNION ALL SELECT id FROM t1 LIMIT 3"
+    ).count()
+    assert n == 3
+
+
+def test_statement_kind_min_int64(eng):
+    assert Engine.statement_kind(
+        "INSERT INTO t VALUES (-9223372036854775808);"
+    ) == "kInsertStmt"
+    with pytest.raises(ValueError):
+        Engine.statement_kind("INSERT INTO t VALUES (9223372036854775808);")
+
+
+def test_malformed_admin_statements_raise_valueerror(eng):
+    for bad in [
+        "SHOW JOBS FROM",
+        "SHOW JOBS FROM TASKMANAGER LIKE",
+        "CREATE USER;",
+        "CREATE TABLE tz (a int) OPTIONS (storage_mode='bogus')",
+    ]:
+        with pytest.raises(ValueError):
+            eng.execute(bad)
+    assert ";" not in eng.users
+
+
 # -- parser validations pinned by the plan corpus -----------------------------
 
 
