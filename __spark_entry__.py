@@ -28,6 +28,7 @@ from openmldb_spark.operators import relational as R
 from openmldb_spark.functions import aggregates as A
 from openmldb_spark.functions.scalar import fn as sfn, strcmp, earth_distance
 from openmldb_spark.pipeline import dedup as D
+from openmldb_spark.pipeline import sampling as SA
 from openmldb_spark.pipeline import similarity as S
 from openmldb_spark.pipeline import text as T
 from openmldb_spark.catalog import IndexDef, apply_ttl
@@ -60,7 +61,10 @@ def q_scan_project_filter(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_const_project(spark: SparkSession, sf: str) -> DataFrame:
-    """ConstProject: no-table SELECT."""
+    """ConstProject: no-table SELECT. Retired from the oracle registry in
+    round 7 (50-row driver cap; ConstProjectNode stays oracle-covered by
+    the constant columns in ``q_expressions``) — kept as the bench warmup
+    and exercised by tests/test_sql.py."""
     return R.const_project(
         spark,
         three=(F.lit(1) + F.lit(2)).cast("long"),
@@ -156,6 +160,13 @@ def q_expressions(spark: SparkSession, sf: str) -> DataFrame:
         F.col("p_retailprice").isNull().alias("no_price"),
         F.col("p_size").bitwiseAND(F.lit(7)).cast("long").alias("size_and7"),
         (~(F.col("p_size") % 2 == 0)).alias("odd_size"),
+        # ConstProjectNode coverage (constant expressions, no input
+        # dependence) — folded in here when const_project was retired from
+        # the registry (round 7, 50-row driver cap)
+        (F.lit(1) + F.lit(2)).cast("long").alias("const_three"),
+        F.concat(F.lit("a"), F.lit("b")).alias("const_s"),
+        (F.lit(1.0) / 2).cast("double").alias("const_half"),
+        (F.lit(True) & F.lit(False)).alias("const_t"),
     )
 
 
@@ -717,6 +728,31 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("media_id", "mime", "n_bytes")
 
 
+def q_curation_sample_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data curation surface (pipeline/sampling.py): deterministic
+    stratified sampling (salted md5 of doc_id vs per-lang thresholds — a
+    pure function of the row, reproducible at any scale/partitioning,
+    unlike df.sample) followed by fixed token-budget sharding (one window
+    cumsum per lang; the chunk where each document STARTS). Zero shuffles
+    for the sample, one key-bounded shuffle for the cumsum. DuckDB
+    recomputes both bit-for-bit (md5 thresholds + window cumsum)."""
+    d = load_table(spark, sf, "documents")
+    samp = SA.stratified_sample(
+        d, "lang", {"en": 0.5, "de": 1.0, "fr": 0.25}, id_col="doc_id", seed=42
+    )
+    toks = samp.select(
+        "doc_id",
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    out = SA.budget_chunks(
+        toks, token_col="n_tokens", order_col="doc_id", budget=2000, by="lang"
+    )
+    return out.select("doc_id", "lang", "n_tokens", "chunk_id")
+
+
 def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
     """The full text-analysis surface in one projection: quality signals
     (token/punct/digit/stopword ratios + score), stopword-vote language ID
@@ -1011,7 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core
         "scan_project_filter": q_scan_project_filter,
-        "const_project": q_const_project,
+        "curation_sample_pack": q_curation_sample_pack,
         "group_agg": q_group_agg,
         "distinct": q_distinct,
         "set_ops": q_set_ops,
@@ -1079,9 +1115,22 @@ def oracle_sql() -> dict[str, str]:
                    epoch_ms(l_shipdate) AS ship_ms
             FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'
         """,
-        "const_project": """
-            SELECT CAST(1 + 2 AS BIGINT) AS three, 'a' || 'b' AS s,
-                   CAST(0.5 AS DOUBLE) AS half, TRUE AND FALSE AS t
+        "curation_sample_pack": """
+            WITH samp AS (
+                SELECT doc_id, lang,
+                       CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                                            x -> x <> '')) AS BIGINT) AS n_tokens
+                FROM documents
+                WHERE (('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                       % 1000000)
+                      < CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 1000000
+                                  WHEN 'fr' THEN 250000 ELSE 0 END
+            )
+            SELECT doc_id, lang, n_tokens,
+                   CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                                   ROWS UNBOUNDED PRECEDING)
+                               - n_tokens) / 2000.0) AS BIGINT) AS chunk_id
+            FROM samp
         """,
         "group_agg": """
             SELECT l_returnflag, l_linestatus,
@@ -1130,7 +1179,11 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(p_type, '^ECONOMY') AS is_economy,
                    p_retailprice IS NULL AS no_price,
                    CAST(p_size & 7 AS BIGINT) AS size_and7,
-                   NOT (p_size % 2 = 0) AS odd_size
+                   NOT (p_size % 2 = 0) AS odd_size,
+                   CAST(1 + 2 AS BIGINT) AS const_three,
+                   'a' || 'b' AS const_s,
+                   CAST(1.0 / 2 AS DOUBLE) AS const_half,
+                   (TRUE AND FALSE) AS const_t
             FROM part
         """,
         "scalar_string_math": """

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "text_features",
+    "curation_sample_pack",
     "embedding_topk",
     "embedding_lsh_topk_join",
 ]
@@ -92,8 +93,9 @@ def main() -> None:
     if missing:
         raise SystemExit(f"bench.py: BENCH_QUERIES missing from queries(): {missing}")
 
-    # warm the JVM + file cache with a cheap action
-    qs["const_project"](spark, sf_dir).collect()
+    # warm the JVM + file cache with a cheap action (expressions reads the
+    # small part table; const_project left the registry in round 7)
+    qs["expressions"](spark, sf_dir).count()
     # pre-spawn the Arrow/Python workers (numpy+pandas import per worker is
     # a one-time environment cost, not a per-query cost)
     spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()

@@ -1,0 +1,147 @@
+"""Deterministic sampling + token-budget packing for training-data curation.
+
+The sampling ops answer "which rows are in the sample" as a PURE FUNCTION
+of the row id (salted md5), never of partitioning, ordering, or RNG state:
+re-running at any scale, any cluster size, any Spark version selects the
+same rows — the property training-data pipelines need for reproducible
+mixtures (and what makes these operators oracle-checkable in any SQL
+engine with md5). Spark's native ``df.sample`` is seed-stable only per
+partitioning; a repartition reshuffles the choice.
+
+Packing assigns documents to fixed token-budget shards — the curation
+step before tokenize-and-concat training ingestion:
+
+- :func:`budget_chunks` — fixed-budget sharding by cumulative token
+  count: chunk k covers cumulative tokens [k*budget, (k+1)*budget). A
+  document straddling a boundary belongs to the chunk where it STARTS.
+  One window cumsum per group — pure Catalyst, SQL-expressible (the
+  DuckDB oracle recomputes it bit-for-bit).
+- :func:`pack_greedy` — exact greedy packing (a new pack starts when the
+  next document would overflow the budget; oversized documents get their
+  own pack). Inherently sequential per group -> Arrow-batched
+  ``applyInPandas`` per group, state = one counter pair; verified in
+  tests against a pure-Python model.
+
+At 100 TB: every op here is one key-bounded shuffle (sampling is zero
+shuffles — a filter over a hash projection that pushes nothing to the
+driver; packing shuffles once on the group key).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openmldb_spark.pipeline.dedup import portable_token_hash
+
+#: hash-space resolution for fraction thresholds (1e-6 granularity)
+_RES = 1_000_000
+
+
+def _sample_hash(id_col: Column, seed: int) -> Column:
+    """Salted 60-bit md5 hash of the row id, uniform over [0, 2^60)."""
+    return portable_token_hash(F.concat(F.lit(f"{seed}|"), id_col.cast("string")))
+
+
+def hash_fraction(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    seed: int = 0,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows, selected by salted md5 of
+    ``id_col`` — reproducible across runs/partitionings, disjoint across
+    seeds (different salt -> independent selection)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    thr = int(fraction * _RES)
+    return df.where((_sample_hash(F.col(id_col), seed) % _RES) < thr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: Dict[str, float],
+    *,
+    id_col: str,
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the dataset-mixture op
+    ("keep 30% of lang=en, all of lang=fr, drop the rest"). Strata not in
+    ``fractions`` keep ``default``. Selection is per-row hash against the
+    stratum's threshold: no per-stratum scans, no shuffle, one filter."""
+    thr: Column = F.lit(int(default * _RES))
+    for k, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {k!r} must be in [0, 1], got {frac}")
+        thr = F.when(F.col(strata_col) == k, F.lit(int(frac * _RES))).otherwise(thr)
+    return df.where((_sample_hash(F.col(id_col), seed) % _RES) < thr)
+
+
+def budget_chunks(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    by: Optional[str] = None,
+    out_col: str = "chunk_id",
+) -> DataFrame:
+    """Fixed token-budget sharding: within each ``by`` group (whole table
+    when None), order by ``order_col`` and assign chunk
+    ``floor(preceding_tokens / budget)`` — the shard where the document
+    STARTS. One cumsum window per group; chunks are contiguous and every
+    chunk except the last starts before the k*budget boundary."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = Window.orderBy(order_col) if by is None else (
+        Window.partitionBy(by).orderBy(order_col)
+    )
+    start = (
+        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        - F.col(token_col)
+    )
+    return df.withColumn(out_col, F.floor(start / F.lit(budget)).cast("long"))
+
+
+def pack_greedy(
+    df: DataFrame,
+    *,
+    token_col: str,
+    order_col: str,
+    budget: int,
+    by: str,
+    out_col: str = "pack_id",
+) -> DataFrame:
+    """Exact greedy packing per ``by`` group: walk documents in
+    ``order_col`` order, open a new pack whenever adding the next document
+    would exceed ``budget`` (a document larger than the budget gets a pack
+    of its own). The scan is inherently sequential, so it runs as one
+    Arrow-batched pandas pass per group — state is two counters, group
+    size bounds memory (the 100 TB layout is many groups, e.g. source or
+    date, not one)."""
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(list(df.schema.fields) + [StructField(out_col, LongType())])
+
+    def pack(pdf):
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        packs, cur_id, cur_tok = [], 0, 0
+        for t in pdf[token_col]:
+            t = int(t)
+            if cur_tok > 0 and cur_tok + t > budget:
+                cur_id += 1
+                cur_tok = 0
+            packs.append(cur_id)
+            cur_tok += t
+        pdf[out_col] = packs
+        return pdf
+
+    return df.groupBy(by).applyInPandas(pack, schema)
