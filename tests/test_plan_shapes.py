@@ -151,3 +151,20 @@ def test_hot_bucket_caps_are_anti_joins_not_windows(spark):
     )
     plan = _plan(out)
     assert "LeftAnti" in plan and "partial_count" in plan, plan
+
+
+def test_curation_sample_is_filter_only_pack_one_exchange(spark, qs):
+    """Sampling must stay a pushdown-able filter over a hash projection
+    (zero shuffles, no driver action); the budget cumsum adds exactly ONE
+    hashpartitioning exchange (on the group key)."""
+    import re
+
+    df = qs["curation_sample_pack"](spark, SF)
+    plan = _plan(df)
+    # one key-bounded exchange for the per-lang cumsum window, nothing else
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "hashpartitioning" in plan, plan
+    assert "RoundRobin" not in plan, plan
+    # the md5-threshold sample survives as a Filter node (no shuffle, no
+    # driver action selects the sample)
+    assert re.search(r"\(\d+\) Filter", plan), plan
