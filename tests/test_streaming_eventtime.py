@@ -1,0 +1,119 @@
+"""Event-time windowed aggregation (streaming/eventtime.py): tumbling and
+hopping windows over a file-source stream, watermark late-data semantics —
+in-watermark late rows fold into their window; beyond-watermark rows drop."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.streaming.eventtime import event_time_window_agg
+
+
+def _drain(q, seconds=20):
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        q.processAllAvailable()
+        time.sleep(0.3)
+        if not q.status["isDataAvailable"]:
+            return
+
+
+def _run_stream(spark, tmp_path, batches, *, mode, watermark="5 seconds"):
+    """Feed batches (lists of (pk, ts_ms, v)) as sequential files; return
+    collected output rows of a per-pk 10s tumbling sum."""
+    src = tmp_path / "src"
+    src.mkdir(exist_ok=True)
+    stream = (
+        spark.readStream.schema("pk string, ts bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = event_time_window_agg(
+        stream,
+        ts_col="ts",
+        window="10 seconds",
+        aggs={"sv": F.sum("v"), "cnt": F.count(F.lit(1))},
+        keys=["pk"],
+        watermark=watermark,
+    )
+    got: list = []
+    q = (
+        out.writeStream.outputMode(mode)
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{mode}"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(
+                rows, "pk string, ts bigint, v double"
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+            _drain(q)
+    finally:
+        q.stop()
+    return got
+
+
+def test_tumbling_update_mode_folds_late_in_watermark_rows(spark, tmp_path):
+    batches = [
+        [("a", 1_000, 1.0), ("a", 4_000, 2.0)],       # window [0,10s): 3
+        [("a", 12_000, 5.0)],                          # advances max event time
+        [("a", 8_000, 10.0)],                          # late but within 5s wm
+    ]
+    got = _run_stream(spark, tmp_path, batches, mode="update")
+    final = {}
+    for r in got:
+        final[(r["pk"], r["window_start"])] = (r["sv"], r["cnt"])
+    assert final[("a", 0)] == (13.0, 3)      # late row folded in
+    assert final[("a", 10_000)] == (5.0, 1)
+
+
+def test_tumbling_append_mode_drops_beyond_watermark(spark, tmp_path):
+    batches = [
+        [("a", 1_000, 1.0)],
+        # jump far ahead: watermark = 60s - 5s = 55s >> window [0,10s) end
+        [("a", 60_000, 2.0)],
+        # 5s is now WAY behind the watermark: dropped, never re-emitted
+        [("a", 5_000, 100.0)],
+        # push event time further so more windows could finalize
+        [("a", 80_000, 3.0)],
+    ]
+    got = _run_stream(spark, tmp_path, batches, mode="append")
+    emitted = {(r["pk"], r["window_start"]): r["sv"] for r in got}
+    # the [0,10s) window finalized with ONLY the pre-watermark row
+    assert emitted.get(("a", 0)) == 1.0
+    assert all(not (ws == 0 and sv == 101.0) for (_, ws), sv in emitted.items())
+
+
+def test_hopping_window_memberships(spark, tmp_path):
+    src = tmp_path / "hop"
+    src.mkdir()
+    spark.createDataFrame(
+        [("a", 7_000, 1.0)], "pk string, ts bigint, v double"
+    ).coalesce(1).write.parquet(str(src / "b0"))
+    stream = (
+        spark.readStream.schema("pk string, ts bigint, v double").parquet(str(src))
+    )
+    out = event_time_window_agg(
+        stream,
+        ts_col="ts",
+        window="10 seconds",
+        slide="5 seconds",
+        aggs={"sv": F.sum("v")},
+        keys=["pk"],
+    )
+    got: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        q.stop()
+    # a 10s window sliding by 5s: ts=7s belongs to [0,10) and [5,15)
+    starts = sorted(r["window_start"] for r in got)
+    assert starts == [0, 5_000]
