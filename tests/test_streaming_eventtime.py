@@ -27,6 +27,7 @@ def _run_stream(spark, tmp_path, batches, *, mode, watermark="5 seconds"):
     stream = (
         spark.readStream.schema("pk string, ts bigint, v double")
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(str(src))
     )
     out = event_time_window_agg(
@@ -93,7 +94,9 @@ def test_hopping_window_memberships(spark, tmp_path):
         [("a", 7_000, 1.0)], "pk string, ts bigint, v double"
     ).coalesce(1).write.parquet(str(src / "b0"))
     stream = (
-        spark.readStream.schema("pk string, ts bigint, v double").parquet(str(src))
+        spark.readStream.schema("pk string, ts bigint, v double")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
     )
     out = event_time_window_agg(
         stream,
