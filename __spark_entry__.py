@@ -63,8 +63,8 @@ def q_scan_project_filter(spark: SparkSession, sf: str) -> DataFrame:
 def q_const_project(spark: SparkSession, sf: str) -> DataFrame:
     """ConstProject: no-table SELECT. Retired from the oracle registry in
     round 7 (50-row driver cap; ConstProjectNode stays oracle-covered by
-    the constant columns in ``q_expressions``) — kept as the bench warmup
-    and exercised by tests/test_sql.py."""
+    the constant columns in ``q_expressions``) — the no-table form is
+    exercised by tests/test_sql.py::test_const_project."""
     return R.const_project(
         spark,
         three=(F.lit(1) + F.lit(2)).cast("long"),

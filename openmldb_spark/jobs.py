@@ -154,7 +154,9 @@ class JobManager:
                     job.state = "STOPPED"
                     job._log(f"job {job.id} stopped")
                 else:
-                    job.state = "FAILED"
+                    # error/log BEFORE state: state is the publication
+                    # point pollers key on (SHOW JOB right after FAILED
+                    # must already carry the message)
                     job.error = str(e)
                     job._exc = e
                     import traceback
@@ -163,6 +165,7 @@ class JobManager:
                         f"job {job.id} failed:\n"
                         + "".join(traceback.format_exception(type(e), e, e.__traceback__))
                     )
+                    job.state = "FAILED"
                 return
             job.end_time_ms = int(time.time() * 1000)
             job.state = "STOPPED" if job._cancel.is_set() else "FINISHED"

@@ -42,8 +42,13 @@ _RES = 1_000_000
 
 
 def _sample_hash(id_col: Column, seed: int) -> Column:
-    """Salted 60-bit md5 hash of the row id, uniform over [0, 2^60)."""
-    return portable_token_hash(F.concat(F.lit(f"{seed}|"), id_col.cast("string")))
+    """Salted 60-bit md5 hash of the row id, uniform over [0, 2^60).
+    NULL ids hash via a sentinel so fraction=1.0 is exactly identity
+    (a NULL-propagating concat would silently drop NULL-id rows from
+    every sample); SQL-engine equivalent: coalesce(cast(id as varchar),
+    chr(0))."""
+    id_s = F.coalesce(id_col.cast("string"), F.lit("\x00"))
+    return portable_token_hash(F.concat(F.lit(f"{seed}|"), id_s))
 
 
 def hash_fraction(

@@ -86,8 +86,10 @@ def test_stop_job_kills_running_import(eng, spark, tmp_path):
         job = eng.jobman.get(jid)
         _wait_state(job, {"Running", "FINISHED"})
         if job.state == "Running":
+            # the job may legitimately finish between the two reads — only
+            # assert SHOW JOB reflects a real state, not a stale one
             state_shown = eng.execute(f"SHOW JOB {jid}").collect()[0]["state"]
-            assert state_shown == "Running"
+            assert state_shown in ("Running", "FINISHED")
         t0 = time.time()
         stopped = eng.execute(f"STOP JOB {jid}").collect()[0]
         assert stopped["state"] == "STOPPED"
@@ -95,9 +97,10 @@ def test_stop_job_kills_running_import(eng, spark, tmp_path):
         assert job.state == "STOPPED"
         n = eng.execute(f"SELECT count(*) AS n FROM {tbl}").collect()[0]["n"]
         if n != 0:
-            # only a job that genuinely FINISHED before the cancel landed
-            # may have published; anything else is a real isolation bug
-            assert any("finished" in line for line in job.log), (n, job.log)
+            # only a job whose body ran to completion before the cancel
+            # landed may have published — and then it publishes EVERYTHING.
+            # A partial publish is a real isolation bug.
+            assert n == rows, (n, rows, job.log)
             rows *= 3
             continue
         return
