@@ -245,10 +245,13 @@ class Engine:
 
     # -- db-qualified name handling ------------------------------------------
     def _loc(self, name: str) -> tuple[str, str]:
-        """(db, bare table name) for a possibly-mangled name token."""
+        """(db, bare table name) for a possibly-mangled name token.
+        Backquoted identifiers normalize to their bare spelling, so
+        ``CREATE TABLE `t-1```, ``INSERT INTO `t-1``` and ``FROM `t-1```
+        all address one table (cases/plan/back_quote_identifier.yaml)."""
         if name in self._mangled:
             return self._mangled[name]
-        return self.current_db, name
+        return self.current_db, name.strip("`")
 
     def _with_ttl(self, db: str, name: str, df: DataFrame) -> DataFrame:
         """Online-mode reads see only TTL-live rows (the reference's online

@@ -348,3 +348,22 @@ def test_parser_acceptances():
         "SELECT a FROM t1 FULL OUTER JOIN t2 ON t1.a = t2.a",
     ]:
         P.parse(good)
+
+
+# -- backquoted identifiers ----------------------------------------------------
+
+
+def test_backquoted_identifiers_end_to_end(spark):
+    """cases/plan/back_quote_identifier.yaml executes, not just parses:
+    `t-1`/`a-1` normalize to one table across DDL/DML/query/DESC/DROP."""
+    e = Engine(spark)
+    e.execute("create table `t-1` (`a-1` int, `b-1` string, index(key=`a-1`))")
+    e.execute("insert into `t-1` values (1, 'x'), (2, 'y')")
+    rows = e.execute(
+        "select `a-1`, `b-1` from `t-1` where `a-1` > 1"
+    ).collect()
+    assert [(r[0], r[1]) for r in rows] == [(2, "y")]
+    assert [r[0] for r in e.execute("SHOW TABLES").collect()] == ["t-1"]
+    assert e.execute("DESC `t-1`").collect()[0]["field"] == "a-1"
+    e.execute("DROP TABLE `t-1`")
+    assert "t-1" not in e.tables
