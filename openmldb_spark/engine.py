@@ -568,8 +568,13 @@ class Engine:
         if head == "CREATE" and second in ("FUNCTION", "AGGREGATE"):
             return self._create_function(sql_text)
         if head == "DROP" and second == "FUNCTION":
-            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {toks[2].text}")
-            self.functions.pop(toks[2].text, None)
+            # DROP FUNCTION [IF EXISTS] name (cmd.yaml drop_function_*)
+            guarded = len(toks) > 3 and toks[2].upper == "IF"
+            fname = toks[4].text if guarded else toks[2].text
+            if not guarded and fname not in self.functions:
+                raise ValueError(f"function {fname!r} does not exist")
+            self.spark.sql(f"DROP TEMPORARY FUNCTION IF EXISTS {fname}")
+            self.functions.pop(fname, None)
             return None
         if head == "DROP" and second == "TABLE":
             db, bare = self._loc(toks[2].text)

@@ -367,3 +367,9 @@ def test_backquoted_identifiers_end_to_end(spark):
     assert e.execute("DESC `t-1`").collect()[0]["field"] == "a-1"
     e.execute("DROP TABLE `t-1`")
     assert "t-1" not in e.tables
+
+
+def test_drop_function_if_exists(eng):
+    with pytest.raises(ValueError):
+        eng.execute("DROP FUNCTION no_such_fn")
+    eng.execute("DROP FUNCTION IF EXISTS no_such_fn")  # guarded: no error
