@@ -100,9 +100,16 @@ BENCH_QUERIES = [
     "embedding_lsh_topk_join",
 ]
 
+#: every query runs at least this many reps (r7 verdict: the stochastic
+#: 2-10x host/JIT tier documented in the adjudications above can hit BOTH
+#: reps of a best-of-2 — four r7 artifact numbers landed 2-4x above their
+#: fresh-JVM steady states on unchanged code; min-of-3 guarantees a
+#: steady-state rep with high probability on this host)
+MIN_REPS = 3
+
 #: extra reps for queries with an adjudicated stochastic JIT tier (module
 #: docstring): min-of-N needs one steady-state rep to land
-REPS = {"dedup_minhash": 4}
+REPS = {"dedup_minhash": 4, "embedding_topk": 4}
 
 
 def main() -> None:
@@ -123,21 +130,25 @@ def main() -> None:
     spark.range(256).repartition(64).mapInPandas(lambda it: it, "id long").count()
 
     timings: dict[str, float] = {}
+    reps_out: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
-        # best-of-2: the host (shared microVM) shows transient 10-30x
-        # stalls that hit whichever query is running; min-of-two isolates
-        # engine time from host noise. count() forces full evaluation
-        # without collecting payloads to the driver. Queries with a
-        # measured stochastic JIT tier (adjudications above) get extra
-        # reps — at least one rep lands on steady state.
+        # min-of-N: the host (shared microVM) shows transient 10-30x
+        # stalls and a stochastic JIT tier that can hit whichever query is
+        # running; min-of-N isolates engine time from host noise. count()
+        # forces full evaluation without collecting payloads to the
+        # driver. Per-rep arrays are published in the JSON so the artifact
+        # itself shows the environment tier instead of hiding it.
         best, n = None, 0
-        for _ in range(REPS.get(name, 2)):
+        reps: list[float] = []
+        for _ in range(max(MIN_REPS, REPS.get(name, 0))):
             t0 = time.perf_counter()
             n = qs[name](spark, sf_dir).count()
             dt = time.perf_counter() - t0
+            reps.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        reps_out[name] = reps
+        print(f"# {name}: {timings[name]:.3f}s {reps} ({n} rows)", file=sys.stderr)
         # drop blocks persist()ed inside the query so one query's cache
         # pressure can't tax the next timing (r6 embedding_topk
         # adjudication: cached-block GC pressure was the cross-round tier)
@@ -152,6 +163,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "reps": reps_out,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

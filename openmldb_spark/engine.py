@@ -295,9 +295,36 @@ class Engine:
             offline = self._offline_mode
         db, bare = self._loc(name)
         if offline:
-            self._db_off.setdefault(db, {})[bare] = df
+            # full replacement of the offline store MUST go through the
+            # offline-info ledger — a direct _db_off write leaves the
+            # ledger base=None, and a later LOAD DATA mode='append' /
+            # ALTER TABLE ADD OFFLINE_PATH rebuild would silently discard
+            # these rows (ADVICE r7, high)
+            parts = self._off_ledger(db, bare)
+            parts["base"] = df
+            parts["sym"] = {}
+            self._off_rebuild(db, bare)
         else:
             self._dbs[db][bare] = df
+
+    def _store_append(
+        self, name: str, new: DataFrame, offline: Optional[bool] = None
+    ) -> None:
+        """Append rows to a table's store. Offline appends write through
+        the offline-info ledger (into ``parts['base']``) so symbolic paths
+        added by ALTER TABLE are never double-counted and later
+        mode='append' loads keep the inserted rows."""
+        if offline is None:
+            offline = self._offline_mode
+        db, bare = self._loc(name)
+        if offline:
+            parts = self._off_ledger(db, bare)
+            parts["base"] = (
+                new if parts["base"] is None else parts["base"].unionByName(new)
+            )
+            self._off_rebuild(db, bare)
+        else:
+            self._dbs[db][bare] = self._dbs[db][bare].unionByName(new)
 
     def _table_view(self) -> dict[str, DataFrame]:
         """Resolution mapping for the Lowerer: current db's tables under
@@ -395,7 +422,10 @@ class Engine:
         head = toks[0].upper
         second = toks[1].upper if len(toks) > 1 else ""
         if head in ("SELECT", "WITH") or (
-            head == "(" and any(t.upper == "UNION" for t in toks)
+            # match execute()'s set-op head check: EXCEPT/INTERSECT also
+            # start with a parenthesized arm (ADVICE r7)
+            head == "("
+            and any(t.upper in ("UNION", "EXCEPT", "INTERSECT") for t in toks)
         ):
             if re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE):
                 return "kSelectIntoStmt"
@@ -528,6 +558,14 @@ class Engine:
         )
         if pm:
             return self._show_create_procedure(pm.group(1))
+        # DROP PROCEDURE likewise routes pre-mangle: db.sp must stay dotted
+        # for _dep_lookup (mangling would produce __omdb__db__sp, which
+        # _dep_lookup cannot split back — ADVICE r7)
+        dpm = re.match(
+            r"\s*DROP\s+PROCEDURE\s+([\w.]+)\s*;?\s*$", sql_text, re.IGNORECASE
+        )
+        if dpm:
+            return self._drop_procedure(dpm.group(1))
         sql_text = self._mangle_sql(sql_text)
         toks = tokenize(sql_text)
         if not toks:
@@ -637,12 +675,9 @@ class Engine:
         if head == "CREATE" and second == "PROCEDURE":
             return self._create_procedure(sql_text)
         if head == "DROP" and second == "PROCEDURE":
-            name = toks[2].text
-            db, dep = self._dep_lookup(name)
-            if dep.kind != "procedure":
-                raise ValueError(f"procedure {name!r} not found")
-            del self._db_deps[db][name.rpartition(".")[2]]
-            return None
+            # reached only for spellings the pre-mangle route didn't match
+            # (e.g. backquoted names) — the name is already bare here
+            return self._drop_procedure(toks[2].text)
         if head == "SHOW" and second == "JOB" and len(toks) > 2 and toks[2].kind == "num":
             job = self.jobman.get(int(toks[2].text))
             return self.spark.createDataFrame([job.row()], JOB_SCHEMA)
@@ -850,7 +885,7 @@ class Engine:
             [_coerce(v, f.dataType) for v, f in zip(r, schema.fields)] for r in rows
         ]
         new = self.spark.createDataFrame(rows, schema)
-        self._store_set(name, existing.unionByName(new))
+        self._store_append(name, new)
         return None
 
     def _delete(self, sql_text: str):
@@ -1426,6 +1461,16 @@ class Engine:
             raise ValueError("DROP DEPLOYMENT takes an unqualified name")
         db, _ = self._dep_lookup(name)
         del self._db_deps[db][name]
+        return None
+
+    def _drop_procedure(self, name: str):
+        """DROP PROCEDURE [db.]name — routes pre-mangle (ADVICE r7): the
+        qualifier must reach _dep_lookup dotted, like SHOW CREATE
+        PROCEDURE (the reference's kCmdDropSp takes [db.]name)."""
+        db, dep = self._dep_lookup(name)
+        if dep.kind != "procedure":
+            raise ValueError(f"procedure {name!r} not found")
+        del self._db_deps[db][name.rpartition(".")[2]]
         return None
 
     def _show_deployment(self, name: str) -> DataFrame:

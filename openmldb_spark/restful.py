@@ -97,7 +97,9 @@ QUERY_TYPES = {
 MODE_MAP = {
     "offsync": ("offline", True),
     "offasync": ("offline", False),
-    "online": ("online", True),
+    # the reference's mode_map is {"online", {true, false}}: online is
+    # ASYNC; only "onsync" is online+sync (api_server_impl.cc:134-139)
+    "online": ("online", False),
     "onsync": ("online", True),
 }
 
@@ -551,6 +553,11 @@ class ApiServer:
         if dep.output_schema is None and out_rows:
             out_fields = out_rows[0].__fields__
             out_types = ["string"] * len(out_fields)
+        elif dep.output_schema is None:
+            # parameterized body + every request row filtered out: no
+            # schema and no rows to infer one from — empty payload, not an
+            # AttributeError the handler can't serialize (ADVICE r7)
+            out_fields, out_types = [], []
         else:
             out_fields = [f.name for f in dep.output_schema.fields]
             out_types = [
