@@ -792,13 +792,18 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (hash-derived hyperplanes — no SQL
-    oracle; recall measured against brute force in unit tests)."""
+    """LSH-bucketed approximate top-k, broadcast-queries serving shape.
+    portable=True routes bucketize + cosine through the same md5-plane
+    sequential JVM folds as the _join sibling, so the query is
+    bit-reproducible in DuckDB: full rows+schema+hash oracle (closes the
+    r7 board's one no_oracle row). dim=64 skips the one-row dimension
+    probe — the plan builds with zero driver actions."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
     out = S.lsh_topk(
         emb, queries, corpus_id="vec_id", corpus_vec="embedding",
-        query_id="vec_id", query_vec="embedding", k=5, planes=8,
+        query_id="vec_id", query_vec="embedding", k=5, planes=8, seed=42,
+        portable=True, dim=64,
     )
     return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
@@ -1865,6 +1870,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS fp,
                    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish
             FROM m
+        """,
+        "embedding_lsh_topk": """
+            WITH P AS (
+              SELECT CAST(i // 64 AS INT) AS p, CAST(i % 64 AS INT) AS d,
+                     CAST(('0x' || substr(md5('42|' || (i // 64) || '|' || (i % 64)), 1, 15))::BIGINT
+                          / power(2.0, 59) - 1 AS DOUBLE) AS c
+              FROM range(0, 512) t(i)
+            ), coeff AS (
+              SELECT p, list(CAST(c AS DOUBLE) ORDER BY d) AS cs FROM P GROUP BY p
+            ), vb AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+                            list_transform(list_zip(CAST(embedding AS DOUBLE[]), cs),
+                                           x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                            (a, b) -> a + b) >= 0
+                              THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+              FROM embeddings, coeff GROUP BY vec_id
+            ), ev AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)),
+                          (a, b) -> a + b)) AS nrm
+              FROM embeddings
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_prepend(0.0, list_transform(list_zip(eq.v, ec.v),
+                         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), (a, b) -> a + b)
+                       / (eq.nrm * ec.nrm) AS cos
+              FROM vb q JOIN vb c USING (bucket)
+              JOIN ev eq ON eq.vec_id = q.vec_id
+              JOIN ev ec ON ec.vec_id = c.vec_id
+              WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 5
         """,
         "embedding_lsh_topk_join": """
             WITH P AS (

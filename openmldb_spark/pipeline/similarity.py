@@ -180,16 +180,48 @@ def lsh_topk(
     planes: int = 10,
     seed: int = 42,
     exclude_self: bool = True,
+    portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k via shared random-hyperplane buckets.
 
     Recall/cost dial: fewer planes = bigger buckets = higher recall, more
     compute. Output schema matches :func:`brute_force_topk` (may return
     < k rows per query if its bucket is small — IVF-style behavior).
+
+    ``portable=True`` keeps the broadcast-queries serving shape (the query
+    side rides a broadcast hash join — no corpus shuffle) but derives
+    planes from md5 and computes buckets/cosines with sequential JVM
+    folds, bit-reproducible in any SQL engine with md5 + IEEE doubles —
+    the same oracle contract as ``lsh_topk_join(portable=True)``.
+    ``portable=False`` (default) collects+broadcasts the queries as a
+    numpy matrix and scores one matmul per Arrow batch — the fast path.
     """
     import numpy as np
 
     spark = corpus.sparkSession
+    if portable:
+        if dim is None:
+            dim = len(corpus.select(corpus_vec).first()[0])
+        ca = _portable_bucket(
+            corpus, corpus_id, corpus_vec, "neighbor_id", dim, planes, seed
+        ).withColumnRenamed("__v", "__cv")
+        qa = _portable_bucket(
+            queries, query_id, query_vec, "query_id", dim, planes, seed
+        ).withColumnRenamed("__v", "__qv")
+        scored = ca.join(F.broadcast(qa), "__bucket").select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+        if exclude_self:
+            scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cos").desc(), F.col("neighbor_id").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        )
     first = corpus.select(corpus_vec).first()
     dim = len(first[0])
     P = _plane_matrix(spark, dim, planes, seed)
@@ -270,6 +302,29 @@ def _portable_planes(dim: int, planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _portable_bucket(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    out_id: str,
+    dim: int,
+    planes: int,
+    seed: int,
+) -> DataFrame:
+    """(id, __v, __bucket) with md5-derived planes and sequential JVM
+    folds — the oracle-reproducible bucketizer shared by :func:`lsh_topk`
+    (portable arm) and :func:`lsh_topk_join` (portable=True)."""
+    proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    coeffs = _portable_planes(dim, planes, seed)
+    b = F.lit(0).cast("long")
+    for p in range(planes):
+        arr = F.array(*[F.lit(c) for c in coeffs[p]])
+        b = b + F.when(
+            dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return proj.withColumn("__bucket", b)
+
+
 def lsh_topk_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -312,16 +367,9 @@ def lsh_topk_join(
         dim = len(corpus.select(corpus_vec).first()[0])
 
     def with_bucket(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
-        proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
         if portable:
-            coeffs = _portable_planes(dim, planes, seed)
-            b = F.lit(0).cast("long")
-            for p in range(planes):
-                arr = F.array(*[F.lit(c) for c in coeffs[p]])
-                b = b + F.when(dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")).otherwise(
-                    F.lit(0).cast("long")
-                )
-            return proj.withColumn("__bucket", b)
+            return _portable_bucket(df, id_col, vec_col, out_id, dim, planes, seed)
+        proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
         P = _plane_matrix(spark, dim, planes, seed)
         weights = (1 << np.arange(planes)).astype(np.int64)
         bc = spark.sparkContext.broadcast((P, weights))

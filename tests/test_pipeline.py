@@ -200,6 +200,40 @@ def test_lsh_topk_join_plan_builds_without_driver_actions(spark, monkeypatch):
     assert set(["query_id", "neighbor_id", "cos", "rank"]) <= set(out.columns)
 
 
+def test_lsh_topk_portable_matches_join_sibling(spark):
+    # the r8 portable arm: broadcast-queries lsh_topk(portable=True) is
+    # the same md5-plane + JVM-fold computation as
+    # lsh_topk_join(portable=True) — identical rows, cosines included
+    import math
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.2 * (i % 7)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    q = df.where(F.col("vec_id") < 10)
+    kw = dict(corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+              query_vec="v", k=3, planes=5, seed=7, portable=True)
+    bcast = S.lsh_topk(df, q, **kw).collect()
+    joined = S.lsh_topk_join(df, q, **kw).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+    assert sorted(map(key, bcast)) == sorted(map(key, joined))
+
+
+def test_lsh_topk_portable_plan_builds_without_driver_actions(spark, monkeypatch):
+    from pyspark.sql import DataFrame
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, v array<float>")
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver action during plan construction")
+
+    monkeypatch.setattr(DataFrame, "collect", boom)
+    monkeypatch.setattr(DataFrame, "first", boom)
+    monkeypatch.setattr(DataFrame, "take", boom)
+    out = S.lsh_topk(
+        df, df, corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+        query_vec="v", k=2, planes=4, portable=True, dim=2,
+    )
+    assert set(["query_id", "neighbor_id", "cos", "rank"]) <= set(out.columns)
+
+
 def test_multimodal_audio_and_resize(spark):
     from openmldb_spark.pipeline import multimodal as M
 
