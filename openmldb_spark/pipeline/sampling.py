@@ -22,9 +22,11 @@ step before tokenize-and-concat training ingestion:
   ``applyInPandas`` per group, state = one counter pair; verified in
   tests against a pure-Python model.
 
-At 100 TB: every op here is one key-bounded shuffle (sampling is zero
-shuffles — a filter over a hash projection that pushes nothing to the
-driver; packing shuffles once on the group key).
+At 100 TB: sampling is zero shuffles — a filter over a hash projection
+that pushes nothing to the driver; packing and grouped budget_chunks
+shuffle once on the group key; ungrouped budget_chunks (by=None) is a
+two-pass distributed prefix sum (range shuffle + per-partition windows +
+broadcast offsets) — never a single-reducer global window.
 """
 
 from __future__ import annotations
@@ -100,18 +102,60 @@ def budget_chunks(
     """Fixed token-budget sharding: within each ``by`` group (whole table
     when None), order by ``order_col`` and assign chunk
     ``floor(preceding_tokens / budget)`` — the shard where the document
-    STARTS. One cumsum window per group; chunks are contiguous and every
-    chunk except the last starts before the k*budget boundary."""
+    STARTS. Chunks are contiguous and every chunk except the last starts
+    before the k*budget boundary.
+
+    With ``by`` given: one key-partitioned cumsum window (one exchange).
+
+    With ``by=None`` the cumsum is a TWO-PASS DISTRIBUTED PREFIX SUM —
+    never an un-partitioned ``Window.orderBy`` (which funnels the whole
+    table through one reducer): rows range-shuffle on ``order_col``, each
+    range partition cumsums locally, and the per-partition token totals
+    (one row per partition, a cluster-sized aggregate, not a data-sized
+    one) roll into broadcast exclusive offsets that are added back.
+    Ties in ``order_col`` order arbitrarily within a partition, same as
+    the window spelling. The range assignment must be recompute-stable
+    (deterministic source, e.g. a table scan) — the plan reads the input
+    twice, once for offsets and once for rows."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
-    w = Window.orderBy(order_col) if by is None else (
-        Window.partitionBy(by).orderBy(order_col)
+    if by is not None:
+        w = Window.partitionBy(by).orderBy(order_col)
+        start = (
+            F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col(token_col)
+        )
+        return df.withColumn(out_col, F.floor(start / F.lit(budget)).cast("long"))
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranged = df.repartitionByRange(n_part, F.col(order_col).asc()).withColumn(
+        "__pid", F.spark_partition_id()
     )
-    start = (
-        F.sum(F.col(token_col)).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    # exclusive per-partition offsets: ≤ n_part rows after a map-side
+    # partial agg, so the orderBy window here is over a tiny bounded table
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        ranged.groupBy("__pid")
+        .agg(F.sum(F.col(token_col)).alias("__ptok"))
+        .select(
+            "__pid",
+            F.coalesce(F.sum("__ptok").over(off_w), F.lit(0)).alias("__off"),
+        )
+    )
+    local_w = Window.partitionBy("__pid").orderBy(order_col)
+    local = (
+        F.sum(F.col(token_col)).over(
+            local_w.rowsBetween(Window.unboundedPreceding, 0)
+        )
         - F.col(token_col)
     )
-    return df.withColumn(out_col, F.floor(start / F.lit(budget)).cast("long"))
+    return (
+        ranged.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.floor((local + F.col("__off")) / F.lit(budget)).cast("long"),
+        )
+        .drop("__pid", "__off")
+    )
 
 
 def pack_greedy(

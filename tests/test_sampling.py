@@ -64,6 +64,45 @@ def test_budget_chunks_matches_model(docs):
         assert all(b - a in (0, 1) for a, b in zip(chunks, chunks[1:]))
 
 
+def test_budget_chunks_global_matches_model(docs):
+    # by=None: the two-pass distributed prefix sum must equal the naive
+    # single-pass cumsum (order_col is unique here, so the order is total)
+    out = SA.budget_chunks(
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000
+    ).collect()
+    rows = sorted(((r.doc_id, r.n_tokens, r.chunk_id) for r in out))
+    assert len(rows) == 300
+    cum = 0
+    for _id, tok, chunk in rows:
+        assert chunk == cum // 5000, _id
+        cum += tok
+
+
+def test_budget_chunks_global_no_unpartitioned_window(docs):
+    # the raw stream must never pass through an un-partitioned window: the
+    # full-stream cumsum is partitioned by __pid (after the range
+    # shuffle), and the only single-partition stage is the ≤n_part-row
+    # per-partition-totals window (a cluster-sized table, not data-sized)
+    out = SA.budget_chunks(
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the data-stream window carries the __pid partition spec
+    assert "windowspecdefinition(__pid" in plan, plan
+    # an un-partitioned window over the raw token column must not exist:
+    # every sum(n_tokens) window is __pid-partitioned
+    for line in plan.splitlines():
+        if "Window [sum(n_tokens" in line:
+            assert "], [__pid" in line, line
+    # two-pass shape: range shuffle + broadcast offsets join
+    assert "rangepartitioning" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    # the single-partition exchange feeds only the per-partition totals
+    # window (sum over __ptok), never the raw stream
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+    assert "sum(__ptok" in plan, plan
+
+
 def _greedy_model(tokens, budget):
     packs, cur_id, cur = [], 0, 0
     for t in tokens:
