@@ -2,11 +2,13 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested: schemas, partition-size
-control, UDF signatures, batch shapes. The *decoders* run PIL when it is
-importable and otherwise fall back to deterministic stubs (the image/audio
-libraries are not in this container), so the plumbing has testable,
-reproducible outputs either way. Nothing but the decode body changes when a
-real codec lands.
+control, UDF signatures, batch shapes. Decoders: uncompressed BMP and
+8-bit PNG are decoded NATIVELY (pure stdlib+numpy — real pixels, real
+dims), PCM WAV headers via stdlib ``wave``; JPEG and compressed audio run
+PIL/codec libs when importable and otherwise fall back to deterministic
+stubs (those libraries are not in this container), so the plumbing has
+testable, reproducible outputs either way. Nothing but the decode body
+changes when a real codec lands.
 
 Batch walking is columnar: payloads come out of the Arrow batch as one
 list, metadata columns pass through untouched, and outputs are built as
@@ -118,8 +120,15 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     gray = (
         0.114 * rows[:, :, 0] + 0.587 * rows[:, :, 1] + 0.299 * rows[:, :, 2]
     ) / 255.0
-    # 2x2 thumbnail = quadrant means (left/right, top/bottom halves; odd
-    # dims put the middle row/col in the second half, like a box filter)
+    return width, height, _gray_features(gray)
+
+
+def _gray_features(gray) -> list[float]:
+    """8-dim feature from a [0,1] grayscale array: 2x2 thumbnail =
+    quadrant means (left/right, top/bottom halves; odd dims put the middle
+    row/col in the second half, like a box filter) + mean/max/min/range —
+    the shared output of every real decode path (BMP, PNG, PIL)."""
+    height, width = gray.shape
     hs, ws = height // 2, width // 2
     quads = [
         gray[:hs or 1, :ws or 1],
@@ -129,13 +138,122 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     ]
     px = [float(q.mean()) for q in quads]
     mean = sum(px) / 4.0
-    return width, height, px + [mean, max(px), min(px), max(px) - min(px)]
+    return px + [mean, max(px), min(px), max(px) - min(px)]
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decoder for 8-bit non-interlaced PNG — stdlib zlib + numpy,
+    no image libs. Walks the chunk stream (IHDR/PLTE/IDAT), inflates the
+    raster, unfilters each scanline per the PNG spec (filters 0-4), and
+    emits the shared 8-dim grayscale feature. Covers color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8 — the
+    overwhelmingly common cases; 1/2/4/16-bit depths and interlaced
+    images raise OSError (the caller nulls the decode columns), same
+    contract as a real codec. Reference behavior parity: the reference has
+    no image ops — this is the LLM-pipeline multimodal surface."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise OSError("not a PNG signature")
+    pos = 8
+    width = height = None
+    color_type = bit_depth = interlace = None
+    palette = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise OSError("truncated PNG chunk")
+        pos += 12 + length  # length + tag + data + crc
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif tag == b"PLTE":
+            palette = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+    if width is None or not idat:
+        raise OSError("missing IHDR/IDAT")
+    if width == 0 or height == 0:
+        raise OSError("bad PNG dimensions")
+    if bit_depth != 8 or interlace != 0:
+        raise OSError(
+            f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise OSError(f"unsupported PNG color type {color_type}")
+    if color_type == 3 and palette is None:
+        raise OSError("palette PNG without PLTE")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise OSError(f"bad PNG zlib stream: {e}") from None
+    stride = width * channels
+    if len(raw) < (stride + 1) * height:
+        raise OSError("truncated PNG raster")
+
+    out = np.zeros((height, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(height):
+        ft = raw[p]
+        p += 1
+        line = np.frombuffer(raw, np.uint8, stride, p).astype(np.int32)
+        p += stride
+        prev = out[y - 1].astype(np.int32) if y else zero
+        if ft == 0:  # None
+            cur = line
+        elif ft == 2:  # Up — vectorized (no left-neighbor dependency)
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                if ft == 1:
+                    v = line[x] + a
+                elif ft == 3:
+                    v = line[x] + ((a + prev[x]) >> 1)
+                else:
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pr
+                cur[x] = v & 0xFF
+        else:
+            raise OSError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+
+    px = out.reshape(height, width, channels)
+    if color_type == 3:
+        rgb = palette[px[:, :, 0]]
+        gray = (
+            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
+        ) / 255.0
+    elif channels >= 3:  # RGB / RGBA — same ITU-R 601 luma as the BMP path
+        gray = (
+            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+        ) / 255.0
+    else:  # gray / gray+alpha
+        gray = px[:, :, 0] / 255.0
+    return width, height, _gray_features(gray)
 
 
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode an image payload: BMP natively (pure numpy — real pixels,
-    real dims, no image libs needed), anything else via PIL when available,
-    stub otherwise.
+    """Decode an image payload: BMP and 8-bit PNG natively (pure
+    stdlib+numpy — real pixels, real dims, no image libs needed), anything
+    else via PIL when available, stub otherwise (JPEG is the remaining
+    stub: entropy decode genuinely needs a library).
 
     Every path emits real-or-fake dimensions and an 8-dim feature (2x2
     grayscale thumbnail + stats) — identical output shape, so downstream
@@ -143,6 +261,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
         img = _PILImage.open(io.BytesIO(payload))
         width, height = img.size

@@ -467,20 +467,21 @@ def _tiny_png(pixels, width, height):
 
 
 def test_image_decode_contract_real_png(spark):
-    """A real 2x1 PNG through extract_image_features: the contract shape
-    (8-dim feat, non-null dims) holds on both the stub and the PIL path; on
-    the PIL path the decoded dims must be the true pixel dims."""
+    """A real 2x1 PNG through extract_image_features: since r8 the PNG
+    decoder is REAL in-sandbox (stdlib zlib + numpy unfilter), so the
+    decoded dims and pixel stats are exact regardless of PIL."""
     png = _tiny_png([(255, 0, 0), (0, 0, 255)], width=2, height=1)
     rows = [("p1", "image", "image/png", bytearray(png), None, None, None)]
     df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
     (out,) = M.extract_image_features(df).collect()
     assert out["n_bytes"] == len(png)
-    assert out["width"] is not None and out["height"] is not None
+    assert (out["width"], out["height"]) == (2, 1)
     assert len(out["feat"]) == 8
-    if M._PILImage is not None:  # real decoder present: dims are exact
-        assert (out["width"], out["height"]) == (2, 1)
-        # red+blue 2x1: grayscale mean strictly inside (0, 1)
-        assert 0.0 < out["feat"][4] < 1.0
+    # red+blue 2x1: grayscale mean strictly inside (0, 1), and the left
+    # quadrant (red, luma .299) differs from the right (blue, luma .114)
+    assert 0.0 < out["feat"][4] < 1.0
+    assert abs(out["feat"][0] - 0.299) < 0.01
+    assert abs(out["feat"][1] - 0.114) < 0.01
 
 
 def test_image_resize_contract_real_png(spark):
@@ -609,3 +610,96 @@ def test_bmp_decoder_variants():
 
     with _pytest.raises(OSError):
         M._decode_bmp(_tiny_bmp([[A]], bpp=24)[:40])  # truncated raster
+
+
+def _png_chunks(ihdr_fields, idat_raster, palette=None):
+    """Assemble a PNG from raw parts (driver-side test helper)."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        raw = tag + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", struct.pack(">IIBBBBB", *ihdr_fields))
+    if palette is not None:
+        out += chunk(b"PLTE", palette)
+    return out + chunk(b"IDAT", zlib.compress(idat_raster)) + chunk(b"IEND", b"")
+
+
+def test_png_decoder_filters_exact():
+    """All five PNG scanline filters unfilter to the same pixels: a 3x4
+    gray ramp encoded per-row with None/Sub/Up/Average/Paeth must decode
+    identically (driver-side: the decoder is plain stdlib+numpy)."""
+    import numpy as np
+
+    ref = np.arange(12, dtype=np.uint8).reshape(4, 3) * 20  # gray ramp
+
+    def encode(filters):
+        raster = b""
+        prev = np.zeros(3, dtype=np.int32)
+        for y, ft in enumerate(filters):
+            line = ref[y].astype(np.int32)
+            if ft == 0:
+                enc = line
+            elif ft == 1:  # Sub
+                enc = line - np.concatenate(([0], line[:-1]))
+            elif ft == 2:  # Up
+                enc = line - prev
+            elif ft == 3:  # Average
+                left = np.concatenate(([0], line[:-1]))
+                enc = line - ((left + prev) >> 1)
+            else:  # Paeth
+                enc = np.empty(3, dtype=np.int32)
+                for x in range(3):
+                    a = int(line[x - 1]) if x else 0
+                    b = int(prev[x])
+                    c = int(prev[x - 1]) if x else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = line[x] - pr
+            raster += bytes([ft]) + bytes((enc & 0xFF).astype(np.uint8))
+            prev = line
+        return raster
+
+    base = None
+    for filters in ([0, 0, 0, 0], [0, 1, 2, 3], [4, 4, 4, 4], [1, 4, 3, 2]):
+        png = _png_chunks((3, 4, 8, 0, 0, 0, 0), encode(filters))
+        w, h, feat = M._decode_png(png)
+        assert (w, h) == (3, 4), filters
+        if base is None:
+            base = feat
+        else:
+            assert feat == base, filters
+
+
+def test_png_decoder_color_types():
+    """RGB, RGBA, gray+alpha, and palette PNGs decode with the same luma
+    as the BMP path; unsupported shapes raise OSError."""
+    import pytest as _pytest
+
+    # 1x1 pure green in four color types -> luma 0.587 everywhere
+    cases = [
+        ((1, 1, 8, 2, 0, 0, 0), b"\x00\x00\xff\x00", None),          # RGB
+        ((1, 1, 8, 6, 0, 0, 0), b"\x00\x00\xff\x00\xff", None),      # RGBA
+        ((1, 1, 8, 3, 0, 0, 0), b"\x00\x01", b"\xff\x00\x00\x00\xff\x00"),  # palette idx1=green
+    ]
+    for ihdr, raster, plte in cases:
+        w, h, feat = M._decode_png(_png_chunks(ihdr, raster, plte))
+        assert (w, h) == (1, 1)
+        assert abs(feat[4] - 0.587) < 1e-6, ihdr
+    # gray+alpha: gray 128 -> 128/255
+    w, h, feat = M._decode_png(_png_chunks((1, 1, 8, 4, 0, 0, 0), b"\x00\x80\xff"))
+    assert abs(feat[4] - 128 / 255) < 1e-6
+    # unsupported: 16-bit depth, interlaced, bad color type, truncated
+    with _pytest.raises(OSError):
+        M._decode_png(_png_chunks((1, 1, 16, 0, 0, 0, 0), b"\x00\x00\x80"))
+    with _pytest.raises(OSError):
+        M._decode_png(_png_chunks((1, 1, 8, 0, 0, 0, 1), b"\x00\x80"))
+    with _pytest.raises(OSError):
+        M._decode_png(_png_chunks((1, 1, 8, 5, 0, 0, 0), b"\x00\x80"))
+    with _pytest.raises(OSError):
+        M._decode_png(_png_chunks((2, 2, 8, 2, 0, 0, 0), b"\x00\x01\x02"))
