@@ -46,11 +46,47 @@ def event_time_window_agg(
     the watermark never resurrect a closed window) or update mode for live
     running values.
     """
+    src = _with_event_ts(stream, ts_col, watermark)
+    win = F.window(F.col("__ev_ts"), window, slide or window)
+    return _windowed_agg(src, win, aggs, keys)
+
+
+def session_window_agg(
+    stream: DataFrame,
+    *,
+    ts_col: str,
+    gap: str,
+    aggs: Dict[str, Column],
+    keys: Sequence[str] = (),
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Session-window event-time aggregation: rows whose event times are
+    within ``gap`` of each other (per key) merge into one session; a quiet
+    period longer than ``gap`` closes the session. Completes the
+    tumbling/hopping/session trio on Spark's native
+    ``F.session_window`` — state is one row per open session per key,
+    merged/extended as rows arrive, finalized (append mode) once the
+    watermark passes session end + gap. Same output contract as
+    :func:`event_time_window_agg` (epoch-ms window bounds + aggregates);
+    ``window_end`` is the last event time + gap, per Spark's session
+    semantics. Late rows beyond the watermark drop; in-watermark late rows
+    extend or merge sessions (two sessions bridged by a late middle row
+    collapse into one)."""
+    src = _with_event_ts(stream, ts_col, watermark)
+    win = F.session_window(F.col("__ev_ts"), gap)
+    return _windowed_agg(src, win, aggs, keys)
+
+
+def _with_event_ts(stream: DataFrame, ts_col: str, watermark: str) -> DataFrame:
     ts = F.col(ts_col)
     if dict(stream.dtypes)[ts_col] in ("bigint", "long", "int"):
         ts = F.timestamp_millis(ts)
-    src = stream.withColumn("__ev_ts", ts).withWatermark("__ev_ts", watermark)
-    win = F.window(F.col("__ev_ts"), window, slide or window)
+    return stream.withColumn("__ev_ts", ts).withWatermark("__ev_ts", watermark)
+
+
+def _windowed_agg(
+    src: DataFrame, win: Column, aggs: Dict[str, Column], keys: Sequence[str]
+) -> DataFrame:
     grouped = src.groupBy(win.alias("__w"), *[F.col(k) for k in keys])
     out = grouped.agg(*[c.alias(n) for n, c in aggs.items()])
     return out.select(
