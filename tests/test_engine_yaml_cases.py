@@ -61,6 +61,12 @@ def test_engine_yaml_case(spark, path, case, tmp_path):
             if isinstance(stmt, dict):
                 # prepared statement: {sql: "... ? ...", parameters: [...]}
                 eng.execute(_sub(stmt["sql"]), parameters=stmt["parameters"])
+            elif stmt.strip() == "{waitJobs}":
+                # async-job families: block until every submitted job is
+                # final (the CLI-side poll loop the reference user runs
+                # after @@sync_job=false; asserted states stay real)
+                for j in eng.jobman.jobs.values():
+                    j.wait(180)
             else:
                 eng.execute(_sub(stmt))
         return eng.execute(_sub(case["sql"]))
