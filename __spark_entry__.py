@@ -1462,7 +1462,10 @@ def oracle_sql() -> dict[str, str]:
             ), t1 AS (
               SELECT user_id, round(max(c) * 1.0 / sum(c), 4) AS t1r FROM freq GROUP BY user_id
             ), tf AS (
-              SELECT user_id, string_agg(event_type, ',' ORDER BY c DESC, event_type ASC) AS top2f
+              -- the reference pads topn_frequency to n with literal "NULL"
+              -- (feature_zero_def.cc Output, r8)
+              SELECT user_id, string_agg(event_type, ',' ORDER BY c DESC, event_type ASC)
+                       || repeat(',NULL', 2 - CAST(count(*) AS INT)) AS top2f
               FROM (SELECT user_id, event_type, c FROM freq
                     QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c DESC, event_type ASC) <= 2)
               GROUP BY user_id

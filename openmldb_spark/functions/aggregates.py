@@ -357,17 +357,56 @@ def _key_counts(keys: Column) -> Column:
     )
 
 
+def _top1_ratio_fold(keys: Column) -> Column:
+    """top1_ratio over an element array (nulls already filtered)."""
+    counts = _key_counts(keys)
+    mx = F.array_max(F.transform(counts, lambda s: s["cnt"]))
+    return F.when(F.size(keys) == 0, F.lit(0.0)).otherwise(
+        mx.cast("double") / F.size(keys)
+    )
+
+
+def _topn_frequency_fold(all_keys: Column, n: int) -> Column:
+    """top-n keys by frequency desc (tie: smaller key first), comma-joined.
+
+    Reference Output (feature_zero_def.cc:519-586): always emits exactly n
+    comma-joined entries, padding missing ranks with the literal "NULL";
+    only a zero-update state (empty frame / empty split list, where top_n
+    was never recorded) emits "". NULL key values update the state (so
+    padding applies) but are never counted."""
+    keys = _nn(all_keys)
+    counts = _key_counts(keys)
+    ordered = F.array_sort(
+        counts,
+        lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
+        .when(a["cnt"] < b["cnt"], 1)
+        .when(a["k"] < b["k"], -1)
+        .when(a["k"] > b["k"], 1)
+        .otherwise(0),
+    )
+
+    def _fmt(k: Column) -> Column:
+        # the reference renders float/double keys with %f ("1.100000" —
+        # v1::format_string); typeof() is constant-folded per column type
+        return F.when(
+            F.typeof(k).isin("float", "double"), F.format_string("%f", k)
+        ).otherwise(k.cast("string"))
+
+    topn = F.transform(F.slice(ordered, 1, n), lambda s: _fmt(s["k"]))
+    padded = F.concat(
+        topn, F.array_repeat(F.lit("NULL"), F.lit(n) - F.size(topn))
+    )
+    return F.when(F.size(all_keys) == 0, F.lit("")).otherwise(
+        F.array_join(padded, ",")
+    )
+
+
 def top1_ratio(key: ColumnOrName) -> AggSpec:
     """freq of the most frequent non-null key / total non-null count; 0.0 if empty
     (ref: feature_zero_def.cc:425-470)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        keys = _nn(F.transform(e, f("v")))
-        counts = _key_counts(keys)
-        mx = F.array_max(F.transform(counts, lambda s: s["cnt"]))
-        return F.when(F.size(keys) == 0, F.lit(0.0)).otherwise(
-            mx.cast("double") / F.size(keys)
-        )
+        return _top1_ratio_fold(_nn(F.transform(e, f("v"))))
 
     return AggSpec(
         "top1_ratio",
@@ -383,17 +422,9 @@ def topn_frequency(key: ColumnOrName, n: int) -> AggSpec:
     (ref: feature_zero_def.cc:475-560)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        counts = _key_counts(F.transform(e, f("v")))
-        ordered = F.array_sort(
-            counts,
-            lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
-            .when(a["cnt"] < b["cnt"], 1)
-            .when(a["k"] < b["k"], -1)
-            .when(a["k"] > b["k"], 1)
-            .otherwise(0),
-        )
-        topn = F.slice(ordered, 1, n)
-        return F.array_join(F.transform(topn, lambda s: s["k"].cast("string")), ",")
+        # pass the UNFILTERED values: NULL keys still count as updates
+        # (padding applies); _topn_frequency_fold drops them from counts
+        return _topn_frequency_fold(F.transform(e, f("v")), n)
 
     return AggSpec(
         "topn_frequency",
@@ -401,6 +432,52 @@ def topn_frequency(key: ColumnOrName, n: int) -> AggSpec:
         native=None,
         array=arr,
         group=lambda f: _group_via_collect(arr, f),
+    )
+
+
+def fuse_list_agg(
+    outer: str,
+    inner: AggSpec,
+    *,
+    delim: Optional[str] = None,
+    n: Optional[int] = None,
+) -> AggSpec:
+    """UDAF-over-list-UDAF fusion: an outer aggregate applied to the LIST a
+    window-split aggregate produces (``distinct_count(window_split(c1,
+    ","))``, ``join(window_split_by_key(..), " ")``, ``top1_ratio(
+    window_split_by_value(..))``, ``topn_frequency(.., 3)`` — reference
+    feature_zero_def.cc list UDAFs composing over window_split outputs,
+    cases/function/test_feature_zero_function.yaml ids 1-5,
+    test_fz_sql.yaml id 0, test_udaf_function.yaml ids 43/47-49).
+
+    Spark-first: the inner spec already reduces the window frame to one
+    flattened element array per row, so the outer aggregate is a pure
+    ARRAY FOLD over that column — no second aggregation pass, no UDF; the
+    fused spec stays whole-stage-codegen eligible on the array path."""
+
+    def fold(arr: Column) -> Column:
+        if outer == "join":
+            return F.array_join(arr, delim)
+        if outer == "count":
+            return F.size(arr).cast("long")
+        if outer == "distinct_count":
+            return F.size(F.array_distinct(arr)).cast("long")
+        if outer == "top1_ratio":
+            return _top1_ratio_fold(_nn(arr))
+        if outer == "topn_frequency":
+            return _topn_frequency_fold(_nn(arr), n)
+        raise ValueError(f"unsupported list-fold aggregate {outer!r}")
+
+    def arr_fn(e: Column, f: Callable) -> Column:
+        return fold(inner.array(e, f))
+
+    return AggSpec(
+        f"{outer}({inner.name})",
+        dict(inner.fields),
+        native=None,
+        array=arr_fn,
+        group=lambda fields: _group_via_collect(arr_fn, fields),
+        order_sensitive=inner.order_sensitive,
     )
 
 
@@ -859,13 +936,16 @@ def top_n_value_ratio_cate(value: ColumnOrName, cond: Column, cat: ColumnOrName,
 # feature-zero window-split family
 # (ref: default_defs/feature_zero_def.cc:591-668 — window_split,
 #  window_split_by_key, window_split_by_value: split every window row's
-#  string, concatenate the pieces; element order = window order, ts-asc)
+#  string, concatenate the pieces; element order = the reference's window
+#  iteration order, rows ts-DESC (current row first), pieces within a row
+#  left-to-right — pinned by test_feature_zero_function.yaml id 1 /
+#  test_fz_sql.yaml id 0 goldens: "k3:v3 k1:v1 k2:v2" for rows 1,2)
 # ---------------------------------------------------------------------------
 
 
 def _fz_split_spec(name: str, value: ColumnOrName, piece) -> AggSpec:
     def arr(e: Column, f: Callable) -> Column:
-        vals = F.filter(F.transform(e, f("v")), lambda v: v.isNotNull())
+        vals = F.filter(F.transform(F.reverse(e), f("v")), lambda v: v.isNotNull())
         return F.flatten(F.transform(vals, piece))
 
     return AggSpec(
@@ -878,9 +958,18 @@ def _fz_split_spec(name: str, value: ColumnOrName, piece) -> AggSpec:
     )
 
 
+def _empty_piece(v: Column) -> Column:
+    """Empty-delimiter guard: the reference's UpdateSplit adds nothing when
+    delimeter->size_ == 0 (feature_zero_def.cc:186), so every row
+    contributes an empty piece list (test_feature_zero_function id 5)."""
+    return F.expr("CAST(array() AS array<string>)")
+
+
 def window_split(value: ColumnOrName, delim: str) -> AggSpec:
     from openmldb_spark.functions.scalar import _escape_re
 
+    if delim == "":
+        return _fz_split_spec("window_split", value, _empty_piece)
     pat = _escape_re(delim)
     return _fz_split_spec("window_split", value, lambda v: F.split(v, pat))
 
@@ -888,6 +977,8 @@ def window_split(value: ColumnOrName, delim: str) -> AggSpec:
 def window_split_by_key(value: ColumnOrName, item_delim: str, kv_delim: str) -> AggSpec:
     from openmldb_spark.functions.scalar import _escape_re
 
+    if item_delim == "" or kv_delim == "":
+        return _fz_split_spec("window_split_by_key", value, _empty_piece)
     ip, kp = _escape_re(item_delim), _escape_re(kv_delim)
 
     def piece(v: Column) -> Column:
@@ -902,6 +993,8 @@ def window_split_by_key(value: ColumnOrName, item_delim: str, kv_delim: str) -> 
 def window_split_by_value(value: ColumnOrName, item_delim: str, kv_delim: str) -> AggSpec:
     from openmldb_spark.functions.scalar import _escape_re
 
+    if item_delim == "" or kv_delim == "":
+        return _fz_split_spec("window_split_by_value", value, _empty_piece)
     ip, kp = _escape_re(item_delim), _escape_re(kv_delim)
 
     def piece(v: Column) -> Column:

@@ -89,10 +89,18 @@ def earth_distance(lat1, lon1, lat2, lon2) -> Column:
     return F.lit(2 * 6371009.0) * F.asin(F.sqrt(a))
 
 
+def _empty_str_array() -> Column:
+    return F.expr("CAST(array() AS array<string>)")
+
+
 def split(s: ColumnOrName, delim: str) -> Column:
     """feature-zero split (ref: feature_zero_def.cc:591-660): split to list.
     The reference splits on a literal delimiter (escape regex metachars);
-    NULL input yields an EMPTY list (test_feature_zero_function id 6)."""
+    NULL input yields an EMPTY list (test_feature_zero_function id 6), and
+    an EMPTY delimiter yields an empty list too (UpdateSplit skips when
+    delimeter->size_ == 0 — test_feature_zero_function id 5)."""
+    if delim == "":
+        return _empty_str_array()
     return F.coalesce(F.split(_c(s), _escape_re(delim)), F.array())
 
 
@@ -101,7 +109,10 @@ def _escape_re(delim: str) -> str:
 
 
 def split_by_key(s: ColumnOrName, item_delim: str, kv_delim: str) -> Column:
-    """split 'k1:v1,k2:v2' -> list of keys; NULL input -> empty list."""
+    """split 'k1:v1,k2:v2' -> list of keys; NULL input or an empty
+    delimiter -> empty list (feature_zero_def.cc UpdateSplit guard)."""
+    if item_delim == "" or kv_delim == "":
+        return _empty_str_array()
     return F.coalesce(F.transform(
         F.filter(
             F.split(_c(s), _escape_re(item_delim)),
@@ -112,7 +123,10 @@ def split_by_key(s: ColumnOrName, item_delim: str, kv_delim: str) -> Column:
 
 
 def split_by_value(s: ColumnOrName, item_delim: str, kv_delim: str) -> Column:
-    """split 'k1:v1,k2:v2' -> list of values; NULL input -> empty list."""
+    """split 'k1:v1,k2:v2' -> list of values; NULL input or an empty
+    delimiter -> empty list (feature_zero_def.cc UpdateSplit guard)."""
+    if item_delim == "" or kv_delim == "":
+        return _empty_str_array()
     return F.coalesce(F.transform(
         F.filter(
             F.split(_c(s), _escape_re(item_delim)),

@@ -423,10 +423,60 @@ def _split_embedded_overs(
     return out, per_w
 
 
+#: outer aggregates that fold the LIST a window-split aggregate produces
+#: (UDAF-over-UDAF fusion — feature_zero_def.cc list UDAF composition)
+_LIST_FOLD_OUTERS = {"join", "count", "distinct_count", "top1_ratio", "topn_frequency"}
+_LIST_PRODUCERS = {"window_split", "window_split_by_key", "window_split_by_value"}
+
+
+def _fuse_list_call(call: OverCall, func: str) -> "Optional[A.AggSpec]":
+    """``outer(window_split*(...), extras) [OVER w]`` -> a fused AggSpec, or
+    None when the first arg is not a whole window-split call."""
+    from openmldb_spark.sql.rewrite import _split_top_commas
+
+    first = call.args[0]
+    if not (
+        len(first) >= 3
+        and first[0].kind == "name"
+        and first[0].text.lower() in _LIST_PRODUCERS
+        and first[1].text == "("
+        and first[-1].text == ")"
+    ):
+        return None
+    depth = 0  # the '(' after the producer must close at the LAST token
+    for k, tk in enumerate(first[1:], 1):
+        if tk.text == "(":
+            depth += 1
+        elif tk.text == ")":
+            depth -= 1
+            if depth == 0 and k != len(first) - 1:
+                return None
+    inner_args = [a for a in _split_top_commas(first[2:-1]) if a]
+    inner = _build_agg(OverCall(first[0].text.lower(), inner_args, window=call.window))
+    extras = call.args[1:]
+    if func == "join":
+        lit = render(extras[0]) if len(extras) == 1 else ""
+        if not (len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]):
+            raise ValueError("join(list, delimiter) expects a string literal delimiter")
+        return A.fuse_list_agg("join", inner, delim=lit[1:-1])
+    if func == "topn_frequency":
+        if len(extras) != 1:
+            raise ValueError("topn_frequency(list, n) expects an int literal n")
+        return A.fuse_list_agg("topn_frequency", inner, n=int(render(extras[0]).replace(" ", "")))
+    if extras:
+        raise ValueError(f"{func} over a list takes no extra arguments")
+    return A.fuse_list_agg(func, inner)
+
+
 def _build_agg(call: OverCall) -> "A.AggSpec":
-    if call.func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
+    func = call.func.strip("`")
+    if func == "count" and len(call.args) == 1 and render(call.args[0]) == "*":
         return A.count_all()
-    if call.func == "count" and len(call.args) == 1:
+    if func in _LIST_FOLD_OUTERS and call.args:
+        fused = _fuse_list_call(call, func)
+        if fused is not None:
+            return fused
+    if func == "count" and len(call.args) == 1:
         from openmldb_spark.sql.rewrite import _is_const_literal
 
         if _is_const_literal(call.args[0]):
@@ -435,10 +485,10 @@ def _build_agg(call: OverCall) -> "A.AggSpec":
                 "count over a constant is not supported; use count(*)"
             )
     try:
-        builder, kinds = _AGGS[call.func]
+        builder, kinds = _AGGS[func]
     except KeyError:
         raise ValueError(
-            f"aggregate {call.func!r} is not a window function of the dialect"
+            f"aggregate {func!r} is not a window function of the dialect"
         ) from None
     required = sum(1 for k in kinds if k.islower())
     if not (required <= len(call.args) <= len(kinds)):
@@ -756,10 +806,13 @@ class Lowerer:
             # tokens
             residual, subaggs = _split_nested_aggs(it.expr[:-2], gen)
             if not subaggs:
-                raise ValueError(
-                    f"aggregate {it.over.func!r} is not a window function of "
-                    "the dialect"
-                )
+                # no aggregate inside: a deterministic row-scalar is
+                # window-invariant, so the OVER is a no-op — evaluate per
+                # row (`join(split(c1, ""), "") OVER w1`,
+                # test_feature_zero_function id 5; an unknown function
+                # still fails resolution in the projection)
+                composite[idx] = residual
+                continue
             per_window.setdefault(it.over.window, {}).update(subaggs)
             composite[idx] = residual
 

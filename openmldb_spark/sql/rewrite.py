@@ -115,13 +115,26 @@ def _re_escape_sql_literal(lit: str) -> str:
     return lit
 
 
+def _is_empty_str_literal(lit: str) -> bool:
+    return len(lit) == 2 and lit[0] in "'\"" and lit[-1] == lit[0]
+
+
+_EMPTY_STR_ARRAY = "CAST(ARRAY() AS ARRAY<STRING>)"
+
+
 def _t_split(s: str, d: str) -> str:
     # dialect split of NULL yields an EMPTY list (test_feature_zero_function
-    # id 6: size(split(null)) = 0), not NULL
+    # id 6: size(split(null)) = 0), not NULL; an EMPTY delimiter yields an
+    # empty list too (UpdateSplit skips when delimeter->size_ == 0,
+    # feature_zero_def.cc:186 — id 5)
+    if _is_empty_str_literal(d):
+        return _EMPTY_STR_ARRAY
     return f"COALESCE(SPLIT({s}, {_re_escape_sql_literal(d)}), ARRAY())"
 
 
 def _t_split_by_key(s: str, item_d: str, kv_d: str) -> str:
+    if _is_empty_str_literal(item_d) or _is_empty_str_literal(kv_d):
+        return _EMPTY_STR_ARRAY
     i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
     return (
         f"COALESCE(TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
@@ -130,6 +143,8 @@ def _t_split_by_key(s: str, item_d: str, kv_d: str) -> str:
 
 
 def _t_split_by_value(s: str, item_d: str, kv_d: str) -> str:
+    if _is_empty_str_literal(item_d) or _is_empty_str_literal(kv_d):
+        return _EMPTY_STR_ARRAY
     i, k = _re_escape_sql_literal(item_d), _re_escape_sql_literal(kv_d)
     return (
         f"COALESCE(TRANSFORM(FILTER(SPLIT({s}, {i}), kv -> SIZE(SPLIT(kv, {k})) >= 2), "
@@ -558,7 +573,9 @@ def rewrite_tokens(tokens: list[Tok]) -> str:
                 i += 1
                 continue
             inner = tokens[i + 2 : j]
-            fname = t.text.lower()
+            # a backquoted function name (`join`(...) — the dialect quotes
+            # names that collide with keywords) aliases like the bare one
+            fname = t.text.lower().strip("`")
             if fname == "count" and _is_const_literal(inner):
                 # the reference rejects count over a constant (count(1):
                 # 'Un-support ... const' — test_udaf_table.yaml id 1);

@@ -106,10 +106,12 @@ def test_window_split(spark):
         },
     )
     got = {r["id"]: (r["sp"], r["ks"], r["vs"]) for r in out.collect()}
-    assert got[2][0] == ["a", "b", "c"]
-    assert got[3][0] == ["a", "b", "c"]          # null row contributes nothing
-    assert got[5][1] == ["x", "y", "z"]
-    assert got[5][2] == ["1", "2", "3"]
+    # element order = reference window iteration: rows ts-DESC, pieces
+    # within a row left-to-right (feature_zero corpus goldens, r8)
+    assert got[2][0] == ["c", "a", "b"]
+    assert got[3][0] == ["c", "a", "b"]          # null row contributes nothing
+    assert got[5][1] == ["z", "x", "y"]
+    assert got[5][2] == ["3", "1", "2"]
 
 
 def test_window_split_via_sql(spark):
@@ -121,4 +123,4 @@ def test_window_split_via_sql(spark):
         "(PARTITION BY pk ORDER BY ts ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)",
         {"t": t},
     )
-    assert {r["id"]: r["parts"] for r in out.collect()}[2] == ["a", "b", "c"]
+    assert {r["id"]: r["parts"] for r in out.collect()}[2] == ["c", "a", "b"]
