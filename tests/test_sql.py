@@ -455,3 +455,95 @@ def test_window_upper_bound_lag_partition_relative(spark):
     # ROWS(1..current) window): always the physically previous row
     assert got[1] is None
     assert got[2] == 1.0 and got[3] == 2.0 and got[5] == 4.0
+
+
+# ---------------------------------------------------------------------------
+# frame-nested UDAFs (r8): aggregate args referencing other aggregates
+# over the same frame — reference test_udaf_function.yaml ids 43/47-49/53
+# ---------------------------------------------------------------------------
+
+
+def test_nested_udaf_arithmetic_matches_reference_goldens(spark):
+    df = spark.createDataFrame(
+        [(1, 10.0, 1.0, 5), (2, 9.0, 2.0, 5), (3, 8.0, 3.0, 5),
+         (4, 7.0, 4.0, 2), (5, 6.0, 5.0, 2)],
+        "id long, c1 double, c2 float, c3 int",
+    )
+    out = sql(
+        spark,
+        """
+        SELECT t.id,
+          sum(c1 - count(c1)) OVER w1 AS r1,
+          abs(sum(log(c1) - log(count(c1)))) OVER w1 AS r2,
+          sum(c1 + sum(c2 * count(c3))) OVER w1 AS r3
+        FROM t
+        WINDOW w1 AS (PARTITION BY t.c3 ORDER BY t.id
+                      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: (r["r1"], r["r2"], r["r3"]) for r in out}
+    # reference goldens (test_udaf_function.yaml id 43): inner aggregates
+    # are FRAME-FINAL constants — sum(c1 - count(c1)) over {10,9} = 15
+    # = (10-2)+(9-2), not the prefix-count 16
+    exp = {
+        1: (9.0, 2.302585092994046, 11.0),
+        2: (15.0, 3.1135153092103747, 31.0),
+        3: (18.0, 3.283414346005772, 81.0),
+        4: (6.0, 1.9459101490553132, 11.0),
+        5: (9.0, 2.3513752571634776, 49.0),
+    }
+    for k, v in exp.items():
+        for a, b in zip(got[k], v):
+            assert abs(a - b) < 1e-9, (k, got[k], v)
+
+
+def test_nested_udaf_count_where_lag_condition(spark):
+    # count_where(id, c1 = lag(c1, 0)): count of frame rows whose c1
+    # equals the CURRENT row's value (lag is a frame constant) — id 49's
+    # shape over a simple partition
+    df = spark.createDataFrame(
+        [(1, 0, "a"), (2, 0, "a"), (3, 0, "b"), (4, 0, "a")],
+        "id long, pk long, c1 string",
+    )
+    out = sql(
+        spark,
+        """
+        SELECT t.id,
+          count_where(id, c1 = lag(c1, 0)) OVER w1 AS cw
+        FROM t
+        WINDOW w1 AS (PARTITION BY t.pk ORDER BY t.id
+                      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: r["cw"] for r in out}
+    # frames: {1}->a:1, {1,2}->a:2, {1,2,3}->b:1, {1..4}->a:3
+    assert got == {1: 1, 2: 2, 3: 1, 4: 3}
+
+
+def test_nested_udaf_real_timestamp_condition(spark):
+    # the original id 53 spelling over a REAL timestamp column (the YAML
+    # harness adapts it to int64 ms — this pins the engine-level form)
+    import datetime
+    ts = lambda ms: datetime.datetime.utcfromtimestamp(ms / 1000.0)
+    df = spark.createDataFrame(
+        [(i, "A", i, ts(1590115410000 + i * 10000)) for i in range(1, 6)],
+        "id int, pk string, col1 int, std_ts timestamp",
+    )
+    out = sql(
+        spark,
+        """
+        SELECT t.id,
+          sum(col1 + count(col1)) OVER w AS a1,
+          sum_where(col1, std_ts > timestamp(1590115440000)) OVER w AS a3
+        FROM t
+        WINDOW w AS (PARTITION BY pk ORDER BY std_ts
+                     ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: (r["a1"], r["a3"]) for r in out}
+    # reference id 53 goldens for a1/a3
+    assert got == {1: (2, None), 2: (7, None), 3: (15, None),
+                   4: (18, 4), 5: (21, 9)}
