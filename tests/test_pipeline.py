@@ -703,3 +703,13 @@ def test_png_decoder_color_types():
         M._decode_png(_png_chunks((1, 1, 8, 5, 0, 0, 0), b"\x00\x80"))
     with _pytest.raises(OSError):
         M._decode_png(_png_chunks((2, 2, 8, 2, 0, 0, 0), b"\x00\x01\x02"))
+
+
+def test_jaccard_dedup_lazy_materialize_same_result(spark, docs):
+    # the 100 TB opt-out: eager_materialize=False must produce the same
+    # survivors (the eager count is a bench-stability action, not logic)
+    a = {r.doc_id for r in D.jaccard_dedup(docs, "doc_id", "text").collect()}
+    b = {r.doc_id for r in D.jaccard_dedup(
+        docs, "doc_id", "text", eager_materialize=False
+    ).collect()}
+    assert a == b
