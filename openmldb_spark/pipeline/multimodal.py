@@ -2,11 +2,12 @@
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 The Spark-side architecture is real and tested: schemas, partition-size
-control, UDF signatures, batch shapes. Decoders: uncompressed BMP and
-8-bit PNG are decoded NATIVELY (pure stdlib+numpy — real pixels, real
-dims), PCM WAV headers via stdlib ``wave``; JPEG and compressed audio run
-PIL/codec libs when importable and otherwise fall back to deterministic
-stubs (those libraries are not in this container), so the plumbing has
+control, UDF signatures, batch shapes. Decoders: uncompressed BMP, 8-bit
+PNG, and baseline JPEG are decoded NATIVELY (pure stdlib+numpy — real
+pixels, real dims), PCM WAV headers via stdlib ``wave``; exotic image
+shapes (progressive JPEG, 16-bit PNG) and compressed audio run PIL/codec
+libs when importable and otherwise fall back to deterministic stubs
+(those libraries are not in this container), so the plumbing has
 testable, reproducible outputs either way. Nothing but the decode body
 changes when a real codec lands.
 
@@ -249,11 +250,254 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, _gray_features(gray)
 
 
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
+    """REAL decoder for baseline (SOF0/SOF1) sequential Huffman JPEG —
+    pure stdlib+numpy, no image libs. Parses DQT/DHT/SOF/DRI/SOS, entropy-
+    decodes every component's blocks (the interleaved MCU stream must be
+    walked to stay in sync), but reconstructs ONLY the Y channel: the
+    8-dim feature is grayscale stats, and JFIF luma IS the 0.299R+0.587G+
+    0.114B gray the other decode paths compute — chroma upsampling and
+    color conversion would be discarded work. Dequantize + zigzag + one
+    vectorized 8x8 IDCT (precomputed DCT-III basis) per block.
+
+    Progressive (SOF2), arithmetic-coded, lossless, and 12-bit JPEGs
+    raise OSError (the caller nulls the decode columns) — the same
+    library-grade contract as the BMP/PNG paths.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise OSError("not a JPEG signature")
+    pos = 2
+    qt: dict[int, "np.ndarray"] = {}
+    huff: dict[tuple[int, int], tuple] = {}  # (class, id) -> (maxcode tables)
+    frame = None  # (h, w, comps) comps: [(cid, hsamp, vsamp, tq)]
+    restart_interval = 0
+    scan = None
+
+    def build_huff(bits, vals):
+        # canonical Huffman: per-length first code; decode via (length,
+        # code) lookup dict — fast enough per image, no table explosion
+        code = 0
+        lut = {}
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                lut[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        return lut
+
+    n = len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            raise OSError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.int32)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.int32)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                cnt = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + cnt])
+                huff[(tc, th)] = build_huff(bits, vals)
+                i += 17 + cnt
+        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise OSError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise OSError(f"unsupported JPEG frame type 0x{marker:02x}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan = [(seg[1 + 2 * c], seg[2 + 2 * c] >> 4, seg[2 + 2 * c] & 0xF)
+                    for c in range(ns)]
+            pos += seglen
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise OSError("missing SOF/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise OSError("bad JPEG dimensions")
+    if len(scan) != len(comps):
+        # non-interleaved multi-scan baseline: legal but rare — the
+        # single-SOS walk below would leave later components undecoded
+        raise OSError("non-interleaved multi-scan JPEG is not supported")
+
+    # entropy-coded data: up to the next non-RST marker
+    data = payload[pos:]
+
+    class Bits:
+        __slots__ = ("d", "i", "b", "nb")
+
+        def __init__(self, d):
+            self.d, self.i, self.b, self.nb = d, 0, 0, 0
+
+        def _fill(self):
+            while self.nb <= 24:
+                if self.i >= len(self.d):
+                    self.b = (self.b << 8) | 0
+                    self.nb += 8
+                    continue
+                byte = self.d[self.i]
+                self.i += 1
+                if byte == 0xFF:
+                    nxt = self.d[self.i] if self.i < len(self.d) else 0
+                    if nxt == 0x00:
+                        self.i += 1
+                    else:
+                        # a real marker: stop feeding here (pad with
+                        # zeros), leave self.i AT the 0xFF so
+                        # align_restart can find the RST marker
+                        self.i -= 1
+                        self.b = (self.b << 8) | 0
+                        self.nb += 8
+                        continue
+                self.b = (self.b << 8) | byte
+                self.nb += 8
+
+        def get(self, k):
+            if k == 0:
+                return 0
+            self._fill()
+            v = (self.b >> (self.nb - k)) & ((1 << k) - 1)
+            self.nb -= k
+            self.b &= (1 << self.nb) - 1
+            return v
+
+        def align_restart(self):
+            # drop to byte boundary and skip the RST marker
+            self.nb -= self.nb % 8
+            self.b &= (1 << self.nb) - 1 if self.nb else 0
+            # locate the RST in the underlying stream: it was treated as
+            # end-of-feed by _fill, so restart scanning from the marker
+            while self.i < len(self.d) and self.d[self.i] != 0xFF:
+                self.i += 1
+            if self.i + 1 < len(self.d) and 0xD0 <= self.d[self.i + 1] <= 0xD7:
+                self.i += 2
+            self.b, self.nb = 0, 0
+
+    def huff_decode(bits, lut):
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | bits.get(1)
+            ln += 1
+            v = lut.get((ln, code))
+            if v is not None:
+                return v
+        raise OSError("bad JPEG huffman code")
+
+    def extend(v, t):
+        return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+    ZIGZAG = np.array([
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ])
+    # DCT-III (inverse DCT) basis, orthonormal
+    k = np.arange(8)
+    A = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    A[:, 0] *= 1 / np.sqrt(2)
+    A *= 0.5
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # Y plane buffer (first scan component = luma by JFIF convention)
+    y_cid, y_dc, y_ac = scan[0]
+    y_comp = next(c for c in comps if c[0] == y_cid)
+    _, yh, yv, ytq = y_comp
+    ydat = np.zeros((mcuy * yv * 8, mcux * yh * 8), dtype=np.float64)
+
+    bits = Bits(data)
+    pred = {cid: 0 for cid, _, _ in scan}
+    comp_by_id = {c[0]: c for c in comps}
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bits.align_restart()
+                pred = {cid: 0 for cid, _, _ in scan}
+            mcu_count += 1
+            for cid, dc_t, ac_t in scan:
+                _, hs, vs, tq = comp_by_id[cid]
+                q = qt.get(tq)
+                if q is None:
+                    raise OSError("missing JPEG quant table")
+                dlut, alut = huff.get((0, dc_t)), huff.get((1, ac_t))
+                if dlut is None or alut is None:
+                    raise OSError("missing JPEG huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        coef = np.zeros(64, dtype=np.int32)
+                        t = huff_decode(bits, dlut)
+                        diff = extend(bits.get(t), t)
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        ki = 1
+                        while ki < 64:
+                            rs = huff_decode(bits, alut)
+                            r, s = rs >> 4, rs & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    ki += 16
+                                    continue
+                                break  # EOB
+                            ki += r
+                            if ki > 63:
+                                raise OSError("JPEG AC run overflow")
+                            coef[ki] = extend(bits.get(s), s)
+                            ki += 1
+                        if cid != y_cid:
+                            continue  # chroma: bitstream walked, pixels unused
+                        blk = np.zeros(64, dtype=np.float64)
+                        blk[ZIGZAG] = coef * q
+                        # f = M F M^T with M[x,u] = C(u)/2 cos((2x+1)uπ/16)
+                        px = A @ blk.reshape(8, 8) @ A.T + 128.0
+                        oy = (my * yv + by) * 8
+                        ox = (mx * yh + bx) * 8
+                        ydat[oy : oy + 8, ox : ox + 8] = px
+    gray = np.clip(ydat[:h, :w], 0.0, 255.0) / 255.0
+    return w, h, _gray_features(gray)
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
-    """Decode an image payload: BMP and 8-bit PNG natively (pure
-    stdlib+numpy — real pixels, real dims, no image libs needed), anything
-    else via PIL when available, stub otherwise (JPEG is the remaining
-    stub: entropy decode genuinely needs a library).
+    """Decode an image payload: BMP, 8-bit PNG, and baseline JPEG
+    natively (pure stdlib+numpy — real pixels, real dims, no image libs
+    needed), anything else via PIL when available, stub otherwise.
 
     Every path emits real-or-fake dimensions and an 8-dim feature (2x2
     grayscale thumbnail + stats) — identical output shape, so downstream
@@ -263,6 +507,8 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
         img = _PILImage.open(io.BytesIO(payload))
         width, height = img.size

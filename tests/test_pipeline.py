@@ -713,3 +713,169 @@ def test_jaccard_dedup_lazy_materialize_same_result(spark, docs):
         docs, "doc_id", "text", eager_materialize=False
     ).collect()}
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# JPEG decoder (r8): hermetic minimal encoder (custom Huffman tables are
+# legal — DHT carries them) + analytic single-block check
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_encode_gray(img, q):
+    """Encode a grayscale uint8 image as a baseline JFIF JPEG (test-only
+    encoder: canonical equal-length Huffman tables built from the symbols
+    actually emitted)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape
+    ZZ = [0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+          12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+          35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+          58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+    k = np.arange(8)
+    M = np.cos((2 * k[:, None] + 1) * k[None, :] * np.pi / 16)
+    M[:, 0] *= 1 / np.sqrt(2)
+    M *= 0.5
+    # pad to block multiple by edge replication
+    H, W = -(-h // 8) * 8, -(-w // 8) * 8
+    pad = np.pad(img.astype(np.float64), ((0, H - h), (0, W - w)), mode="edge")
+
+    def cat(v):
+        a, t = abs(int(v)), 0
+        while a:
+            a >>= 1
+            t += 1
+        return t
+
+    # pass 1: quantize blocks, gather symbols + the bit payloads
+    blocks = []
+    pred = 0
+    dc_syms, ac_syms = set(), set()
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            f = pad[by:by + 8, bx:bx + 8] - 128.0
+            F = M.T @ f @ M  # forward DCT (M orthogonal-ish: f = M F M^T)
+            zz = np.round(F.reshape(64)[ZZ] / q[np.arange(64)]).astype(int)
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            t = cat(diff)
+            dc_syms.add(t)
+            parts = [("dc", t, diff)]
+            run = 0
+            for i in range(1, 64):
+                v = int(zz[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    ac_syms.add(0xF0)
+                    parts.append(("ac", 0xF0, 0))
+                    run -= 16
+                s = cat(v)
+                sym = (run << 4) | s
+                ac_syms.add(sym)
+                parts.append(("ac", sym, v))
+                run = 0
+            if run:
+                ac_syms.add(0x00)
+                parts.append(("ac", 0x00, 0))
+            blocks.append(parts)
+
+    def make_table(syms):
+        syms = sorted(syms)
+        L = 1
+        while (1 << L) <= len(syms):  # strict: keep the all-ones code free
+            L += 1
+        bits = [0] * 16
+        bits[L - 1] = len(syms)
+        codes = {s: (L, i) for i, s in enumerate(syms)}
+        return bits, syms, codes
+
+    dc_bits, dc_vals, dc_codes = make_table(dc_syms)
+    ac_bits, ac_vals, ac_codes = make_table(ac_syms)
+
+    out_bits = []
+
+    def emit(ln, code):
+        for i in range(ln - 1, -1, -1):
+            out_bits.append((code >> i) & 1)
+
+    for parts in blocks:
+        for kind, sym, v in parts:
+            ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+            emit(ln, code)
+            if kind == "dc":
+                t = cat(v)
+                if t:
+                    emit(t, v if v > 0 else v + (1 << t) - 1)
+            elif sym not in (0x00, 0xF0):
+                s = sym & 0xF
+                emit(s, v if v > 0 else v + (1 << s) - 1)
+    while len(out_bits) % 8:
+        out_bits.append(1)  # pad with 1s per spec
+    raw = bytearray()
+    for i in range(0, len(out_bits), 8):
+        b = 0
+        for bit in out_bits[i:i + 8]:
+            b = (b << 1) | bit
+        raw.append(b)
+        if b == 0xFF:
+            raw.append(0x00)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    sof = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0]))
+    dht = seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals)) + seg(
+        0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals)
+    )
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(raw) + b"\xff\xd9"
+
+
+def test_jpeg_decoder_roundtrip_gray():
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (16, 24), dtype=np.uint8)
+    q = np.ones(64, dtype=np.int32)  # near-lossless
+    payload = _jpeg_encode_gray(img, q)
+    w, h, feat = M._decode_jpeg(payload)
+    assert (w, h) == (24, 16)
+    # reconstruct the expected features from the ORIGINAL pixels; with an
+    # all-ones quant table the DCT roundtrip is accurate to ~1/255
+    exp = M._gray_features(img.astype(np.float64) / 255.0)
+    for a, b in zip(feat, exp):
+        assert abs(a - b) < 0.01, (feat, exp)
+
+
+def test_jpeg_decoder_dc_only_analytic():
+    # a single 8x8 block with only the DC coefficient set decodes to the
+    # uniform value 128 + dc*q/8 (M has C(0)/2 entries in column 0)
+    import numpy as np
+
+    img = np.full((8, 8), 180, dtype=np.uint8)
+    q = np.full(64, 16, dtype=np.int32)
+    payload = _jpeg_encode_gray(img, q)
+    w, h, feat = M._decode_jpeg(payload)
+    assert (w, h) == (8, 8)
+    # dc = round((180-128)*8/16) = 26 -> decoded = 128 + 26*16/8 = 180
+    assert all(abs(v - 180 / 255) < 1e-9 for v in feat[:5])
+    assert feat[7] == 0.0  # uniform image: zero range
+
+
+def test_jpeg_decoder_error_contract(spark):
+    # progressive marker (SOF2) raises; the Spark path nulls the columns
+    bad = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x08\x00\x08\x01" + b"\xff\xd9"
+    import pytest as _pytest
+
+    with _pytest.raises(OSError):
+        M._decode_jpeg(bad)
+    rows = [("j1", "image", "image/jpeg", bytearray(bad), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (out,) = M.extract_image_features(df).collect()
+    assert out["width"] is None and out["feat"] is None
+    assert out["n_bytes"] == len(bad)
