@@ -80,12 +80,10 @@ def _decode_image_stub(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feat
 
 
-def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+def _bmp_rgb(payload: bytes):
     """REAL decoder for uncompressed 24/32-bpp BMP — pure numpy, no image
     libs. Parses BITMAPFILEHEADER + BITMAPINFOHEADER, reads the padded
-    bottom-up (or top-down) pixel raster, and emits the same 8-dim feature
-    the PIL path does (2x2 grayscale thumbnail + mean/max/min/range), so
-    at least one image decode path is real in-sandbox.
+    bottom-up (or top-down) pixel raster, and returns HxWx3 uint8 RGB.
 
     Raises OSError on malformed/unsupported BMPs (same contract as a real
     codec: the caller nulls the decode columns).
@@ -117,11 +115,21 @@ def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
     )
     if not top_down:
         rows = rows[::-1]
-    # BMP stores BGR(A); luma via ITU-R 601 weights, scaled to [0, 1]
-    gray = (
-        0.114 * rows[:, :, 0] + 0.587 * rows[:, :, 1] + 0.299 * rows[:, :, 2]
+    # BMP stores BGR(A): channels [2,1,0] -> RGB (alpha dropped)
+    return np.ascontiguousarray(rows[:, :, 2::-1])
+
+
+def _decode_bmp(payload: bytes) -> tuple[int, int, list[float]]:
+    rgb = _bmp_rgb(payload)
+    h, w = rgb.shape[:2]
+    return w, h, _gray_features(_luma(rgb))
+
+
+def _luma(rgb) -> "object":
+    """ITU-R 601 luma of an HxWx3 uint8 array, scaled to [0, 1]."""
+    return (
+        0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
     ) / 255.0
-    return width, height, _gray_features(gray)
 
 
 def _gray_features(gray) -> list[float]:
@@ -142,12 +150,12 @@ def _gray_features(gray) -> list[float]:
     return px + [mean, max(px), min(px), max(px) - min(px)]
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+def _png_rgb(payload: bytes):
     """REAL decoder for 8-bit non-interlaced PNG — stdlib zlib + numpy,
     no image libs. Walks the chunk stream (IHDR/PLTE/IDAT), inflates the
     raster, unfilters each scanline per the PNG spec (filters 0-4), and
-    emits the shared 8-dim grayscale feature. Covers color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8 — the
+    returns HxWx3 uint8 RGB. Covers color types 0 (gray), 2 (RGB), 3
+    (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8 — the
     overwhelmingly common cases; 1/2/4/16-bit depths and interlaced
     images raise OSError (the caller nulls the decode columns), same
     contract as a real codec. Reference behavior parity: the reference has
@@ -237,20 +245,20 @@ def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
 
     px = out.reshape(height, width, channels)
     if color_type == 3:
-        rgb = palette[px[:, :, 0]]
-        gray = (
-            0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]
-        ) / 255.0
-    elif channels >= 3:  # RGB / RGBA — same ITU-R 601 luma as the BMP path
-        gray = (
-            0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
-        ) / 255.0
-    else:  # gray / gray+alpha
-        gray = px[:, :, 0] / 255.0
-    return width, height, _gray_features(gray)
+        return np.ascontiguousarray(palette[px[:, :, 0]])
+    if channels >= 3:  # RGB / RGBA (alpha dropped)
+        return np.ascontiguousarray(px[:, :, :3])
+    # gray / gray+alpha: replicate the luma channel (luma of (g,g,g) = g)
+    return np.repeat(px[:, :, :1], 3, axis=2)
 
 
-def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
+def _decode_png(payload: bytes) -> tuple[int, int, list[float]]:
+    rgb = _png_rgb(payload)
+    h, w = rgb.shape[:2]
+    return w, h, _gray_features(_luma(rgb))
+
+
+def _jpeg_gray(payload: bytes):
     """REAL decoder for baseline (SOF0/SOF1) sequential Huffman JPEG —
     pure stdlib+numpy, no image libs. Parses DQT/DHT/SOF/DRI/SOS, entropy-
     decodes every component's blocks (the interleaved MCU stream must be
@@ -490,7 +498,12 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
                         oy = (my * yv + by) * 8
                         ox = (mx * yh + bx) * 8
                         ydat[oy : oy + 8, ox : ox + 8] = px
-    gray = np.clip(ydat[:h, :w], 0.0, 255.0) / 255.0
+    return np.clip(ydat[:h, :w], 0.0, 255.0) / 255.0
+
+
+def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
+    gray = _jpeg_gray(payload)
+    h, w = gray.shape
     return w, h, _gray_features(gray)
 
 
@@ -646,24 +659,80 @@ def extract_audio_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "mime", "payload").mapInPandas(run, AUDIO_FEATURES_SCHEMA)
 
 
+def _encode_png(rgb) -> bytes:
+    """Minimal PNG encoder (color type 2, filter 0, one IDAT) — stdlib
+    zlib; the output of :func:`resize_images`' real path."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = rgb.shape[:2]
+
+    def chunk(tag, data):
+        raw = tag + data
+        return struct.pack(">I", len(data)) + raw + struct.pack(
+            ">I", zlib.crc32(raw) & 0xFFFFFFFF
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raster = b"".join(
+        b"\x00" + np.ascontiguousarray(rgb[y, :, :3], dtype=np.uint8).tobytes()
+        for y in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_rgb(payload: bytes):
+    """HxWx3 uint8 RGB from any natively-decodable payload (BMP / 8-bit
+    PNG / baseline JPEG — JPEG yields replicated luma); OSError otherwise."""
+    import numpy as np
+
+    if payload[:2] == b"BM":
+        return _bmp_rgb(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_rgb(payload)
+    if payload[:2] == b"\xff\xd8":
+        g = (_jpeg_gray(payload) * 255.0).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    raise OSError("no native decoder for this payload")
+
+
 RESIZED_SCHEMA = "media_id string, mime string, width int, height int, payload binary"
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     """Resize plan: payload -> resized payload, via mapInPandas.
 
-    With PIL importable the pixels are really resized (and re-encoded as
-    PNG); otherwise a deterministic truncate-or-pad stub keeps output size
-    tracking the target dims. The Spark-side contract is identical either
-    way: binary in, binary out, one row per image, output partition sizing
+    BMP / 8-bit PNG / baseline JPEG payloads are REALLY resized in-sandbox
+    (native decode -> nearest-neighbor numpy resample -> minimal PNG
+    re-encode); PIL handles anything else when importable; otherwise a
+    deterministic truncate-or-pad stub keeps output size tracking the
+    target dims. The Spark-side contract is identical on every path:
+    binary in, binary out, one row per image, output partition sizing
     inherited from the input (control with arrow.maxRecordsPerBatch as in
     the module docstring).
     """
     target = width * height // 8  # stub: bytes proportional to pixel count
 
     def _resize_one(payload: bytes) -> Optional[bytes]:
+        import numpy as np
+
         if not payload:
             return None
+        try:
+            rgb = _decode_rgb(payload)
+            sh, sw = rgb.shape[:2]
+            ys = (np.arange(height) * sh // height).clip(0, sh - 1)
+            xs = (np.arange(width) * sw // width).clip(0, sw - 1)
+            return _encode_png(rgb[ys][:, xs])
+        except OSError:
+            pass
         if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
             try:
                 img = _PILImage.open(io.BytesIO(payload)).resize((width, height))

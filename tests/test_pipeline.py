@@ -879,3 +879,32 @@ def test_jpeg_decoder_error_contract(spark):
     (out,) = M.extract_image_features(df).collect()
     assert out["width"] is None and out["feat"] is None
     assert out["n_bytes"] == len(bad)
+
+
+def test_resize_real_path_roundtrip(spark):
+    # BMP in -> real nearest-neighbor resample -> PNG out whose pixels
+    # decode back exactly (2x2 checkerboard upsampled to 4x4 blocks)
+    import numpy as np
+
+    W, K = (255, 255, 255), (0, 0, 0)
+    bmp = _tiny_bmp([[W, K], [K, W]])
+    rows = [("r1", "image", "image/bmp", bytearray(bmp), None, None, None)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    (out,) = M.resize_images(df, 4, 4).collect()
+    assert bytes(out["payload"][:8]) == b"\x89PNG\r\n\x1a\n"
+    rgb = M._png_rgb(bytes(out["payload"]))
+    assert rgb.shape == (4, 4, 3)
+    # each source pixel becomes a 2x2 block
+    exp = np.array([[1, 1, 0, 0], [1, 1, 0, 0], [0, 0, 1, 1], [0, 0, 1, 1]]) * 255
+    assert (rgb[:, :, 0] == exp).all()
+    # JPEG input also resizes for real (replicated-luma RGB)
+    img = np.full((8, 8), 200, dtype=np.uint8)
+    q = np.ones(64, dtype=np.int32)
+    jpg = _jpeg_encode_gray(img, q)
+    rows = [("r2", "image", "image/jpeg", bytearray(jpg), None, None, None)]
+    (out2,) = M.resize_images(
+        spark.createDataFrame(rows, M.MEDIA_SCHEMA), 2, 2
+    ).collect()
+    rgb2 = M._png_rgb(bytes(out2["payload"]))
+    assert rgb2.shape == (2, 2, 3)
+    assert abs(int(rgb2[0, 0, 0]) - 200) <= 2
