@@ -414,6 +414,99 @@ def lsh_topk_join(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    *,
+    vec_col: str,
+    id_col: str,
+    k: int = 16,
+    iters: int = 5,
+    seed: int = 42,
+):
+    """Spherical k-means (Lloyd's on cosine) centroid training for IVF —
+    the "real scale" upgrade over hash-sampled centroids the docstrings
+    below point at.
+
+    100 TB shape: ONE corpus scan per iteration. Each Arrow batch assigns
+    its vectors to the nearest centroid with a numpy matmul and emits the
+    per-centroid partial (sum, count) — k rows per batch, reduced by a
+    map-side-combining groupBy to k×dim driver state (collect of k tiny
+    rows, never vectors). Initialization is the deterministic md5-hash
+    sample used by :func:`ivf_topk_join` (stable across runs and cluster
+    sizes); empty clusters keep their previous centroid. Returns a numpy
+    (k, dim) float64 matrix of UNIT-NORM centroids, accepted by
+    :func:`ivf_topk` / :func:`ivf_topk_join` via ``centroids=``.
+    """
+    import numpy as np
+
+    spark = corpus.sparkSession
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col("__i").cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    init_rows = (
+        corpus.select(F.col(id_col).alias("__i"), F.col(vec_col).alias("__v"))
+        .withColumn("__h", h)
+        .orderBy("__h", "__i")
+        .limit(int(k))
+        .collect()
+    )
+    C = np.asarray([r["__v"] for r in init_rows], dtype=np.float64)
+    nrm = np.linalg.norm(C, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    C = C / nrm
+    dim = C.shape[1]
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+
+    for _ in range(int(iters)):
+        bc = spark.sparkContext.broadcast(C)
+
+        def partials(batches):
+            import pandas as pd
+
+            CN = bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(list(pdf["__v"]), dtype=np.float64)
+                vn = np.linalg.norm(V, axis=1, keepdims=True)
+                vn[vn == 0.0] = 1.0
+                Vn = V / vn
+                assign = np.argmax(Vn @ CN.T, axis=1)
+                out = {"__cid": [], "__sum": [], "__cnt": []}
+                for cid in np.unique(assign):
+                    m = assign == cid
+                    out["__cid"].append(int(cid))
+                    out["__sum"].append(Vn[m].sum(axis=0).tolist())
+                    out["__cnt"].append(int(m.sum()))
+                yield pd.DataFrame(out)
+
+        agg = (
+            vecs.mapInPandas(
+                partials, f"__cid int, __sum array<double>, __cnt long"
+            )
+            .groupBy("__cid")
+            .agg(
+                F.array(*[
+                    F.sum(F.col("__sum")[i]).alias(f"s{i}") for i in range(dim)
+                ]).alias("__sum"),
+                F.sum("__cnt").alias("__cnt"),
+            )
+            .collect()
+        )
+        newC = C.copy()
+        for r in agg:
+            if r["__cnt"]:
+                v = np.asarray(r["__sum"], dtype=np.float64)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    newC[r["__cid"]] = v / n
+        C = newC
+        bc.unpersist()
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -427,6 +520,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 42,
     exclude_self: bool = True,
+    centroids=None,
 ) -> DataFrame:
     """IVF-bucketed approximate cosine top-k — the inverted-file ANN scale
     path next to :func:`lsh_topk`'s hyperplane one.
@@ -438,10 +532,11 @@ def ivf_topk(
     degenerates to brute force; the dial trades recall for the fraction
     of the corpus scored (~nprobe/n_centroids on balanced buckets).
 
-    Centroids are hash-sampled corpus vectors — the ``n_centroids`` rows
-    with smallest ``xxhash64(seed|id)``, a deterministic sampling that is
-    stable across runs and cluster sizes (TakeOrdered: no full sort). At
-    real scale swap in k-means-trained centroids for tighter buckets; the
+    Default centroids are hash-sampled corpus vectors — the
+    ``n_centroids`` rows with smallest ``xxhash64(seed|id)``, a
+    deterministic sampling that is stable across runs and cluster sizes
+    (TakeOrdered: no full sort). Pass ``centroids=`` (a (k, dim) matrix,
+    e.g. from :func:`kmeans_centroids`) for trained buckets — the
     plumbing (assign/probe/score) is identical.
 
     Queries are broadcast (the serving shape); the corpus streams through
@@ -453,14 +548,17 @@ def ivf_topk(
     import numpy as np
 
     spark = corpus.sparkSession
-    cent_rows = (
-        corpus.select(corpus_id, corpus_vec)
-        .withColumn("__h", F.xxhash64(F.concat_ws("|", F.lit(seed), F.col(corpus_id))))
-        .orderBy("__h")
-        .limit(int(n_centroids))
-        .collect()
-    )
-    Cen = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
+    if centroids is not None:
+        Cen = np.asarray(centroids, dtype=np.float64)
+    else:
+        cent_rows = (
+            corpus.select(corpus_id, corpus_vec)
+            .withColumn("__h", F.xxhash64(F.concat_ws("|", F.lit(seed), F.col(corpus_id))))
+            .orderBy("__h")
+            .limit(int(n_centroids))
+            .collect()
+        )
+        Cen = np.asarray([r[1] for r in cent_rows], dtype=np.float64)
     cen_n = np.linalg.norm(Cen, axis=1, keepdims=True)
     cen_n[cen_n == 0.0] = 1.0
     CenN = Cen / cen_n

@@ -95,3 +95,24 @@ def _windowed_agg(
         *keys,
         *aggs.keys(),
     )
+
+
+def stream_exact_dedup(
+    stream: DataFrame,
+    *,
+    keys: Sequence[str],
+    ts_col: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact deduplication — the ingest-side arm of the batch
+    ``pipeline.dedup.exact_dedup``: keep the first row seen per ``keys``
+    within the watermark horizon. State is one row per distinct key,
+    EVICTED once the watermark passes (Spark's
+    ``dropDuplicatesWithinWatermark``) — the 100 TB-stream property:
+    without the watermark bound, exact-dedup state grows with every
+    distinct key ever seen. A duplicate arriving after its twin's state
+    expired is admitted (horizon semantics, pinned in tests) — the
+    full-history guarantee belongs to the batch op downstream.
+    """
+    src = _with_event_ts(stream, ts_col, watermark)
+    return src.dropDuplicatesWithinWatermark([*keys]).drop("__ev_ts")

@@ -908,3 +908,35 @@ def test_resize_real_path_roundtrip(spark):
     rgb2 = M._png_rgb(bytes(out2["payload"]))
     assert rgb2.shape == (2, 2, 3)
     assert abs(int(rgb2[0, 0, 0]) - 200) <= 2
+
+
+def test_kmeans_centroids_separate_clusters(spark):
+    # three tight clusters around orthogonal axes: trained centroids land
+    # on the axes (cosine spherical k-means), and feeding them to
+    # ivf_topk with nprobe=1 still finds each point's in-cluster
+    # neighbors — tighter buckets than hash-sampled centroids guarantee
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    rows = []
+    axes = np.eye(3)
+    for i in range(90):
+        base = axes[i % 3]
+        v = base + rng.randn(3) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    C = S.kmeans_centroids(df, vec_col="v", id_col="vec_id", k=3, iters=4)
+    assert C.shape == (3, 3)
+    # every trained centroid is ~an axis: max coordinate > 0.99 after
+    # normalization (clusters are tight)
+    assert (np.abs(C).max(axis=1) > 0.99).all()
+    # and the three centroids claim three DIFFERENT axes
+    assert sorted(np.abs(C).argmax(axis=1)) == [0, 1, 2]
+    out = S.ivf_topk(
+        df, df.where(F.col("vec_id") < 3),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v",
+        k=5, nprobe=1, centroids=C,
+    ).collect()
+    # each query's neighbors all come from its own cluster (same mod 3)
+    for r in out:
+        assert r["neighbor_id"] % 3 == r["query_id"] % 3
