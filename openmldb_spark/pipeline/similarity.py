@@ -639,13 +639,17 @@ def ivf_topk_join(
     seed: int = 42,
     exclude_self: bool = True,
     max_bucket: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """IVF approximate top-k as a centroid-bucket equi-join — the
     corpus-vs-corpus scale path (no driver collect anywhere), and the
     oracle-checkable sibling of :func:`ivf_topk`.
 
-    Centroids are the ``n_centroids`` corpus rows with smallest portable
-    md5 hash (computable identically in any SQL engine), collapsed to a
+    Default centroids are the ``n_centroids`` corpus rows with smallest
+    portable md5 hash (computable identically in any SQL engine) — or
+    pass a trained (k, dim) matrix via ``centroids=``
+    (:func:`kmeans_centroids`), embedded as plan literals. Either way
+    the centroid table collapses to a
     single broadcast row holding an array of (index, vector) structs;
     every row picks its centroids with a per-row ``array_sort`` over that
     array ((cos desc, centroid index asc) — same tie rule as numpy
@@ -664,24 +668,30 @@ def ivf_topk_join(
     """
     spark = corpus.sparkSession  # noqa: F841  (parallel with lsh_topk_join)
 
-    h = F.conv(
-        F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col("__cent_src"))), 1, 15),
-        16,
-        10,
-    ).cast("long")
-    cent = (
-        corpus.select(F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("__cent_v"))
-        .withColumn("__h", h)
-        .orderBy("__h", "__cent_src")
-        .limit(int(n_centroids))
-    )
-    cent = (
-        cent.withColumn(
-            "__cidx",
-            F.row_number().over(Window.orderBy("__h", "__cent_src")) - 1,
+    if centroids is not None:
+        cent = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "__cidx int, __cent_v array<double>",
         )
-        .select("__cidx", "__cent_v")
-    )
+    else:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("|", F.lit(seed), F.col("__cent_src"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        cent = (
+            corpus.select(F.col(corpus_id).alias("__cent_src"), F.col(corpus_vec).alias("__cent_v"))
+            .withColumn("__h", h)
+            .orderBy("__h", "__cent_src")
+            .limit(int(n_centroids))
+        )
+        cent = (
+            cent.withColumn(
+                "__cidx",
+                F.row_number().over(Window.orderBy("__h", "__cent_src")) - 1,
+            )
+            .select("__cidx", "__cent_v")
+        )
 
     # Collapse the centroid table to ONE row holding an array of
     # (index, vector) structs, broadcast it, and pick each row's centroids

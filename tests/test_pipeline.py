@@ -940,3 +940,24 @@ def test_kmeans_centroids_separate_clusters(spark):
     # each query's neighbors all come from its own cluster (same mod 3)
     for r in out:
         assert r["neighbor_id"] % 3 == r["query_id"] % 3
+
+
+def test_ivf_topk_join_with_trained_centroids(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(9)
+    rows = []
+    axes = np.eye(4)
+    for i in range(80):
+        v = axes[i % 4] + rng.randn(4) * 0.05
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    C = S.kmeans_centroids(df, vec_col="v", id_col="vec_id", k=4, iters=3)
+    out = S.ivf_topk_join(
+        df, df.where(F.col("vec_id") < 4),
+        corpus_id="vec_id", corpus_vec="v", query_id="vec_id", query_vec="v",
+        k=5, nprobe=1, centroids=C,
+    ).collect()
+    assert out  # buckets are populated
+    for r in out:
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4
