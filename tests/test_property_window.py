@@ -138,3 +138,101 @@ def test_last_join_matches_python(sp, left, right):
         matches = [(rts, rid) for (rk, rts, v, rid) in rrows if rk == k and rts <= t]
         want[lid] = max(matches)[1] if matches else None
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# frame-nested UDAFs (r8): random tables vs a pure-Python model of the
+# reference semantics (inner aggregates = frame-final constants)
+# ---------------------------------------------------------------------------
+
+NN_ROWS = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),                  # pk
+        st.integers(min_value=-9, max_value=9),       # c1
+        st.one_of(st.none(), st.sampled_from(["x", "y", "z"])),  # c2
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(NN_ROWS, st.integers(min_value=1, max_value=6))
+def test_property_frame_nested_sum_count(spark, rows, nrows):
+    # sum(c1 - count(c1)) over a bounded ROWS frame == per the reference:
+    # for each row, K = count of frame rows, result = sum(c1_i - K)
+    data = [(i, pk, c1, c2) for i, (pk, c1, c2) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, pk string, c1 int, c2 string")
+    out = osql(
+        spark,
+        f"""
+        SELECT t.id,
+          sum(c1 - count(c1)) OVER w1 AS r,
+          count_where(id, c2 = lag(c2, 0)) OVER w1 AS cw
+        FROM t
+        WINDOW w1 AS (PARTITION BY t.pk ORDER BY t.id
+                      ROWS BETWEEN {nrows} PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: (r["r"], r["cw"]) for r in out}
+    by_pk: dict = {}
+    for i, pk, c1, c2 in data:
+        by_pk.setdefault(pk, []).append((i, c1, c2))
+    for pk, items in by_pk.items():
+        for j, (i, c1, c2) in enumerate(items):
+            frame = items[max(0, j - nrows): j + 1]
+            k = len(frame)  # count(c1): c1 never null here
+            exp_r = sum(x[1] - k for x in frame)
+            cur = c2  # lag(c2, 0) = current row's value
+            if cur is None:
+                # NULL = NULL is not true: no rows match
+                exp_cw = 0
+            else:
+                exp_cw = sum(1 for x in frame if x[2] == cur)
+            assert got[i] == (exp_r, exp_cw), (
+                i, got[i], (exp_r, exp_cw), frame, cur
+            )
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b"]),
+              st.one_of(st.none(), st.sampled_from(["k1:v1,k2:v2", "k3:v3", "", "k1:v1"]))),
+    min_size=1, max_size=15,
+))
+def test_property_fused_list_aggs(spark, rows):
+    # join/count/distinct_count over window_split == a Python model of
+    # the reference semantics (rows ts-desc, pieces left-to-right,
+    # NULL rows skipped)
+    data = [(i, pk, s) for i, (pk, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id long, pk string, s string")
+    out = osql(
+        spark,
+        """
+        SELECT t.id,
+          `join`(window_split(s, ","), " ") OVER w1 AS j,
+          count(window_split(s, ",")) OVER w1 AS c,
+          distinct_count(window_split(s, ",")) OVER w1 AS dc
+        FROM t
+        WINDOW w1 AS (PARTITION BY t.pk ORDER BY t.id
+                      ROWS BETWEEN 10 PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: (r["j"], r["c"], r["dc"]) for r in out}
+    by_pk: dict = {}
+    for i, pk, s in data:
+        by_pk.setdefault(pk, []).append((i, s))
+    for pk, items in by_pk.items():
+        for j_ix, (i, s) in enumerate(items):
+            frame = items[max(0, j_ix - 10): j_ix + 1]
+            pieces: list = []
+            for _, sv in reversed(frame):  # rows ts-desc
+                if sv is None:
+                    continue
+                pieces.extend(sv.split(","))
+            exp = (" ".join(pieces), len(pieces), len(set(pieces)))
+            assert got[i] == exp, (i, got[i], exp, frame)
