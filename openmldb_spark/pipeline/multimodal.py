@@ -9,7 +9,12 @@ shapes (progressive JPEG, 16-bit PNG) and compressed audio run PIL/codec
 libs when importable and otherwise fall back to deterministic stubs
 (those libraries are not in this container), so the plumbing has
 testable, reproducible outputs either way. Nothing but the decode body
-changes when a real codec lands.
+changes when a real codec lands. Perf note: the native decoders are
+vectorized where the format allows (BMP raster, PNG filters 0/1/2, the
+per-block IDCT) but PNG Average/Paeth unfiltering and JPEG Huffman
+decoding are per-element Python — correct and parallel across rows/
+executors, yet 10-100x slower than a C codec per image; when PIL is
+importable it takes over everything but BMP/PNG/JPEG fast paths.
 
 Batch walking is columnar: payloads come out of the Arrow batch as one
 list, metadata columns pass through untouched, and outputs are built as
@@ -223,7 +228,11 @@ def _png_rgb(payload: bytes):
             cur = line
         elif ft == 2:  # Up — vectorized (no left-neighbor dependency)
             cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: sequential in x
+        elif ft == 1:  # Sub — a per-channel prefix sum: vectorized cumsum
+            cur = np.empty(stride, dtype=np.int32)
+            for c in range(channels):
+                cur[c::channels] = np.cumsum(line[c::channels]) & 0xFF
+        elif ft in (3, 4):  # Average / Paeth: sequential in x
             cur = np.empty(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - channels] if x >= channels else 0
