@@ -236,9 +236,7 @@ def _png_rgb(payload: bytes):
             cur = np.empty(stride, dtype=np.int32)
             for x in range(stride):
                 a = cur[x - channels] if x >= channels else 0
-                if ft == 1:
-                    v = line[x] + a
-                elif ft == 3:
+                if ft == 3:
                     v = line[x] + ((a + prev[x]) >> 1)
                 else:
                     b = prev[x]
@@ -516,6 +514,30 @@ def _decode_jpeg(payload: bytes) -> tuple[int, int, list[float]]:
     return w, h, _gray_features(gray)
 
 
+def _native(fn, payload: bytes):
+    """Run a native decoder under the library-grade error contract: every
+    malformed-payload failure surfaces as OSError (the Spark callers null
+    the decode columns on OSError), never as a raw IndexError /
+    struct.error / numpy ValueError that would abort the whole task —
+    one corrupt image in a crawled batch must cost one row, not the job."""
+    import struct
+    import zlib
+
+    try:
+        return fn(payload)
+    except OSError:
+        raise
+    except (
+        ValueError,  # numpy frombuffer/reshape on truncated buffers
+        IndexError,  # e.g. a palette index past the PLTE table
+        KeyError,
+        OverflowError,
+        struct.error,
+        zlib.error,
+    ) as e:
+        raise OSError(f"malformed payload: {e}") from None
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode an image payload: BMP, 8-bit PNG, and baseline JPEG
     natively (pure stdlib+numpy — real pixels, real dims, no image libs
@@ -526,11 +548,11 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     schemas never change.
     """
     if payload[:2] == b"BM":
-        return _decode_bmp(payload)
+        return _native(_decode_bmp, payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_png(payload)
+        return _native(_decode_png, payload)
     if payload[:2] == b"\xff\xd8":
-        return _decode_jpeg(payload)
+        return _native(_decode_jpeg, payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
         img = _PILImage.open(io.BytesIO(payload))
         width, height = img.size
@@ -703,11 +725,11 @@ def _decode_rgb(payload: bytes):
     import numpy as np
 
     if payload[:2] == b"BM":
-        return _bmp_rgb(payload)
+        return _native(_bmp_rgb, payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _png_rgb(payload)
+        return _native(_png_rgb, payload)
     if payload[:2] == b"\xff\xd8":
-        g = (_jpeg_gray(payload) * 255.0).astype(np.uint8)
+        g = (_native(_jpeg_gray, payload) * 255.0).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     raise OSError("no native decoder for this payload")
 

@@ -138,7 +138,7 @@ def _split_nested_aggs(
         prev_dot = bool(out) and out[-1].text == "."
         if (
             t.kind == "name"
-            and t.text.lower() in _AGGS
+            and t.text.lower().strip("`") in _AGGS
             and nxt is not None
             and nxt.text == "("
             and not prev_dot
@@ -186,8 +186,8 @@ def _needs_structural_group(sel: Select) -> bool:
         for i, t in enumerate(tokens):
             if (
                 t.kind == "name"
-                and t.text.lower() in _AGGS
-                and t.text.lower() not in _TEXT_GROUP_AGGS
+                and t.text.lower().strip("`") in _AGGS
+                and t.text.lower().strip("`") not in _TEXT_GROUP_AGGS
                 and i + 1 < len(tokens)
                 and tokens[i + 1].text == "("
                 and not (i > 0 and tokens[i - 1].text == ".")
@@ -356,7 +356,7 @@ def _split_embedded_overs(
                 for x in range(len(inner) - 1):
                     if (
                         inner[x].kind == "name"
-                        and inner[x].text.lower() in _AGGS
+                        and inner[x].text.lower().strip("`") in _AGGS
                         and inner[x + 1].text == "("
                         and not (x > 0 and inner[x - 1].text == ".")
                     ):
@@ -390,7 +390,7 @@ def _split_embedded_overs(
                     continue
         if (
             t.kind == "name"
-            and t.text.lower() in _AGGS
+            and t.text.lower().strip("`") in _AGGS
             and nxt is not None
             and nxt.text == "("
             and not prev_dot
@@ -425,8 +425,13 @@ def _split_embedded_overs(
 
 
 #: outer aggregates that fold the LIST a window-split aggregate produces
-#: (UDAF-over-UDAF fusion — feature_zero_def.cc list UDAF composition)
-_LIST_FOLD_OUTERS = {"join", "count", "distinct_count", "top1_ratio", "topn_frequency"}
+#: (UDAF-over-UDAF fusion — feature_zero_def.cc list UDAF composition).
+#: `join` is NOT routed here from SQL: it is not an _AGGS name, so
+#: `join(window_split(..), d) OVER w` takes the composite-scalar path
+#: (window_split becomes the window column, array_join the projection) —
+#: same fold, same result; A.fuse_list_agg("join", ..) stays available
+#: for direct library use.
+_LIST_FOLD_OUTERS = {"count", "distinct_count", "top1_ratio", "topn_frequency"}
 _LIST_PRODUCERS = {"window_split", "window_split_by_key", "window_split_by_value"}
 
 
@@ -455,11 +460,6 @@ def _fuse_list_call(call: OverCall, func: str) -> "Optional[A.AggSpec]":
     inner_args = [a for a in _split_top_commas(first[2:-1]) if a]
     inner = _build_agg(OverCall(first[0].text.lower(), inner_args, window=call.window))
     extras = call.args[1:]
-    if func == "join":
-        lit = render(extras[0]) if len(extras) == 1 else ""
-        if not (len(lit) >= 2 and lit[0] in "'\"" and lit[-1] == lit[0]):
-            raise ValueError("join(list, delimiter) expects a string literal delimiter")
-        return A.fuse_list_agg("join", inner, delim=lit[1:-1])
     if func == "topn_frequency":
         if len(extras) != 1:
             raise ValueError("topn_frequency(list, n) expects an int literal n")
@@ -836,7 +836,6 @@ def _build_frame_nested_agg(call: OverCall, func: str) -> "A.AggSpec":
     proto = builder(
         *[F.lit(1) if tag == "col" else v for tag, v in factories]
     )
-    field_names = list(proto.fields.keys())
 
     fields: dict = {}
     for k, spec in enumerate(inners):
@@ -1208,7 +1207,7 @@ class Lowerer:
                 continue
             if it.over.window not in sel.windows:
                 raise ValueError(f"unknown window {it.over.window!r}")
-            if it.over.func in _AGGS or it.over.func == "count":
+            if it.over.func.strip("`") in _AGGS or it.over.func.strip("`") == "count":
                 name = f"__omsqlw_{next(gen)}"
                 out_names[idx] = name
                 per_window.setdefault(it.over.window, {})[name] = _build_agg(it.over)

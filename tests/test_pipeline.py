@@ -1004,3 +1004,54 @@ def test_ann_recall_on_real_testdata(spark):
     assert len(lsh & exact) / n >= 0.05, len(lsh & exact) / n
     assert len(ivf & exact) / n >= 0.5, len(ivf & exact) / n
     assert len(ivf_t & exact) / n >= 0.5, len(ivf_t & exact) / n
+
+
+def test_native_decoders_contract_on_malformed_payloads(spark):
+    """Review finding (r8): parser-level IndexError/struct.error/numpy
+    ValueError from the native decoders must surface as OSError so one
+    corrupt image nulls one row instead of failing the Spark task."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    def png(ihdr, raster, plte=None):
+        return _png_chunks(ihdr, raster, plte)
+
+    bads = [
+        # palette index past the PLTE table -> IndexError in numpy
+        png((1, 1, 8, 3, 0, 0, 0), b"\x00\x07", b"\xff\x00\x00"),
+        # truncated IHDR -> struct.error
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + b"\x00\x00",
+        # JPEG with a DQT shorter than 64 entries -> numpy ValueError
+        b"\xff\xd8" + b"\xff\xdb" + struct.pack(">H", 10) + b"\x00" * 8 + b"\xff\xd9",
+        # JPEG with a short SOF segment -> struct.error
+        b"\xff\xd8" + b"\xff\xc0" + struct.pack(">H", 4) + b"\x08\x00" + b"\xff\xd9",
+    ]
+    for b in bads:
+        with _pytest.raises(OSError):
+            M._decode_image(b)
+        with _pytest.raises(OSError):
+            M._decode_rgb(b)
+    rows = [(f"m{i}", "image", "x", bytearray(b), None, None, None)
+            for i, b in enumerate(bads)]
+    df = spark.createDataFrame(rows, M.MEDIA_SCHEMA)
+    out = M.extract_image_features(df).collect()
+    assert len(out) == len(bads)
+    assert all(r["width"] is None and r["feat"] is None for r in out)
+
+
+def test_fuse_list_agg_join_api(spark):
+    # the library-level fused join fold (SQL routes join-over-window_split
+    # through the composite-scalar path instead; this pins the direct API)
+    from openmldb_spark.functions import aggregates as A
+    from openmldb_spark.operators.window import WindowDef, window_agg
+
+    df = spark.createDataFrame(
+        [(1, "A", "a,b", 10), (2, "A", "c", 20)],
+        "id int, pk string, s string, ts long",
+    )
+    wd = WindowDef(partition_by=["pk"], order_by="ts", unbounded=True)
+    spec = A.fuse_list_agg("join", A.window_split("s", ","), delim=" ")
+    out = {r["id"]: r["j"] for r in window_agg(df, wd, {"j": spec}).collect()}
+    assert out[2] == "c a b"  # rows ts-desc, pieces left-to-right

@@ -547,3 +547,24 @@ def test_nested_udaf_real_timestamp_condition(spark):
     # reference id 53 goldens for a1/a3
     assert got == {1: (2, None), 2: (7, None), 3: (15, None),
                    4: (18, 4), 5: (21, 9)}
+
+
+def test_backquoted_aggregate_lowers_as_window_agg(spark):
+    # review finding (r8): `count`(c1) OVER w must lower exactly like
+    # count(c1) OVER w (the dialect backquotes names that collide with
+    # keywords), not fall through to a per-row projection
+    df = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", 20), (3, "A", 30)], "id int, pk string, c1 int"
+    )
+    out = sql(
+        spark,
+        """
+        SELECT t.id, `count`(c1) OVER w1 AS n, `sum`(c1) OVER w1 AS s
+        FROM t
+        WINDOW w1 AS (PARTITION BY t.pk ORDER BY t.id
+                      ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)
+        """,
+        {"t": df},
+    ).collect()
+    got = {r["id"]: (r["n"], r["s"]) for r in out}
+    assert got == {1: (1, 10), 2: (2, 30), 3: (2, 50)}
