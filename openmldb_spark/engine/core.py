@@ -67,6 +67,14 @@ class _NsView:
     def __setitem__(self, key: str, val) -> None:
         d, bare = self._slot(key)
         d[bare] = val
+        if self._which == "_dbs":
+            self._eng._bump_epoch(self._eng._loc(key)[0], bare)
+
+    def __delitem__(self, key: str) -> None:
+        d, bare = self._slot(key)
+        del d[bare]
+        if self._which == "_dbs":
+            self._eng._bump_epoch(self._eng._loc(key)[0], bare)
 
     def __contains__(self, key: str) -> bool:
         try:
@@ -83,7 +91,10 @@ class _NsView:
             d, bare = self._slot(key)
         except KeyError:
             return default
-        return d.pop(bare, default)
+        out = d.pop(bare, default)
+        if self._which == "_dbs":
+            self._eng._bump_epoch(self._eng._loc(key)[0], bare)
+        return out
 
     def _cur(self) -> dict:
         return getattr(self._eng, self._which)[self._eng.current_db]
@@ -209,6 +220,24 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         #: in registration order like the reference's nameserver tid
         self._table_ids: dict[tuple, int] = {}
         self._next_tid = 1
+        #: (db, bare) -> mutation epoch, bumped on EVERY store write
+        #: (INSERT/DELETE/LOAD DATA/TRUNCATE/register/offline rebuild).
+        #: Derived caches — the long-window pre-agg above all — key their
+        #: validity on it, the Spark-side stand-in for the reference's
+        #: maintain-on-every-Put/Delete aggregator tables
+        #: (src/storage/aggregator.cc; pinned by the ported
+        #: integration_test/long_window delete cases).
+        self._epochs: dict[tuple, int] = {}
+
+    def _bump_epoch(self, db: str, bare: str) -> None:
+        key = (db, bare)
+        self._epochs[key] = self._epochs.get(key, 0) + 1
+
+    def table_epoch(self, name: str) -> int:
+        """Monotonic mutation counter for a table (any name spelling);
+        0 until first write. Caches built from the table's rows compare
+        this to their build-time value to detect staleness."""
+        return self._epochs.get(self._loc(name), 0)
 
     @property
     def databases(self) -> set[str]:
@@ -291,6 +320,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             self._off_rebuild(db, bare)
         else:
             self._dbs[db][bare] = df
+            self._bump_epoch(db, bare)
 
     def _store_append(
         self, name: str, new: DataFrame, offline: Optional[bool] = None
@@ -310,6 +340,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             self._off_rebuild(db, bare)
         else:
             self._dbs[db][bare] = self._dbs[db][bare].unionByName(new)
+            self._bump_epoch(db, bare)
 
     def _table_view(self) -> dict[str, DataFrame]:
         """Resolution mapping for the Lowerer: current db's tables under
@@ -745,6 +776,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         dfs = ([parts["base"]] if parts["base"] is not None else []) + list(
             parts["sym"].values()
         )
+        self._bump_epoch(db, bare)
         if not dfs:
             self._db_off.get(db, {}).pop(bare, None)
             self._off_parts.pop((db, bare), None)

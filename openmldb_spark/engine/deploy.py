@@ -68,6 +68,32 @@ class DeployMixin:
             raise ValueError("DEPLOY requires a SELECT statement")
         select_sql = sql_text[m.start():]
         dep = SqlDeployment(self, name, select_sql, long_windows=long_windows)
+        if long_windows:
+            # cluster-router deploy-time validation
+            # (src/sdk/sql_cluster_router.cc:4477-4480): every long_windows
+            # name must be used by a windowed select item. The function-tier
+            # corpus golden tolerating unknown names (long_window.yaml ids
+            # 13/14) predates this check — resolved toward the cluster
+            # behavior (DIVERGENCES #25).
+            used = {
+                it.over.window
+                for it in dep.query.body.items
+                if it.over is not None
+            }
+            if not set(long_windows) <= used:
+                raise ValueError(
+                    "long_windows option doesn't match window in sql"
+                )
+            for bucket in long_windows.values():
+                # aggregator bucket units are s/m/h/d or a bare row count
+                # (src/storage/aggregator.cc:1262-1280); anything else —
+                # the corpus pins '2y' — fails aggregator creation
+                # (integration_test/long_window id 0)
+                if not re.fullmatch(r"\d+(s|m|min|h|d)?", bucket):
+                    raise ValueError(
+                        f"create aggregator failed: bad bucket size "
+                        f"{bucket!r} (want <n>[s|m|h|d])"
+                    )
         # compile-time validation, like the reference's deploy-time plan
         # build: lower the SELECT against the current catalog (no action
         # runs); unknown tables/columns or bad SQL fail the DEPLOY itself,
@@ -313,6 +339,10 @@ class SqlDeployment:
         self.long_windows = dict(long_windows or {})
         self.query = P.parse(select_sql)
         self._preagg: dict[tuple[str, str], DataFrame] = {}
+        #: provenance of the cached pre-agg: ("tbl", epoch) when built from
+        #: the engine store, ("df", id(history)) for an explicit history —
+        #: compared on every prepare_preagg so DML invalidates the cache
+        self._preagg_src: Optional[tuple] = None
         self.db_name = engine.current_db
         #: output schema, filled by Engine._deploy's validation lowering
         self.output_schema = None
@@ -680,11 +710,17 @@ class SqlDeployment:
 
     def _lw_items(self):
         """(item_idx, window_name, agg, value_sql, cond_tokens|None) for
-        each eligible long-window select item; raises if an opted-in window
-        is used in a non-eligible way. ``*_where`` aggregates carry their
-        condition tokens (filter-keyed pre-agg)."""
+        each PRE-AGG-SERVABLE long-window select item. An opted-in window
+        that this engine cannot serve from time buckets — ROWS frame or a
+        bare-number (row-count) bucket, WINDOW UNION/MAXSIZE/EXCLUDE attrs,
+        a non-sum/count/avg/min/max[_where] function — is skipped, which
+        makes :meth:`run_request_preagg` fall back to raw request serving
+        (results stay exact; only the pre-agg speedup is lost). The
+        reference additionally materializes ROW-COUNT buckets
+        (``aggregator.cc`` kRowsNum) — a documented non-goal here
+        (DIVERGENCES #25). ``*_where`` aggregates carry their condition
+        tokens (filter-keyed pre-agg)."""
         from openmldb_spark.sql.rewrite import rewrite_expr
-        from openmldb_spark.sql.parser import render
 
         body = self.query.body
         out = []
@@ -698,21 +734,21 @@ class SqlDeployment:
             ) or (is_where and len(it.over.args) == 2)
             if (
                 w.frame_kind != "rows_range"
+                or self.long_windows[it.over.window].isdigit()
                 or w.union_tables
                 or w.maxsize is not None
                 or w.exclude_current_row
                 or w.exclude_current_time
                 or not ok_fn
             ):
-                raise ValueError(
-                    f"window {it.over.window!r} is not long-window eligible "
-                    f"(need plain ROWS_RANGE + single "
-                    f"sum/count/avg/min/max[_where])"
-                )
+                continue
             cond = None
             if is_where:
                 cond = it.over.args[1]
-                self._lw_where_cond(cond)  # validate the restricted shape
+                try:
+                    self._lw_where_cond(cond)  # restricted-shape check
+                except ValueError:
+                    continue
             out.append(
                 (idx, it.over.window, it.over.func,
                  rewrite_expr(it.over.args[0]), cond)
@@ -722,11 +758,28 @@ class SqlDeployment:
     def prepare_preagg(self, history: Optional[DataFrame] = None) -> None:
         """Materialize per-(key, bucket) partial aggregates for every
         long-window (agg-input) pair. At scale: persist these to storage
-        and refresh incrementally; here they are cached DataFrames."""
+        and refresh incrementally; here they are cached DataFrames.
+
+        The cache is epoch-stamped against the request table: any DML on it
+        (INSERT/DELETE/LOAD/TRUNCATE) bumps ``Engine.table_epoch`` and the
+        next serve rebuilds from live rows — the batch counterpart of the
+        reference's maintain-on-every-Put/Delete aggregator
+        (``src/storage/aggregator.cc``; integration_test/long_window
+        "delete pk" cases pin that a DELETE empties the pre-agg)."""
         from openmldb_spark.operators.window import parse_interval_ms
         from openmldb_spark.plans.longwindow import preaggregate
         from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
 
+        src = (
+            ("df", id(history))
+            if history is not None
+            else ("tbl", self.engine.table_epoch(self.request_table))
+        )
+        if src != self._preagg_src:
+            for cached in self._preagg.values():
+                cached.unpersist()
+            self._preagg.clear()
+            self._preagg_src = src
         hist = self._serving_history(history)
         body = self.query.body
         # partition keys may be qualified (`PARTITION BY t0.c1`): resolve
