@@ -182,12 +182,18 @@ def lsh_topk(
     exclude_self: bool = True,
     portable: bool = False,
     dim: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via shared random-hyperplane buckets.
 
     Recall/cost dial: fewer planes = bigger buckets = higher recall, more
-    compute. Output schema matches :func:`brute_force_topk` (may return
-    < k rows per query if its bucket is small — IVF-style behavior).
+    compute. ``bands`` adds OR-of-bands amplification — L independent
+    plane sets; a candidate qualifies if it shares a bucket in ANY band
+    (collision prob 1-(1-p^planes)^L vs p^planes) — the standard fix for
+    sign-bit LSH's poor recall on isotropic embeddings. Cost scales ~L×
+    candidates. Output schema matches :func:`brute_force_topk` (may
+    return < k rows per query if its buckets are small — IVF-style
+    behavior).
 
     ``portable=True`` keeps the broadcast-queries serving shape (the query
     side rides a broadcast hash join — no corpus shuffle) but derives
@@ -204,10 +210,12 @@ def lsh_topk(
         if dim is None:
             dim = len(corpus.select(corpus_vec).first()[0])
         ca = _portable_bucket(
-            corpus, corpus_id, corpus_vec, "neighbor_id", dim, planes, seed
+            corpus, corpus_id, corpus_vec, "neighbor_id", dim, planes, seed,
+            bands,
         ).withColumnRenamed("__v", "__cv")
         qa = _portable_bucket(
-            queries, query_id, query_vec, "query_id", dim, planes, seed
+            queries, query_id, query_vec, "query_id", dim, planes, seed,
+            bands,
         ).withColumnRenamed("__v", "__qv")
         scored = ca.join(F.broadcast(qa), "__bucket").select(
             "query_id",
@@ -216,6 +224,12 @@ def lsh_topk(
         )
         if exclude_self:
             scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+        if bands > 1:
+            # a pair colliding in several bands appears once per band —
+            # dedupe before ranking (cos is identical across duplicates)
+            scored = scored.groupBy("query_id", "neighbor_id").agg(
+                F.max("cos").alias("cos")
+            )
         w = Window.partitionBy("query_id").orderBy(
             F.col("cos").desc(), F.col("neighbor_id").asc()
         )
@@ -224,14 +238,23 @@ def lsh_topk(
         )
     first = corpus.select(corpus_vec).first()
     dim = len(first[0])
-    P = _plane_matrix(spark, dim, planes, seed)
+    # per-band plane blocks stacked to ONE (bands*planes, dim) matrix —
+    # a single matmul per Arrow batch computes every band's bits
+    P = np.vstack([
+        _plane_matrix(spark, dim, planes, s) for s in _band_seeds(seed, bands)
+    ])
     weights = (1 << np.arange(planes)).astype(np.int64)
+    nb = max(1, int(bands))
+
+    def _bucket_ids(V):
+        bits = ((V @ P.T) >= 0).astype(np.int64).reshape(len(V), nb, planes)
+        return bits @ weights  # (n, bands)
 
     qrows = queries.select(query_id, query_vec).collect()
     qids = [r[0] for r in qrows]
     Q = np.asarray([r[1] for r in qrows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    qbuckets = (((Q @ P.T) >= 0).astype(np.int64) @ weights)
+    qbuckets = _bucket_ids(Q)
     bc = spark.sparkContext.broadcast((qids, Qn, qbuckets, P, weights))
 
     id_t = _id_sql_type(corpus, corpus_id)
@@ -246,14 +269,16 @@ def lsh_topk(
             if len(pdf) == 0:
                 continue
             C = np.asarray(list(pdf[corpus_vec]), dtype=np.float64)
-            cb = ((C @ P_l.T) >= 0).astype(np.int64) @ w_l
+            bits = ((C @ P_l.T) >= 0).astype(np.int64)
+            cb = bits.reshape(len(C), nb, planes) @ w_l  # (batch, bands)
             cids = pdf[corpus_id].to_numpy()
             cn = np.linalg.norm(C, axis=1, keepdims=True)
             cn[cn == 0.0] = 1.0
             Cn = C / cn
             outs = []
             for qi, qb in enumerate(qb_l):
-                mask = cb == qb
+                # OR of bands: candidate if ANY band's bucket matches
+                mask = (cb == qb).any(axis=1)
                 if not mask.any():
                     continue
                 cos = Cn[mask] @ Qn_l[qi]
@@ -302,6 +327,14 @@ def _portable_planes(dim: int, planes: int, seed: int) -> list[list[float]]:
     ]
 
 
+def _band_seeds(seed, bands: int) -> list:
+    """Per-band plane-derivation seeds. One band keeps the legacy
+    ``{seed}|{p}|{d}`` hash keys (existing oracles unchanged); with L > 1
+    bands every band t derives from ``{seed}|{t}|{p}|{d}`` — L independent
+    plane sets, reproducible in any engine with the same hash."""
+    return [seed] if bands <= 1 else [f"{seed}|{t}" for t in range(bands)]
+
+
 def _portable_bucket(
     df: DataFrame,
     id_col: str,
@@ -310,19 +343,28 @@ def _portable_bucket(
     dim: int,
     planes: int,
     seed: int,
+    bands: int = 1,
 ) -> DataFrame:
     """(id, __v, __bucket) with md5-derived planes and sequential JVM
     folds — the oracle-reproducible bucketizer shared by :func:`lsh_topk`
-    (portable arm) and :func:`lsh_topk_join` (portable=True)."""
+    (portable arm) and :func:`lsh_topk_join` (portable=True). With
+    ``bands`` > 1 each row emits one bucket id PER BAND (exploded), band t
+    offset by ``t * 2**planes`` so the downstream equi-join stays a single
+    long-column join."""
     proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-    coeffs = _portable_planes(dim, planes, seed)
-    b = F.lit(0).cast("long")
-    for p in range(planes):
-        arr = F.array(*[F.lit(c) for c in coeffs[p]])
-        b = b + F.when(
-            dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    return proj.withColumn("__bucket", b)
+    band_cols = []
+    for t, s in enumerate(_band_seeds(seed, bands)):
+        coeffs = _portable_planes(dim, planes, s)
+        b = F.lit(t * (1 << planes)).cast("long")
+        for p in range(planes):
+            arr = F.array(*[F.lit(c) for c in coeffs[p]])
+            b = b + F.when(
+                dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        band_cols.append(b)
+    if bands <= 1:
+        return proj.withColumn("__bucket", band_cols[0])
+    return proj.withColumn("__bucket", F.explode(F.array(*band_cols)))
 
 
 def lsh_topk_join(
@@ -340,6 +382,7 @@ def lsh_topk_join(
     portable: bool = False,
     max_bucket: int | None = None,
     dim: int | None = None,
+    bands: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k via a bucket-id equi-join — the scale path
     for large query sets (no driver-side collect; queries stay distributed;
@@ -359,33 +402,62 @@ def lsh_topk_join(
     by the correctness oracle. ``portable=False`` (default) derives planes
     from xxhash64 (identical to :func:`lsh_topk`) and computes bucket ids
     with one numpy matmul per Arrow batch — the fast path.
+
+    ``bands`` (OR-of-bands amplification, same contract as
+    :func:`lsh_topk`): L independent plane sets, each row emits one
+    band-offset bucket id per band — L× shuffle rows — candidates join on
+    any shared band bucket and pairs dedupe before ranking. The recall fix
+    for isotropic embeddings, where single-table sign-bit LSH measured
+    0.14 on the driver's real table (r8 verdict): planes=4/bands=8
+    measures ≥0.6 there (pinned in tests/test_pipeline.py).
     """
     import numpy as np
 
     spark = corpus.sparkSession
     if dim is None:
         dim = len(corpus.select(corpus_vec).first()[0])
+    nb = max(1, int(bands))
 
     def with_bucket(df: DataFrame, id_col: str, vec_col: str, out_id: str) -> DataFrame:
         if portable:
-            return _portable_bucket(df, id_col, vec_col, out_id, dim, planes, seed)
+            return _portable_bucket(
+                df, id_col, vec_col, out_id, dim, planes, seed, nb
+            )
         proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-        P = _plane_matrix(spark, dim, planes, seed)
+        P = np.vstack([
+            _plane_matrix(spark, dim, planes, s)
+            for s in _band_seeds(seed, nb)
+        ])
         weights = (1 << np.arange(planes)).astype(np.int64)
-        bc = spark.sparkContext.broadcast((P, weights))
+        offsets = (np.arange(nb) << planes).astype(np.int64)
+        bc = spark.sparkContext.broadcast((P, weights, offsets))
         id_t = _id_sql_type(proj, out_id)
         vec_t = dict(proj.dtypes)["__v"]
 
         def bucketize(batches):
             import pandas as pd
 
-            P_l, w_l = bc.value
+            P_l, w_l, off_l = bc.value
             for pdf in batches:
                 if len(pdf) == 0:
                     continue
                 V = np.asarray(list(pdf["__v"]), dtype=np.float64)
-                bkt = ((V @ P_l.T) >= 0).astype(np.int64) @ w_l
-                yield pd.DataFrame({out_id: pdf[out_id], "__v": pdf["__v"], "__bucket": bkt})
+                bits = ((V @ P_l.T) >= 0).astype(np.int64)
+                bkt = bits.reshape(len(V), len(off_l), -1) @ w_l + off_l
+                if len(off_l) == 1:
+                    yield pd.DataFrame(
+                        {out_id: pdf[out_id], "__v": pdf["__v"],
+                         "__bucket": bkt[:, 0] - off_l[0]}
+                    )
+                    continue
+                # one row per (input row, band): band t's id offset by
+                # t*2^planes keeps the join a single long-column equi-join
+                idx = np.repeat(np.arange(len(V)), len(off_l))
+                yield pd.DataFrame(
+                    {out_id: pdf[out_id].to_numpy()[idx],
+                     "__v": pdf["__v"].to_numpy()[idx],
+                     "__bucket": bkt.ravel()}
+                )
 
         return proj.mapInPandas(bucketize, f"{out_id} {id_t}, __v {vec_t}, __bucket long")
 
@@ -410,6 +482,12 @@ def lsh_topk_join(
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    if nb > 1:
+        # OR-of-bands duplicates: a pair colliding in several bands appears
+        # once per band — one keyed dedupe (cos identical across bands)
+        scored = scored.groupBy("query_id", "neighbor_id").agg(
+            F.max("cos").alias("cos")
+        )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -474,34 +552,44 @@ def kmeans_centroids(
                 vn[vn == 0.0] = 1.0
                 Vn = V / vn
                 assign = np.argmax(Vn @ CN.T, axis=1)
-                out = {"__cid": [], "__sum": [], "__cnt": []}
+                out = {"__cid": [], "__sum": []}
                 for cid in np.unique(assign):
                     m = assign == cid
+                    # the member count rides as element [dim] of the
+                    # partial-sum array, so ONE action finishes the
+                    # iteration (sums + counts in the same scan)
                     out["__cid"].append(int(cid))
-                    out["__sum"].append(Vn[m].sum(axis=0).tolist())
-                    out["__cnt"].append(int(m.sum()))
+                    out["__sum"].append(
+                        Vn[m].sum(axis=0).tolist() + [float(m.sum())]
+                    )
                 yield pd.DataFrame(out)
 
+        # dim-robust final reduce (r8 verdict #2): posexplode the partial
+        # arrays and run ONE sum aggregate over (cid, pos) — k×(dim+1)
+        # rows, regardless of dim. The previous per-dimension
+        # F.sum(__sum[i]) array built dim aggregate expressions, which at
+        # production embedding dims (768-1536) bloats whole-stage codegen
+        # past hugeMethodLimit into interpreted fallback.
         agg = (
-            vecs.mapInPandas(
-                partials, f"__cid int, __sum array<double>, __cnt long"
-            )
-            .groupBy("__cid")
-            .agg(
-                F.array(*[
-                    F.sum(F.col("__sum")[i]).alias(f"s{i}") for i in range(dim)
-                ]).alias("__sum"),
-                F.sum("__cnt").alias("__cnt"),
-            )
+            vecs.mapInPandas(partials, "__cid int, __sum array<double>")
+            .select("__cid", F.posexplode("__sum").alias("__pos", "__s"))
+            .groupBy("__cid", "__pos")
+            .agg(F.sum("__s").alias("__s"))
             .collect()
         )
-        newC = C.copy()
+        acc = np.zeros((C.shape[0], dim))
+        cnts = np.zeros(C.shape[0])
         for r in agg:
-            if r["__cnt"]:
-                v = np.asarray(r["__sum"], dtype=np.float64)
-                n = np.linalg.norm(v)
+            if r["__pos"] == dim:
+                cnts[r["__cid"]] = r["__s"]
+            else:
+                acc[r["__cid"], r["__pos"]] = r["__s"]
+        newC = C.copy()
+        for cid in range(C.shape[0]):
+            if cnts[cid] > 0:
+                n = np.linalg.norm(acc[cid])
                 if n > 0:
-                    newC[r["__cid"]] = v / n
+                    newC[cid] = acc[cid] / n
         C = newC
         bc.unpersist()
     return C

@@ -216,6 +216,42 @@ def test_lsh_topk_portable_matches_join_sibling(spark):
     assert sorted(map(key, bcast)) == sorted(map(key, joined))
 
 
+def test_lsh_banded_portable_matches_join_sibling(spark):
+    # OR-of-bands (r9): the banded portable arms of lsh_topk and
+    # lsh_topk_join are the same md5-plane computation — identical rows
+    # after the per-pair dedupe, cosines included
+    import math
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.2 * (i % 7)]) for i in range(60)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    q = df.where(F.col("vec_id") < 10)
+    kw = dict(corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+              query_vec="v", k=3, planes=5, seed=7, portable=True, bands=3)
+    bcast = S.lsh_topk(df, q, **kw).collect()
+    joined = S.lsh_topk_join(df, q, **kw).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+    assert sorted(map(key, bcast)) == sorted(map(key, joined))
+    # a pair never appears more than once per query (band dedupe)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in joined]
+    assert len(pairs) == len(set(pairs))
+
+
+def test_lsh_bands_1_is_exactly_the_legacy_single_table(spark):
+    # bands=1 must keep the legacy {seed}|{p}|{d} plane derivation and
+    # produce bit-identical output (the correctness-gate oracle depends
+    # on it); explicit bands=1 == omitted bands, both arms
+    import math
+    vecs = [(i, [math.cos(i * 0.29), math.sin(i * 0.29), 0.1 * (i % 5)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<float>")
+    q = df.where(F.col("vec_id") < 5)
+    for portable in (False, True):
+        kw = dict(corpus_id="vec_id", corpus_vec="v", query_id="vec_id",
+                  query_vec="v", k=3, planes=5, seed=7, portable=portable)
+        key = lambda r: (r["query_id"], r["neighbor_id"], r["cos"], r["rank"])
+        legacy = sorted(map(key, S.lsh_topk_join(df, q, **kw).collect()))
+        banded = sorted(map(key, S.lsh_topk_join(df, q, bands=1, **kw).collect()))
+        assert legacy == banded
+
+
 def test_lsh_topk_portable_plan_builds_without_driver_actions(spark, monkeypatch):
     from pyspark.sql import DataFrame
 
@@ -942,6 +978,32 @@ def test_kmeans_centroids_separate_clusters(spark):
         assert r["neighbor_id"] % 3 == r["query_id"] % 3
 
 
+def test_kmeans_centroids_dim_robust_reduce(spark):
+    """r8 verdict #2: the per-iteration final reduce must stay ONE sum
+    aggregate regardless of vector dim (posexplode over (cid, pos)), not
+    dim aggregate expressions — at production dims (768-1536) the latter
+    bloats whole-stage codegen past hugeMethodLimit into interpreted
+    fallback. Pin: a dim=512 training run converges to the planted axes
+    (correct sums AND counts through the combined array reduce)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    dim, k = 512, 4
+    rows = []
+    for i in range(60):
+        v = np.zeros(dim)
+        v[i % k] = 1.0
+        v += rng.randn(dim) * 0.01
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, v array<float>")
+    C = S.kmeans_centroids(df, vec_col="v", id_col="vec_id", k=k, iters=3)
+    assert C.shape == (k, dim)
+    assert np.allclose(np.linalg.norm(C, axis=1), 1.0)
+    # each centroid locks onto one of the four planted axes, all distinct
+    assert (np.abs(C).max(axis=1) > 0.95).all()
+    assert sorted(np.abs(C).argmax(axis=1)) == [0, 1, 2, 3]
+
+
 def test_ivf_topk_join_with_trained_centroids(spark):
     import numpy as np
 
@@ -998,12 +1060,47 @@ def test_ann_recall_on_real_testdata(spark):
     # data, not quality SLAs. The testdata embeddings are ISOTROPIC
     # (no cluster structure), the worst case for hyperplane LSH — top-5
     # neighbors of a random point rarely share all 4 sign bits (measured
-    # 0.14; the clustered-recall guarantees live in the synthetic-cluster
-    # tests above). IVF with nprobe/n_centroids = 4/8 scans ~half the
-    # corpus: measured 0.70 sampled / 0.74 k-means-trained.
+    # 0.14 single-table; the clustered-recall guarantees live in the
+    # synthetic-cluster tests above; the band-amplified fix is pinned in
+    # test_lsh_band_amplified_recall_on_real_testdata). IVF with
+    # nprobe/n_centroids = 4/8 scans ~half the corpus: measured 0.70
+    # sampled / 0.74 k-means-trained.
     assert len(lsh & exact) / n >= 0.05, len(lsh & exact) / n
     assert len(ivf & exact) / n >= 0.5, len(ivf & exact) / n
     assert len(ivf_t & exact) / n >= 0.5, len(ivf_t & exact) / n
+
+
+def test_lsh_band_amplified_recall_on_real_testdata(spark):
+    """OR-of-bands amplification (r8 verdict item #2) on the driver's real
+    (isotropic) embeddings: planes=4, bands=8 measures 0.62 recall@5 for
+    BOTH serving shapes (vs 0.14 single-table) — deterministic given the
+    fixed seed and data, pinned at the measured value. bands=12 measures
+    0.78, bands=16 0.88: the documented dial. Candidate cost scales ~L×;
+    each band's 2^4 buckets scan ~1/16 of the corpus, so bands=8 scores
+    ~(1-(1-1/16)^8)≈40% of the corpus — the honest trade sign-bit LSH
+    demands on isotropic data (IVF stays the cheaper path there)."""
+    import os
+
+    import pytest as _pytest
+
+    path = "/root/testdata/sf0.001/embeddings.parquet"
+    if not os.path.exists(path):
+        _pytest.skip("driver testdata not present")
+    emb = spark.read.parquet(path)
+    q = emb.where(F.col("vec_id") < 10)
+    kw = dict(corpus_id="vec_id", corpus_vec="embedding",
+              query_id="vec_id", query_vec="embedding", k=5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.brute_force_topk(emb, q, **kw).collect()}
+    n = len(exact)
+    lsh = {(r["query_id"], r["neighbor_id"])
+           for r in S.lsh_topk(emb, q, planes=4, bands=8, seed=42,
+                               **kw).collect()}
+    lshj = {(r["query_id"], r["neighbor_id"])
+            for r in S.lsh_topk_join(emb, q, planes=4, bands=8, seed=42,
+                                     **kw).collect()}
+    assert len(lsh & exact) / n >= 0.6, len(lsh & exact) / n
+    assert len(lshj & exact) / n >= 0.6, len(lshj & exact) / n
 
 
 def test_native_decoders_contract_on_malformed_payloads(spark):
