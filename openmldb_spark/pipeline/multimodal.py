@@ -415,9 +415,23 @@ def _jpeg_gray(payload: bytes):
             self.nb -= self.nb % 8
             self.b &= (1 << self.nb) - 1 if self.nb else 0
             # locate the RST in the underlying stream: it was treated as
-            # end-of-feed by _fill, so restart scanning from the marker
-            while self.i < len(self.d) and self.d[self.i] != 0xFF:
-                self.i += 1
+            # end-of-feed by _fill, so restart scanning from the marker.
+            # A 0xFF whose next byte is 0x00 is a STUFFED data byte (the
+            # pre-RST padding can legally end on 0xFF) — skip the pair and
+            # keep scanning, else decode resumes mid-padding (ADVICE r8);
+            # FF FF is a fill byte before the marker id.
+            while self.i < len(self.d):
+                if self.d[self.i] != 0xFF:
+                    self.i += 1
+                    continue
+                nxt = self.d[self.i + 1] if self.i + 1 < len(self.d) else None
+                if nxt == 0x00:
+                    self.i += 2
+                    continue
+                if nxt == 0xFF:
+                    self.i += 1
+                    continue
+                break
             if self.i + 1 < len(self.d) and 0xD0 <= self.d[self.i + 1] <= 0xD7:
                 self.i += 2
             self.b, self.nb = 0, 0
@@ -719,9 +733,39 @@ def _encode_png(rgb) -> bytes:
     )
 
 
+def _jpeg_n_components(payload: bytes) -> int:
+    """Component count (Nf) from the SOF segment — a cheap marker walk, no
+    entropy decode. Returns 1 when the header cannot be parsed (the real
+    decoder then raises its own OSError)."""
+    import struct
+
+    pos = 2
+    try:
+        while pos + 4 <= len(payload):
+            if payload[pos] != 0xFF:
+                return 1
+            marker = payload[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            seg_len = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                return payload[pos + 9]  # Nf: after len(2)+prec(1)+h(2)+w(2)
+            pos += 2 + seg_len
+    except (IndexError, struct.error):
+        pass
+    return 1
+
+
 def _decode_rgb(payload: bytes):
     """HxWx3 uint8 RGB from any natively-decodable payload (BMP / 8-bit
-    PNG / baseline JPEG — JPEG yields replicated luma); OSError otherwise."""
+    PNG / baseline JPEG — JPEG yields replicated luma); OSError otherwise.
+
+    A COLOR (multi-component) JPEG is deferred to PIL when importable
+    (OSError here -> the caller's PIL branch): the native path
+    reconstructs luma only, and the same input class must not change
+    output fidelity with the path taken (ADVICE r8). Without PIL the
+    native replicated-luma resize stands, documented."""
     import numpy as np
 
     if payload[:2] == b"BM":
@@ -729,6 +773,8 @@ def _decode_rgb(payload: bytes):
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _native(_png_rgb, payload)
     if payload[:2] == b"\xff\xd8":
+        if _PILImage is not None and _jpeg_n_components(payload) > 1:
+            raise OSError("color JPEG deferred to PIL")
         g = (_native(_jpeg_gray, payload) * 255.0).astype(np.uint8)
         return np.repeat(g[:, :, None], 3, axis=2)
     raise OSError("no native decoder for this payload")
@@ -744,7 +790,10 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     (native decode -> nearest-neighbor numpy resample -> minimal PNG
     re-encode); PIL handles anything else when importable; otherwise a
     deterministic truncate-or-pad stub keeps output size tracking the
-    target dims. The Spark-side contract is identical on every path:
+    target dims. COLOR (multi-component) JPEGs route to PIL whenever it is
+    importable — the native path reconstructs luma only, and path choice
+    must not change fidelity for the same input class (ADVICE r8); with no
+    PIL they resize as replicated luma (grayscale PNG out), documented. The Spark-side contract is identical on every path:
     binary in, binary out, one row per image, output partition sizing
     inherited from the input (control with arrow.maxRecordsPerBatch as in
     the module docstring).

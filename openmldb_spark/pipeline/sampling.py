@@ -98,6 +98,7 @@ def budget_chunks(
     budget: int,
     by: Optional[str] = None,
     out_col: str = "chunk_id",
+    eager_materialize: bool = True,
 ) -> DataFrame:
     """Fixed token-budget sharding: within each ``by`` group (whole table
     when None), order by ``order_col`` and assign chunk
@@ -114,9 +115,17 @@ def budget_chunks(
     (one row per partition, a cluster-sized aggregate, not a data-sized
     one) roll into broadcast exclusive offsets that are added back.
     Ties in ``order_col`` order arbitrarily within a partition, same as
-    the window spelling. The range assignment must be recompute-stable
-    (deterministic source, e.g. a table scan) — the plan reads the input
-    twice, once for offsets and once for rows."""
+    the window spelling.
+
+    The plan consumes the range assignment TWICE (offsets + rows), so both
+    consumers must see ONE physical assignment. ``eager_materialize``
+    (default True) persists + materializes the ranged rows before either
+    consumer builds, which is correct for ANY source (a prior shuffle, a
+    sampled read) at the cost of caching the input once (ADVICE r8). The
+    100 TB path on a DETERMINISTIC source (a plain table scan, where both
+    recomputations are identical by construction) opts out with
+    ``eager_materialize=False`` and pays two scans instead of a
+    data-sized cache."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if by is not None:
@@ -130,6 +139,9 @@ def budget_chunks(
     ranged = df.repartitionByRange(n_part, F.col(order_col).asc()).withColumn(
         "__pid", F.spark_partition_id()
     )
+    if eager_materialize:
+        ranged = ranged.persist()
+        ranged.count()
     # exclusive per-partition offsets: ≤ n_part rows after a map-side
     # partial agg, so the orderBy window here is over a tiny bounded table
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -55,6 +55,25 @@ _RN = "__omsql_rn"
 #  default_defs/window_functions_def.cc, default_defs/*_by_category_def.cc)
 # ---------------------------------------------------------------------------
 
+#: Spark-native aggregate heads that are NOT dialect window functions: a
+#: bare ``<fn>(...) OVER w`` with one of these is a mis-typed aggregate,
+#: never a window-invariant row scalar — the no-aggregate-inside-OVER
+#: fallback rejects them with the dialect error instead of letting them
+#: reach per-row projection (ADVICE r8). Names also in ``_AGGS`` are
+#: routed before the fallback and never consult this set.
+_SPARK_AGG_HEADS = frozenset({
+    "stddev", "stddev_pop", "stddev_samp", "std", "variance", "var_pop",
+    "var_samp", "collect_list", "collect_set", "array_agg",
+    "approx_count_distinct", "approx_percentile", "percentile",
+    "percentile_approx", "median", "corr", "covar_pop", "covar_samp",
+    "skewness", "kurtosis", "first", "last", "any_value", "bool_and",
+    "bool_or", "mode", "bit_and", "bit_or", "bit_xor", "mean",
+    "count_if", "histogram_numeric", "max_by", "min_by", "product",
+    "some", "every", "any", "regr_avgx", "regr_avgy", "regr_count",
+    "regr_r2", "regr_slope", "regr_intercept", "sum_distinct", "listagg",
+    "avg", "sum", "min", "max", "count", "grouping",
+})
+
 _AGGS: dict[str, tuple[object, str]] = {
     "sum": (A.sum_, "c"),
     "min": (A.min_, "c"),
@@ -1222,11 +1241,22 @@ class Lowerer:
             # tokens
             residual, subaggs = _split_nested_aggs(it.expr[:-2], gen)
             if not subaggs:
-                # no aggregate inside: a deterministic row-scalar is
-                # window-invariant, so the OVER is a no-op — evaluate per
-                # row (`join(split(c1, ""), "") OVER w1`,
+                # no DIALECT aggregate inside: a deterministic row-scalar
+                # is window-invariant, so the OVER is a no-op — evaluate
+                # per row (`join(split(c1, ""), "") OVER w1`,
                 # test_feature_zero_function id 5; an unknown function
-                # still fails resolution in the projection)
+                # still fails resolution in the projection). But a head
+                # that is a SPARK aggregate (stddev, collect_list, ...)
+                # is a mis-typed window aggregate, not a row scalar —
+                # falling through would raise a confusing downstream
+                # AnalysisException or, in an all-aggregate select list,
+                # silently become a global aggregate (ADVICE r8): keep
+                # the dialect error.
+                if it.over.func.strip("`").lower() in _SPARK_AGG_HEADS:
+                    raise ValueError(
+                        f"aggregate {it.over.func!r} is not a window "
+                        f"function of the dialect"
+                    )
                 composite[idx] = residual
                 continue
             per_window.setdefault(it.over.window, {}).update(subaggs)

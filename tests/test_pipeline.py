@@ -757,10 +757,13 @@ def test_jaccard_dedup_lazy_materialize_same_result(spark, docs):
 # ---------------------------------------------------------------------------
 
 
-def _jpeg_encode_gray(img, q):
+def _jpeg_encode_gray(img, q, restart_interval=0):
     """Encode a grayscale uint8 image as a baseline JFIF JPEG (test-only
     encoder: canonical equal-length Huffman tables built from the symbols
-    actually emitted)."""
+    actually emitted). ``restart_interval`` > 0 emits a DRI segment and
+    RSTn markers every that-many MCUs (DC predictor resets per segment,
+    per-segment byte padding with 1 bits — so padding can land on 0xFF
+    and be stuffed, the ADVICE-r8 align_restart case)."""
     import struct
 
     import numpy as np
@@ -788,9 +791,13 @@ def _jpeg_encode_gray(img, q):
     # pass 1: quantize blocks, gather symbols + the bit payloads
     blocks = []
     pred = 0
+    mcu_idx = 0
     dc_syms, ac_syms = set(), set()
     for by in range(0, H, 8):
         for bx in range(0, W, 8):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                pred = 0  # DC predictor resets at every restart
+            mcu_idx += 1
             f = pad[by:by + 8, bx:bx + 8] - 128.0
             F = M.T @ f @ M  # forward DCT (M orthogonal-ish: f = M F M^T)
             zz = np.round(F.reshape(64)[ZZ] / q[np.arange(64)]).astype(int)
@@ -832,33 +839,42 @@ def _jpeg_encode_gray(img, q):
     dc_bits, dc_vals, dc_codes = make_table(dc_syms)
     ac_bits, ac_vals, ac_codes = make_table(ac_syms)
 
-    out_bits = []
+    def flush(bits_list):
+        while len(bits_list) % 8:
+            bits_list.append(1)  # pad with 1s per spec
+        seg_raw = bytearray()
+        for i in range(0, len(bits_list), 8):
+            b = 0
+            for bit in bits_list[i:i + 8]:
+                b = (b << 1) | bit
+            seg_raw.append(b)
+            if b == 0xFF:
+                seg_raw.append(0x00)
+        return seg_raw
 
-    def emit(ln, code):
-        for i in range(ln - 1, -1, -1):
-            out_bits.append((code >> i) & 1)
-
-    for parts in blocks:
-        for kind, sym, v in parts:
-            ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
-            emit(ln, code)
-            if kind == "dc":
-                t = cat(v)
-                if t:
-                    emit(t, v if v > 0 else v + (1 << t) - 1)
-            elif sym not in (0x00, 0xF0):
-                s = sym & 0xF
-                emit(s, v if v > 0 else v + (1 << s) - 1)
-    while len(out_bits) % 8:
-        out_bits.append(1)  # pad with 1s per spec
+    ri = restart_interval or len(blocks)
     raw = bytearray()
-    for i in range(0, len(out_bits), 8):
-        b = 0
-        for bit in out_bits[i:i + 8]:
-            b = (b << 1) | bit
-        raw.append(b)
-        if b == 0xFF:
-            raw.append(0x00)
+    for g in range(0, len(blocks), ri):
+        if g:
+            raw += bytes([0xFF, 0xD0 + ((g // ri - 1) % 8)])
+        out_bits = []
+
+        def emit(ln, code):
+            for i in range(ln - 1, -1, -1):
+                out_bits.append((code >> i) & 1)
+
+        for parts in blocks[g:g + ri]:
+            for kind, sym, v in parts:
+                ln, code = (dc_codes if kind == "dc" else ac_codes)[sym]
+                emit(ln, code)
+                if kind == "dc":
+                    t = cat(v)
+                    if t:
+                        emit(t, v if v > 0 else v + (1 << t) - 1)
+                elif sym not in (0x00, 0xF0):
+                    s = sym & 0xF
+                    emit(s, v if v > 0 else v + (1 << s) - 1)
+        raw += flush(out_bits)
 
     def seg(marker, body):
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -869,7 +885,12 @@ def _jpeg_encode_gray(img, q):
         0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals)
     )
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
-    return b"\xff\xd8" + dqt + sof + dht + sos + bytes(raw) + b"\xff\xd9"
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    return b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(raw) + b"\xff\xd9"
 
 
 def test_jpeg_decoder_roundtrip_gray():
@@ -886,6 +907,41 @@ def test_jpeg_decoder_roundtrip_gray():
     exp = M._gray_features(img.astype(np.float64) / 255.0)
     for a, b in zip(feat, exp):
         assert abs(a - b) < 0.01, (feat, exp)
+
+
+def test_jpeg_decoder_dri_restart_roundtrip():
+    """ADVICE r8: the DRI/restart path had no coverage (the test encoder
+    never emitted DRI). Round-trip restart-interval payloads, including
+    ones whose pre-RST padding byte is 0xFF (stuffed as FF 00 — the seed
+    search guarantees at least one payload contains `FF 00 FF D<n>`);
+    align_restart now skips stuffed pairs while scanning for the marker.
+    (_fill's lookahead usually consumes the stuffed pad before the scan
+    runs, so the skip is defensive — the load-bearing assertion here is
+    that DRI streams decode to the right pixels at all.)"""
+    import re
+
+    import numpy as np
+
+    q = np.ones(64, dtype=np.int32)
+    hit_stuffed_pad = False
+    tested = 0
+    for seed in range(40):
+        rng = np.random.RandomState(seed)
+        img = rng.randint(0, 256, (16, 32), dtype=np.uint8)
+        payload = _jpeg_encode_gray(img, q, restart_interval=2)
+        body = payload[2:-2]  # trim SOI/EOI so EOI's FF D9 can't match
+        stuffed = re.search(b"\xff\x00\xff[\xd0-\xd7]", body) is not None
+        if not stuffed and hit_stuffed_pad:
+            continue  # already covered a plain payload implicitly
+        hit_stuffed_pad |= stuffed
+        tested += 1
+        w, h, feat = M._decode_jpeg(payload)
+        assert (w, h) == (32, 16), seed
+        exp = M._gray_features(img.astype(np.float64) / 255.0)
+        for a, b in zip(feat, exp):
+            assert abs(a - b) < 0.01, (seed, feat, exp)
+    assert hit_stuffed_pad, "no payload exercised the stuffed-FF pad case"
+    assert tested >= 2
 
 
 def test_jpeg_decoder_dc_only_analytic():

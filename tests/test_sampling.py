@@ -141,3 +141,26 @@ def test_pack_greedy_oversized_doc_gets_own_pack(spark):
         df, token_col="n_tokens", order_col="doc_id", budget=500, by="lang"
     ).collect()}
     assert out == {1: 0, 2: 1, 3: 2}
+
+
+def test_budget_chunks_global_one_physical_assignment(docs):
+    """ADVICE r8: by=None consumes the range assignment twice (offsets +
+    rows); with eager_materialize (default) both consumers must read ONE
+    persisted assignment — nondeterministic sources (prior shuffle,
+    sampled read) would otherwise get a different __pid per pass and
+    wrong chunk ids. The deterministic-scan opt-out skips the cache and
+    still matches."""
+    out = SA.budget_chunks(
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
+    lazy = SA.budget_chunks(
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000,
+        eager_materialize=False,
+    )
+    # (no plan assertion on the opt-out: Spark's cache manager substitutes
+    # the already-persisted identical subtree into ANY matching plan, so
+    # the lazy spelling may legitimately read the cache here too)
+    key = lambda r: (r["doc_id"], r["chunk_id"])
+    assert sorted(map(key, out.collect())) == sorted(map(key, lazy.collect()))
