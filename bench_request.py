@@ -1,0 +1,128 @@
+"""Request-serving latency benchmark — the counterpart of the reference's
+own headline benchmark (per-request deployed-procedure latency,
+``benchmark/.../OpenMLDBPerfBenchmark.java:43-139``, knobs WINDOW_NUM /
+WINDOW_SIZE / JOIN_NUM), which the batch-oriented ``bench.py`` does not
+measure.
+
+Deploys a two-window + LAST JOIN feature query over the driver's
+``events`` (main) and ``customer`` (dim) tables, then drives N SINGLE-ROW
+requests through ``SqlDeployment.run_request`` and publishes p50/p95/p99
+wall milliseconds, plus the AMORTIZED per-row latency of one
+``BATCH``-row request batch — the Spark-native serving shape (a
+vectorized request batch is one job; per-row cost divides by the batch).
+
+Honest framing: each single-row request is a full Spark local job, and
+measured time splits ~50/50 between per-call PLAN CONSTRUCTION
+(parse + lower + Catalyst analysis — the reference compiles once per
+DEPLOY and binds rows per call; a productionized server would cache the
+physical plan against a staged request table) and the job run — the
+reference's tablet engine serves the same shape in single-digit ms. The
+serving-path structural win this engine does ship is history key-pruning
+(``SqlDeployment._prune_history_to_request_keys``): frames read only the
+request keys' rows, the Spark analog of the tablet's pk-segment index
+read, which is what survives at 100 TB. The numbers this artifact tracks
+round to round are the serving-path cost trend and the batch
+amortization ratio, not a claim to tablet-class point latency.
+
+Output: ONE JSON line
+``{"metric": "request_latency_ms", "p50": .., "p95": .., "p99": ..,
+"n": N, "batch_rows": B, "batch_amortized_ms": .., "sf": ..}``.
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.01),
+SPARK_GRAFT_CPUS (default 32), SPARK_GRAFT_REQS (default 30),
+SPARK_GRAFT_REQ_BATCH (default 200).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_reqs = int(os.environ.get("SPARK_GRAFT_REQS", "30"))
+    batch_rows = int(os.environ.get("SPARK_GRAFT_REQ_BATCH", "200"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "true")
+        .appName("openmldb-spark-bench-request")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from openmldb_spark.engine import Engine
+    from openmldb_spark.session import load_table
+
+    eng = Engine(spark)
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    eng.register("events", events)
+    eng.register("customer", customer)
+
+    dep = eng.execute(
+        "DEPLOY bench_req SELECT event_id, user_id, "
+        "sum(value) OVER w1 AS sum_v, count(value) OVER w1 AS cnt_v, "
+        "avg(value) OVER w2 AS avg_v, max(value) OVER w2 AS max_v, "
+        "customer.c_acctbal AS acctbal, customer.c_mktsegment AS segment "
+        "FROM events LAST JOIN customer ON events.user_id = customer.c_custkey "
+        "WINDOW w1 AS (PARTITION BY user_id ORDER BY ts "
+        "ROWS_RANGE BETWEEN 1d PRECEDING AND CURRENT ROW), "
+        "w2 AS (PARTITION BY user_id ORDER BY ts "
+        "ROWS BETWEEN 100 PRECEDING AND CURRENT ROW)"
+    )
+
+    # request rows: real events rows (schema-exact), pre-built OUTSIDE the
+    # timed region — the reference times the procedure call with a ready
+    # request row, not row construction
+    sample = events.limit(max(n_reqs, batch_rows)).collect()
+    schema = dep.input_schema
+    single = [
+        spark.createDataFrame([sample[i % len(sample)]], schema)
+        for i in range(n_reqs)
+    ]
+    batch = spark.createDataFrame(
+        [sample[i % len(sample)] for i in range(batch_rows)], schema
+    )
+
+    # warmup: plan-compile + JIT tiers out of the measurement
+    for _ in range(3):
+        dep.run_request(single[0]).collect()
+
+    lat = []
+    for req in single:
+        t0 = time.perf_counter()
+        rows = dep.run_request(req).collect()
+        lat.append((time.perf_counter() - t0) * 1000.0)
+        assert len(rows) == 1
+        print(f"req {len(lat)}: {lat[-1]:.1f} ms", file=sys.stderr)
+    lat.sort()
+
+    def pct(p: float) -> float:
+        i = min(len(lat) - 1, int(round(p / 100 * (len(lat) - 1))))
+        return round(lat[i], 1)
+
+    t0 = time.perf_counter()
+    got = dep.run_request(batch).collect()
+    batch_ms = (time.perf_counter() - t0) * 1000.0
+    assert len(got) == batch_rows
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(json.dumps({
+        "metric": "request_latency_ms",
+        "p50": pct(50), "p95": pct(95), "p99": pct(99),
+        "n": n_reqs,
+        "batch_rows": batch_rows,
+        "batch_amortized_ms": round(batch_ms / batch_rows, 2),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()
