@@ -220,6 +220,12 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         #: in registration order like the reference's nameserver tid
         self._table_ids: dict[tuple, int] = {}
         self._next_tid = 1
+        #: streaming tables (Engine.register_stream): SELECTs whose main
+        #: table is registered here route to the event-time streaming
+        #: lowerer (streaming/sqlsurface.py) — the Spark-bonus SQL surface
+        #: for tumble/hop/session_window (SURVEY §2.8; the reference has
+        #: no streaming SQL constructs)
+        self._streams: dict[str, DataFrame] = {}
         #: (db, bare) -> mutation epoch, bumped on EVERY store write
         #: (INSERT/DELETE/LOAD DATA/TRUNCATE/register/offline rebuild).
         #: Derived caches — the long-window pre-agg above all — key their
@@ -391,6 +397,15 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
         self.tables[name] = df
+
+    def register_stream(self, name: str, stream: DataFrame) -> None:
+        """Register a STREAMING DataFrame under a table name: SELECTs over
+        it run through the event-time streaming lowerer (GROUP BY
+        tumble/hop/session_window + watermark CONFIG) and return an
+        unstarted streaming DataFrame for the caller's writeStream."""
+        if not stream.isStreaming:
+            raise ValueError(f"{name!r}: register_stream needs a streaming DataFrame")
+        self._streams[name] = stream
 
     def execute_script(self, script: str) -> list:
         """Run a ';'-separated statement script; returns per-statement
@@ -752,7 +767,17 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             m = re.search(r"\bINTO\s+OUTFILE\s+", sql_text, re.IGNORECASE)
             if m:
                 return self._select_into(sql_text, m)
-            return Lowerer(self.spark, self._table_view()).query(P.parse(sql_text), {})
+            q = P.parse(sql_text)
+            b = q.body
+            if (
+                isinstance(b, P.Select)
+                and b.from_ is not None
+                and b.from_.name in self._streams
+            ):
+                from openmldb_spark.streaming.sqlsurface import lower_stream_select
+
+                return lower_stream_select(self, q)
+            return Lowerer(self.spark, self._table_view()).query(q, {})
         raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
 
     # -- SHOW -----------------------------------------------------------------

@@ -1,0 +1,102 @@
+"""SQL surface for event-time streaming windows (streaming/sqlsurface.py):
+tumble + hop + session_window driven through ``Engine.execute`` over a
+``register_stream`` table — the YAML family in
+tests/streaming_cases/stream_sql_cases.yaml (ported-STYLE: no reference
+corpus exists, the reference has no streaming SQL; semantics mirror the
+Python-API pins in test_streaming_eventtime.py)."""
+
+import os
+import time
+
+import pytest
+
+try:
+    import yaml
+except ImportError:
+    yaml = None
+
+CASES_PATH = os.path.join(
+    os.path.dirname(__file__), "streaming_cases", "stream_sql_cases.yaml"
+)
+
+
+def _load():
+    if yaml is None:
+        return []
+    doc = yaml.safe_load(open(CASES_PATH))
+    return [pytest.param(c, id=c["id"]) for c in doc["cases"]]
+
+
+def _drain(q, seconds=20):
+    deadline = time.time() + seconds
+    while time.time() < deadline:
+        q.processAllAvailable()
+        time.sleep(0.3)
+        if not q.status["isDataAvailable"]:
+            return
+
+
+@pytest.mark.parametrize("case", _load())
+def test_stream_sql_case(spark, tmp_path, case):
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    src = tmp_path / "src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("pk string, ts bigint, v double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    eng.register_stream("s", stream)
+
+    if case.get("error"):
+        # a seed file so the plan can analyze if it gets that far
+        spark.createDataFrame(
+            [("a", 0, 0.0)], "pk string, ts bigint, v double"
+        ).coalesce(1).write.parquet(str(src / "b0"))
+        with pytest.raises(Exception):
+            df = eng.execute(case["sql"])
+            df.writeStream.format("noop").start().stop()
+        return
+
+    out = eng.execute(case["sql"])
+    assert out.isStreaming
+    got: list = []
+    q = (
+        out.writeStream.outputMode(case["mode"])
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(case["batches"]):
+            spark.createDataFrame(
+                [tuple(r) for r in rows], "pk string, ts bigint, v double"
+            ).coalesce(1).write.parquet(str(src / f"b{i}"))
+            _drain(q)
+    finally:
+        q.stop()
+
+    rows = [tuple(r) for r in got]
+    if case.get("final"):
+        # update mode re-emits windows as they grow: last write wins per
+        # (leading identity columns) — identity = all but the aggregates,
+        # here the first len(expect[0]) - n_aggs columns; key on the first
+        # two output columns (pk/window or pk), enough for these cases
+        final = {}
+        for r in rows:
+            final[r[: max(1, len(r) - 2)]] = r
+        rows = list(final.values())
+    if case.get("final_by_window"):
+        final = {}
+        for r in rows:
+            final[r[0]] = r
+        rows = list(final.values())
+    if "expect" in case:
+        assert sorted(rows) == sorted(tuple(e) for e in case["expect"]), rows
+    for e in case.get("contains", []):
+        assert tuple(e) in rows, (e, rows)
+    for e in case.get("never", []):
+        assert tuple(e) not in rows, (e, rows)
