@@ -836,7 +836,13 @@ class SqlDeployment:
         src = (
             ("df", id(history))
             if history is not None
-            else ("tbl", self.engine.table_epoch(self.request_table))
+            else (
+                "tbl",
+                self.engine.table_epoch(self.request_table),
+                # the TTL pin also shapes serving history: a SET
+                # @@ttl_now_ms between serves must rebuild the buckets
+                self.engine.variables.get("ttl_now_ms"),
+            )
         )
         if src != self._preagg_src:
             for cached in self._preagg.values():
