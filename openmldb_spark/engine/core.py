@@ -91,7 +91,9 @@ class _NsView:
             d, bare = self._slot(key)
         except KeyError:
             return default
-        out = d.pop(bare, default)
+        if bare not in d:
+            return default  # nothing removed: no epoch bump
+        out = d.pop(bare)
         if self._which == "_dbs":
             self._eng._bump_epoch(self._eng._loc(key)[0], bare)
         return out

@@ -339,10 +339,13 @@ class SqlDeployment:
         self.long_windows = dict(long_windows or {})
         self.query = P.parse(select_sql)
         self._preagg: dict[tuple[str, str], DataFrame] = {}
-        #: provenance of the cached pre-agg: ("tbl", epoch) when built from
-        #: the engine store, ("df", id(history)) for an explicit history —
-        #: compared on every prepare_preagg so DML invalidates the cache
+        #: provenance of the cached pre-agg: ("tbl", epoch, ttl_pin) when
+        #: built from the engine store, or a STRONG reference to the
+        #: explicit history DataFrame (identity-compared; a raw id() could
+        #: be reused by a new object after GC — r9 review finding) —
+        #: checked on every prepare_preagg so DML invalidates the cache
         self._preagg_src: Optional[tuple] = None
+        self._preagg_hist: Optional[DataFrame] = None
         self.db_name = engine.current_db
         #: output schema, filled by Engine._deploy's validation lowering
         self.output_schema = None
@@ -508,10 +511,25 @@ class SqlDeployment:
         for w in body.windows.values():
             names = []
             for ktoks in w.partition_by:
-                nm = [t.text for t in ktoks if t.kind == "name"]
-                if not nm or nm[-1] not in req_cols or nm[-1] in join_cols:
+                toks = list(ktoks)
+                # plain column only — `c` or `alias.c`. An EXPRESSION key
+                # (c1 % 10, substr(c1, ...)) groups DIFFERENT column
+                # values into one frame, so pruning on the operand column
+                # would drop frame members (r9 review finding): skip.
+                if len(toks) == 1 and toks[0].kind == "name":
+                    nm = toks[0].text
+                elif (
+                    len(toks) == 3
+                    and toks[0].kind == "name"
+                    and toks[1].text == "."
+                    and toks[2].kind == "name"
+                ):
+                    nm = toks[2].text
+                else:
                     return hist
-                names.append(nm[-1])
+                if nm not in req_cols or nm in join_cols:
+                    return hist
+                names.append(nm)
             if not names:
                 return hist  # an unkeyed window frames over everything
             keysets.add(tuple(sorted(set(names))))
@@ -833,22 +851,24 @@ class SqlDeployment:
         from openmldb_spark.plans.longwindow import preaggregate
         from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
 
-        src = (
-            ("df", id(history))
-            if history is not None
-            else (
+        if history is not None:
+            stale = history is not self._preagg_hist
+            src = None
+        else:
+            src = (
                 "tbl",
                 self.engine.table_epoch(self.request_table),
                 # the TTL pin also shapes serving history: a SET
                 # @@ttl_now_ms between serves must rebuild the buckets
                 self.engine.variables.get("ttl_now_ms"),
             )
-        )
-        if src != self._preagg_src:
+            stale = self._preagg_hist is not None or src != self._preagg_src
+        if stale:
             for cached in self._preagg.values():
                 cached.unpersist()
             self._preagg.clear()
             self._preagg_src = src
+            self._preagg_hist = history
         hist = self._serving_history(history)
         body = self.query.body
         # partition keys may be qualified (`PARTITION BY t0.c1`): resolve

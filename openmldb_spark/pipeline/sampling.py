@@ -122,10 +122,13 @@ def budget_chunks(
     (default True) persists + materializes the ranged rows before either
     consumer builds, which is correct for ANY source (a prior shuffle, a
     sampled read) at the cost of caching the input once (ADVICE r8). The
-    100 TB path on a DETERMINISTIC source (a plain table scan, where both
-    recomputations are identical by construction) opts out with
-    ``eager_materialize=False`` and pays two scans instead of a
-    data-sized cache."""
+    cache is NOT auto-released (it must outlive the returned lazy plan):
+    callers looping over many large inputs should unpersist via
+    ``spark.catalog.clearCache()`` between calls or pass
+    ``eager_materialize=False``. The 100 TB path on a DETERMINISTIC
+    source (a plain table scan, where both recomputations are identical
+    by construction) opts out with ``eager_materialize=False`` and pays
+    two scans instead of a data-sized cache."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if by is not None:

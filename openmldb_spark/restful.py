@@ -399,8 +399,11 @@ class ApiServer:
             return _err("Translate to insert row failed")
         new = eng.spark.createDataFrame([tuple(row)], store.schema)
         # PUT is an ONLINE insert (the reference's ExecuteInsert writes the
-        # tablet store regardless of session execute_mode)
+        # tablet store regardless of session execute_mode); the epoch bump
+        # keeps derived caches (long-window pre-agg) honest for HTTP
+        # writes too (r9 review finding)
         eng._dbs[db][t] = store.unionByName(new)
+        eng._bump_epoch(db, t)
         return _ok()
 
     # -- procedures / deployments --------------------------------------------

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openmldb_spark.sql import parser as P
-from openmldb_spark.sql.parser import Tok, render
+from openmldb_spark.sql.parser import Tok, render, _split_args
 
 _WINDOW_FNS = {"tumble", "hop", "session_window", "session"}
 _AGG_FNS = {"sum", "count", "avg", "min", "max"}
@@ -51,23 +51,6 @@ def _interval(tok_text: str) -> str:
     if " " in s:
         return s
     return f"{parse_interval_ms(s)} milliseconds"
-
-
-def _split_args(toks: list[Tok]) -> list[list[Tok]]:
-    out, cur, depth = [], [], 0
-    for t in toks:
-        if t.text == "(":
-            depth += 1
-        elif t.text == ")":
-            depth -= 1
-        if t.text == "," and depth == 0:
-            out.append(cur)
-            cur = []
-        else:
-            cur.append(t)
-    if cur:
-        out.append(cur)
-    return out
 
 
 def _parse_window_call(toks: list[Tok]):
@@ -135,7 +118,7 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
 
     passthrough = set(keys) | {"window_start", "window_end"}
     aggs: dict = {}
-    out_cols: list[str] = []
+    out_cols: list = []  # (source column name, output name) pairs
     for it in body.items:
         if it.star:
             raise ValueError("streaming SELECT needs explicit items")
@@ -147,10 +130,7 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
                     f"non-aggregate item {toks[0].text!r} must be a GROUP "
                     f"BY key or window_start/window_end"
                 )
-            out_cols.append(toks[0].text if it.alias is None else name)
-            if it.alias is not None:
-                # aliased passthrough: rename in the final projection
-                out_cols[-1] = f"{toks[0].text} AS {name}"
+            out_cols.append((toks[0].text, name))
             continue
         if (
             len(toks) >= 3
@@ -159,13 +139,17 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
             and toks[1].text == "("
             and toks[-1].text == ")"
         ):
+            from openmldb_spark.sql.rewrite import rewrite_expr
+
             fn = toks[0].text.lower()
-            arg = render(toks[2:-1]).strip()
-            if fn == "count" and arg in ("*", "1"):
+            arg_toks = toks[2:-1]
+            if fn == "count" and render(arg_toks).strip() in ("*", "1"):
                 aggs[name] = F.count(F.lit(1))
             else:
-                aggs[name] = getattr(F, fn)(F.col(arg))
-            out_cols.append(name)
+                # F.expr, not F.col: the argument may be an expression
+                # (sum(v * 2), avg(abs(v))) — r9 review finding
+                aggs[name] = getattr(F, fn)(F.expr(rewrite_expr(arg_toks)))
+            out_cols.append((name, name))
             continue
         raise ValueError(
             f"unsupported streaming select item: {render(toks)} "
@@ -197,4 +181,7 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
             stream, ts_col=ts, window=win[2], aggs=aggs, keys=keys,
             watermark=watermark,
         )
-    return out.selectExpr(*out_cols)
+    # column references, not selectExpr: an unaliased aggregate's derived
+    # name ('sum(v)') would re-PARSE as a new aggregate over the windowed
+    # output (r9 review finding) — backticks make it a plain reference
+    return out.select(*[F.col(f"`{src}`").alias(dst) for src, dst in out_cols])

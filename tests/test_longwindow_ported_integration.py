@@ -423,3 +423,51 @@ def test_unchanged_table_reuses_preagg_cache(spark):
     dep.prepare_preagg()
     (second,) = dep._preagg.values()
     assert first is second
+
+
+def test_explicit_history_switch_invalidates_preagg(spark):
+    """r9 review finding: the cache token for an explicit history was
+    id(history) — CPython can reuse the id after GC, inheriting a stale
+    cache. The deployment now holds the history reference and compares by
+    identity: a DIFFERENT history DataFrame must rebuild the buckets."""
+    eng = _engine(spark, ROWS_2S)
+    sql = (
+        "SELECT id, c1, sum(c4) OVER w1 as w1_long FROM t0 WINDOW w1 AS "
+        "(PARTITION BY t0.c1 ORDER BY t0.c7 ROWS_RANGE BETWEEN 2s "
+        "PRECEDING AND CURRENT ROW)"
+    )
+    dep = eng.execute(f"DEPLOY dh OPTIONS(long_windows='w1:2s') {sql}")
+    reqs = spark.createDataFrame(
+        [(9, "aa", 30, 40, 2.0, 3.0, _ts(1590738996000), None)],
+        dep.input_schema,
+    )
+    full = eng.tables["t0"]
+    h1 = full.where("id <= 3")
+    h2 = full.where("id >= 4")
+    got1 = dep.run_request_preagg(reqs, history=h1).collect()[0]["w1_long"]
+    got2 = dep.run_request_preagg(reqs, history=h2).collect()[0]["w1_long"]
+    assert got1 == 40            # rows 1-3 out of the 2s range: request only
+    assert got2 == 33 + 34 + 40  # rows 4+5 + request
+    # and switching back to engine-store history also rebuilds
+    got3 = dep.run_request_preagg(reqs).collect()[0]["w1_long"]
+    assert got3 == 33 + 34 + 40
+
+
+def test_expression_partition_key_not_pruned(spark):
+    """r9 review finding: request-serving history pruning must NOT fire
+    for EXPRESSION partition keys (PARTITION BY id % 2 groups different
+    id values into one frame; pruning on `id` would drop frame members).
+    The request row must see every same-parity history row in range."""
+    eng = _engine(spark, ROWS_2S)
+    dep = eng.execute(
+        "DEPLOY dexpr SELECT id, sum(c4) OVER w1 as s FROM t0 WINDOW w1 "
+        "AS (PARTITION BY id % 2 ORDER BY t0.c7 ROWS_RANGE BETWEEN 10s "
+        "PRECEDING AND CURRENT ROW)"
+    )
+    reqs = spark.createDataFrame(
+        [(9, "aa", 30, 40, 2.0, 3.0, _ts(1590738996000), None)],
+        dep.input_schema,
+    )
+    got = dep.run_request(reqs).collect()[0]["s"]
+    # id=9 is odd: frames rows with odd ids (1, 3, 5 -> c4 30+32+34) + 40
+    assert got == 30 + 32 + 34 + 40
