@@ -168,3 +168,52 @@ def test_curation_sample_is_filter_only_pack_one_exchange(spark, qs):
     # the md5-threshold sample survives as a Filter node (no shuffle, no
     # driver action selects the sample)
     assert re.search(r"\(\d+\) Filter", plan), plan
+
+
+def test_request_serving_history_is_key_pruned(spark):
+    """r9: the serving path pre-filters history with a broadcast join on
+    the distinct request keys (the tablet pk-segment analog). The plan
+    must carry the prune markers and a BroadcastHashJoin — a regression
+    here silently returns serving to full-history scans per request."""
+    import datetime
+
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE tp (id int, k string, v bigint, ts timestamp,"
+        " INDEX(KEY=(k), TS=ts))"
+    )
+    eng.execute("INSERT INTO tp VALUES (1, 'a', 10, 1590738990000)")
+    dep = eng.execute(
+        "DEPLOY dp_pin SELECT id, sum(v) OVER w1 AS s FROM tp WINDOW w1 "
+        "AS (PARTITION BY k ORDER BY ts ROWS_RANGE BETWEEN 10s PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    reqs = spark.createDataFrame(
+        [(9, "a", 40, datetime.datetime.utcfromtimestamp(1590738995))],
+        dep.input_schema,
+    )
+    out = dep.run_request(reqs)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "__rq_m0" in analyzed, "history key-prune marker missing"
+    assert "BroadcastHashJoin" in _plan(out)
+
+
+def test_banded_lsh_join_stays_single_bucket_equijoin(spark):
+    """r9 OR-of-bands: the amplified join must keep the single
+    long-column bucket equi-join (band-offset ids) plus ONE pair-dedupe
+    aggregate — not L separate joins or a window over candidates."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    out = S.lsh_topk_join(
+        emb, q, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=5, planes=4, bands=8,
+        seed=42, portable=True, dim=64,
+    )
+    plan = _plan(out)
+    # one equi-join on __bucket (broadcast or sort-merge, single join op
+    # for all 8 bands) and the dedupe aggregate before the rank window
+    assert plan.count("Join") >= 1
+    assert "__bucket" in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan
