@@ -119,10 +119,22 @@ def probes():
             toks, token_col="n_tokens", order_col="doc_id", budget=20000
         )
 
+    def lsh_banded(spark, sf):
+        from openmldb_spark.pipeline import similarity as S
+
+        emb = load_table(spark, sf, "embeddings")
+        q = emb.where(F.col("vec_id") < 50)
+        return S.lsh_topk_join(
+            emb, q, corpus_id="vec_id", corpus_vec="embedding",
+            query_id="vec_id", query_vec="embedding", k=5,
+            planes=4, bands=8, seed=42,
+        )
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
         "embedding_lsh_topk_join": qs["embedding_lsh_topk_join"],
+        "embedding_lsh_banded": lsh_banded,
         "embedding_ivf_topk_join": qs["embedding_ivf_topk_join"],
         "budget_chunks_global": budget_global,
     }
