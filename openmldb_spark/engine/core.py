@@ -407,6 +407,10 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         unstarted streaming DataFrame for the caller's writeStream."""
         if not stream.isStreaming:
             raise ValueError(f"{name!r}: register_stream needs a streaming DataFrame")
+        if name in self.tables:
+            # routing is by name: silently shadowing a batch table would
+            # flip its SELECTs into streaming mode
+            raise ValueError(f"{name!r} already names a batch table")
         self._streams[name] = stream
 
     def execute_script(self, script: str) -> list:
