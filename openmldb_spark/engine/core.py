@@ -398,6 +398,10 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
 
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
+        if self._loc(name)[1] in self._streams:
+            # mirror of register_stream's guard: the SELECT router
+            # consults streams first, so this table would be unreachable
+            raise ValueError(f"{name!r} already names a registered stream")
         self.tables[name] = df
 
     def register_stream(self, name: str, stream: DataFrame) -> None:

@@ -44,6 +44,11 @@ class DdlMixin:
     # -- DDL ------------------------------------------------------------------
     def _create_table(self, toks: list[Tok]):
         name = toks[2].text
+        if self._loc(name)[1] in self._streams:
+            # the SELECT router consults streams FIRST, so a batch table
+            # under a stream's name would be unreachable (the mirror of
+            # register_stream's batch-shadow guard)
+            raise ValueError(f"{name!r} already names a registered stream")
         if len(toks) > 3 and toks[3].upper == "LIKE":
             # CREATE TABLE t LIKE PARQUET|HIVE '<path>'
             # (CREATE_TABLE_STATEMENT.md; cases/plan/create.yaml ids 32/33):

@@ -99,5 +99,59 @@ def test_banded_portable_join_matches_duckdb(spark, tmp_path):
         gcos, grank = got[key]
         assert grank == rank, key
         assert abs(gcos - cos) < 1e-12, (key, gcos, cos)
-    # amplification engaged: more candidates than any single band yields
-    assert len(got) > 0
+    # amplification engaged on BOTH sides: the agreed pair set must
+    # exceed what band 0 alone yields (the DuckDB side recomputes the
+    # band-0-only candidates independently; if Spark's _band_seeds
+    # regressed to a single plane set, the parity assert above would
+    # already mismatch — this guards the test itself staying non-vacuous)
+    band0_pairs = con.execute(f"""
+        WITH P AS (
+          SELECT CAST((i % {pd_block}) // {DIM} AS INT) AS p,
+                 CAST(i % {DIM} AS INT) AS d,
+                 CAST(('0x' || substr(md5('{SEED}|0|'
+                        || ((i % {pd_block}) // {DIM}) || '|' || (i % {DIM})), 1, 15))::BIGINT
+                      / power(2.0, 59) - 1 AS DOUBLE) AS c
+          FROM range(0, {pd_block}) r(i)
+        ), coeff AS (
+          SELECT p, list(CAST(c AS DOUBLE) ORDER BY d) AS cs FROM P GROUP BY p
+        ), vb AS (
+          SELECT vec_id,
+                 CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(CAST(embedding AS DOUBLE[]), cs),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                        (a, b) -> a + b) >= 0
+                          THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb, coeff GROUP BY vec_id
+        )
+        SELECT count(DISTINCT (q.vec_id, c.vec_id))
+        FROM vb q JOIN vb c USING (bucket)
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    """).fetchone()[0]
+    # total banded candidates (pre-top-k) vs band 0 alone
+    total = con.execute(f"""
+        WITH P AS (
+          SELECT CAST(i // {pd_block} AS INT) AS t,
+                 CAST((i % {pd_block}) // {DIM} AS INT) AS p,
+                 CAST(i % {DIM} AS INT) AS d,
+                 CAST(('0x' || substr(md5('{SEED}|' || (i // {pd_block}) || '|'
+                        || ((i % {pd_block}) // {DIM}) || '|' || (i % {DIM})), 1, 15))::BIGINT
+                      / power(2.0, 59) - 1 AS DOUBLE) AS c
+          FROM range(0, {BANDS * pd_block}) r(i)
+        ), coeff AS (
+          SELECT t, p, list(CAST(c AS DOUBLE) ORDER BY d) AS cs
+          FROM P GROUP BY t, p
+        ), vb AS (
+          SELECT vec_id, t,
+                 CAST(t AS BIGINT) * {1 << PLANES} +
+                 CAST(sum(CASE WHEN list_reduce(list_prepend(0.0,
+                        list_transform(list_zip(CAST(embedding AS DOUBLE[]), cs),
+                                       x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                        (a, b) -> a + b) >= 0
+                          THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+          FROM emb, coeff GROUP BY vec_id, t
+        )
+        SELECT count(DISTINCT (q.vec_id, c.vec_id))
+        FROM vb q JOIN vb c USING (bucket)
+        WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    """).fetchone()[0]
+    assert total > band0_pairs, (total, band0_pairs)

@@ -211,9 +211,16 @@ def test_banded_lsh_join_stays_single_bucket_equijoin(spark):
         query_id="vec_id", query_vec="embedding", k=5, planes=4, bands=8,
         seed=42, portable=True, dim=64,
     )
+    import re
+
     plan = _plan(out)
-    # one equi-join on __bucket (broadcast or sort-merge, single join op
-    # for all 8 bands) and the dedupe aggregate before the rank window
-    assert plan.count("Join") >= 1
+    # EXACTLY one candidate equi-join carries all 8 bands (band-offset
+    # bucket ids); L separate per-band joins would multiply this count.
+    # Formatted explain lists each node once in the tree and once in the
+    # detail section — count the numbered detail entries.
+    joins = re.findall(
+        r"\(\d+\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", plan
+    )
+    assert len(joins) == 1, joins
     assert "__bucket" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan

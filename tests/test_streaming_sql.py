@@ -100,3 +100,28 @@ def test_stream_sql_case(spark, tmp_path, case):
         assert tuple(e) in rows, (e, rows)
     for e in case.get("never", []):
         assert tuple(e) not in rows, (e, rows)
+
+
+def test_stream_batch_name_collision_rejected_both_ways(spark):
+    """The SELECT router consults streams before batch tables, so BOTH
+    registration orders of a name collision must reject (r9 review):
+    stream-then-table and table-then-stream."""
+    from openmldb_spark.engine import Engine
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    eng = Engine(spark)
+    eng.register_stream("s1", stream)
+    with pytest.raises(ValueError, match="registered stream"):
+        eng.execute("CREATE TABLE s1 (id int)")
+    with pytest.raises(ValueError, match="registered stream"):
+        eng.register("s1", spark.createDataFrame([(1,)], "id int"))
+
+    eng2 = Engine(spark)
+    eng2.execute("CREATE TABLE t1 (id int)")
+    with pytest.raises(ValueError, match="batch table"):
+        eng2.register_stream("t1", stream)
+    # and a non-streaming frame is rejected outright
+    with pytest.raises(ValueError, match="streaming DataFrame"):
+        eng2.register_stream("s2", spark.createDataFrame([(1,)], "id int"))

@@ -23,9 +23,10 @@ distribution. ``run`` executes the probes under one SparkSession with
 event logging on, one job group per probe. ``report`` sums each group's
 task shuffle metrics and prints the 10x/1x scaling table (JSON).
 
-Probes: dedup_minhash + dedup_ngram_jaccard + embedding_lsh_topk_join +
-embedding_ivf_topk_join (the gate-registry callables, verbatim) and
-budget_chunks(by=None) over the documents token counts.
+Probes (six): dedup_minhash + dedup_ngram_jaccard +
+embedding_lsh_topk_join + embedding_ivf_topk_join (the gate-registry
+callables, verbatim), budget_chunks(by=None) over the documents token
+counts, and the r9 OR-of-bands arm lsh_topk_join(planes=4, bands=8).
 """
 
 import json
@@ -124,10 +125,13 @@ def probes():
 
         emb = load_table(spark, sf, "embeddings")
         q = emb.where(F.col("vec_id") < 50)
+        # dim= skips the one-row dimension probe so the timed section
+        # holds zero extra driver actions (both generated datasets mirror
+        # sf0.1's dim-64 embeddings)
         return S.lsh_topk_join(
             emb, q, corpus_id="vec_id", corpus_vec="embedding",
             query_id="vec_id", query_vec="embedding", k=5,
-            planes=4, bands=8, seed=42,
+            planes=4, bands=8, seed=42, dim=64,
         )
 
     return {
