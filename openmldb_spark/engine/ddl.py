@@ -44,7 +44,7 @@ class DdlMixin:
     # -- DDL ------------------------------------------------------------------
     def _create_table(self, toks: list[Tok]):
         name = toks[2].text
-        if self._loc(name)[1] in self._streams:
+        if self._stream_loc(name) in self._streams:
             # the SELECT router consults streams FIRST, so a batch table
             # under a stream's name would be unreachable (the mirror of
             # register_stream's batch-shadow guard)

@@ -119,16 +119,19 @@ def budget_chunks(
 
     The plan consumes the range assignment TWICE (offsets + rows), so both
     consumers must see ONE physical assignment. ``eager_materialize``
-    (default True) persists + materializes the ranged rows before either
+    (default True) ``localCheckpoint``s the ranged rows before either
     consumer builds, which is correct for ANY source (a prior shuffle, a
-    sampled read) at the cost of caching the input once (ADVICE r8). The
-    cache is NOT auto-released (it must outlive the returned lazy plan):
-    callers looping over many large inputs should unpersist via
-    ``spark.catalog.clearCache()`` between calls or pass
-    ``eager_materialize=False``. The 100 TB path on a DETERMINISTIC
-    source (a plain table scan, where both recomputations are identical
-    by construction) opts out with ``eager_materialize=False`` and pays
-    two scans instead of a data-sized cache."""
+    sampled read) at the cost of materializing the input once (ADVICE
+    r8/r9). Unlike ``persist()``, the checkpoint blocks are released by
+    the ContextCleaner as soon as the returned plan is garbage-collected —
+    no CacheManager entry, no ``clearCache()`` hygiene required of callers
+    looping over many inputs — and an executor loss fails the job loudly
+    instead of silently recomputing a DIFFERENT range assignment (the
+    truncated lineage cannot replay a non-deterministic source). The
+    100 TB path on a DETERMINISTIC source (a plain table scan, where both
+    recomputations are identical by construction) opts out with
+    ``eager_materialize=False`` and pays two scans instead of a data-sized
+    materialization."""
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     if by is not None:
@@ -143,8 +146,7 @@ def budget_chunks(
         "__pid", F.spark_partition_id()
     )
     if eager_materialize:
-        ranged = ranged.persist()
-        ranged.count()
+        ranged = ranged.localCheckpoint(eager=True)
     # exclusive per-partition offsets: ≤ n_part rows after a map-side
     # partial agg, so the orderBy window here is over a tiny bounded table
     off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -89,7 +89,7 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
             "streaming SELECT supports WHERE + GROUP BY "
             "tumble/hop/session_window only (no joins/OVER/HAVING/LIMIT)"
         )
-    stream = engine._streams[body.from_.name]
+    stream = engine._streams[engine._stream_loc(body.from_.name)]
     if body.where is not None:
         from openmldb_spark.sql.rewrite import rewrite_expr
 

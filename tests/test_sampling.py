@@ -83,8 +83,13 @@ def test_budget_chunks_global_no_unpartitioned_window(docs):
     # full-stream cumsum is partitioned by __pid (after the range
     # shuffle), and the only single-partition stage is the ≤n_part-row
     # per-partition-totals window (a cluster-sized table, not data-sized)
+    # eager_materialize=False keeps the whole two-pass shape in ONE plan
+    # (the default localCheckpoints the ranged rows, so the returned plan
+    # starts from a checkpointed RDD scan and the range shuffle is paid at
+    # checkpoint time instead)
     out = SA.budget_chunks(
-        docs, token_col="n_tokens", order_col="doc_id", budget=5000
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000,
+        eager_materialize=False,
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     # the data-stream window carries the __pid partition spec
@@ -101,6 +106,16 @@ def test_budget_chunks_global_no_unpartitioned_window(docs):
     # window (sum over __ptok), never the raw stream
     assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "sum(__ptok" in plan, plan
+    # the default (eager) spelling preserves the same guarantees downstream
+    # of the checkpoint: __pid-partitioned windows only
+    eager = SA.budget_chunks(
+        docs, token_col="n_tokens", order_col="doc_id", budget=5000
+    )
+    eplan = eager._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(__pid" in eplan, eplan
+    for line in eplan.splitlines():
+        if "Window [sum(n_tokens" in line:
+            assert "], [__pid" in line, line
 
 
 def _greedy_model(tokens, budget):
@@ -144,23 +159,26 @@ def test_pack_greedy_oversized_doc_gets_own_pack(spark):
 
 
 def test_budget_chunks_global_one_physical_assignment(docs):
-    """ADVICE r8: by=None consumes the range assignment twice (offsets +
-    rows); with eager_materialize (default) both consumers must read ONE
-    persisted assignment — nondeterministic sources (prior shuffle,
+    """ADVICE r8/r9: by=None consumes the range assignment twice (offsets
+    + rows); with eager_materialize (default) both consumers must read ONE
+    materialized assignment — nondeterministic sources (prior shuffle,
     sampled read) would otherwise get a different __pid per pass and
-    wrong chunk ids. The deterministic-scan opt-out skips the cache and
-    still matches."""
+    wrong chunk ids. r9 ADVICE moved the materialization from persist()
+    (which leaked a CacheManager entry for the caller to clearCache) to
+    localCheckpoint (released by the ContextCleaner on GC): both plan
+    passes scan the SAME checkpointed RDD. The deterministic-scan opt-out
+    skips the checkpoint and still matches."""
     out = SA.budget_chunks(
         docs, token_col="n_tokens", order_col="doc_id", budget=5000
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "InMemoryTableScan" in plan, plan
+    # the checkpointed assignment appears as an RDD scan, never a cache
+    # entry; both consumers (offsets agg + rows join) read it
+    assert plan.count("Scan ExistingRDD") >= 2, plan
+    assert "InMemoryTableScan" not in plan, plan
     lazy = SA.budget_chunks(
         docs, token_col="n_tokens", order_col="doc_id", budget=5000,
         eager_materialize=False,
     )
-    # (no plan assertion on the opt-out: Spark's cache manager substitutes
-    # the already-persisted identical subtree into ANY matching plan, so
-    # the lazy spelling may legitimately read the cache here too)
     key = lambda r: (r["doc_id"], r["chunk_id"])
     assert sorted(map(key, out.collect())) == sorted(map(key, lazy.collect()))
