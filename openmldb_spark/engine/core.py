@@ -402,6 +402,8 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
         guards, and the SELECT router all agree on scoping (r9 ADVICE: the
         raw-name keying left 'db1.s' unguarded against CREATE TABLE s and
         rejected CREATE TABLE db2.s when a stream 's' existed)."""
+        if name is None:
+            return ("", "")  # subquery FROM: never a stream key
         if name in self._mangled:
             return self._mangled[name]
         db, _, bare = name.rpartition(".")
@@ -645,7 +647,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
             self._dbs.pop(name, None)
             self._db_defs.pop(name, None)
             for dep in self._db_deps.pop(name, {}).values():
-                dep._release_preagg()
+                dep.release_serving()
             self._db_off.pop(name, None)
             for key in [k for k in self._off_parts if k[0] == name]:
                 del self._off_parts[key]
@@ -685,7 +687,7 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
                 # db it was deployed in, not the session's current one
                 rdb, _, rbare = dep.request_table.rpartition(".")
                 if (rdb or dep.db_name, rbare) == (db, bare):
-                    dep._release_preagg()
+                    dep.release_serving()
             return None
         if head == "INSERT":
             return self._insert(toks)

@@ -545,12 +545,13 @@ class ApiServer:
         # contract. HTTP batches are small (the reference's APIServer also
         # decodes row-by-row); big-batch serving is run_batch_request on
         # the SDK surface.
-        spark = self.engine.spark
         out_rows = []
         try:
             for r in full_rows:
-                req_df = spark.createDataFrame([r], dep.input_schema)
-                out_rows.extend(dep.run_request(req_df).collect())
+                # rows-native serving: no per-request createDataFrame job —
+                # the row stages into the deployment's compiled plan on the
+                # driver (SqlDeployment.run_request_rows)
+                out_rows.extend(dep.run_request_rows([r]))
         except Exception as e:  # lowering/execution errors -> API error
             return _err(str(e).splitlines()[0][:300])
         if dep.output_schema is None and out_rows:

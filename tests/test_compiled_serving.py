@@ -1,0 +1,171 @@
+"""The compiled request plan (engine/serving.py CompiledRequestPlan) —
+the r10 headline: the reference compiles a deployment's plan once per
+DEPLOY and binds rows per call (hybridse/src/vm/engine.cc:453-496,
+src/sdk/sql_cluster_router.h:116-190 CallProcedure); here the SQL is
+parsed + lowered + analyzed once against a staged Arrow request source
+and each serve swaps the staged rows."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.engine import Engine
+from openmldb_spark.sql.lowering import Lowerer
+
+
+DDL = (
+    "CREATE TABLE t0 (id int, c1 string, c4 bigint, c7 timestamp,"
+    " INDEX(KEY=(c1), TS=c7))"
+)
+ROWS = [
+    (1, "aa", 30, 1590738991000),
+    (2, "aa", 31, 1590738992000),
+    (3, "bb", 50, 1590738993000),
+]
+SQL = (
+    "SELECT id, c1, sum(c4) OVER w1 as s FROM t0 WINDOW w1 AS "
+    "(PARTITION BY t0.c1 ORDER BY t0.c7 ROWS_RANGE BETWEEN 10s "
+    "PRECEDING AND CURRENT ROW)"
+)
+
+
+def _engine(spark):
+    eng = Engine(spark)
+    eng.execute(DDL)
+    vals = ", ".join("(%d, %r, %d, %d)" % r for r in ROWS)
+    eng.execute(f"INSERT INTO t0 VALUES {vals}")
+    return eng
+
+
+def _ts(ms):
+    import datetime
+
+    return datetime.datetime.utcfromtimestamp(ms / 1000)
+
+
+def _conv(rows):
+    return [(i, c, v, _ts(ms)) for i, c, v, ms in rows]
+
+
+def _req(spark, dep, rows):
+    return spark.createDataFrame(_conv(rows), dep.input_schema)
+
+
+def test_lowering_runs_once_across_requests(spark, monkeypatch):
+    """The compile-once pin: N run_request calls -> ONE Lowerer.query
+    (the compile), not N."""
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc1 {SQL}")
+
+    calls = []
+    orig = Lowerer.query
+
+    def counting(self, q, params):
+        calls.append(1)
+        return orig(self, q, params)
+
+    monkeypatch.setattr(Lowerer, "query", counting)
+    for i in range(3):
+        got = dep.run_request(
+            _req(spark, dep, [(9, "aa", 40, 1590738995000 + i)])
+        ).collect()
+        assert got[0]["s"] == 30 + 31 + 40
+    assert sum(calls) == 1, f"lowering ran {sum(calls)} times for 3 requests"
+
+
+def test_compiled_matches_uncached_path(spark):
+    """Same requests through the compiled plan and the per-call build
+    must agree row for row (including a fresh second request — re-serving
+    must NOT reuse the first request's shuffle outputs)."""
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc2 {SQL}")
+    reqs = [
+        [(9, "aa", 40, 1590738995000)],
+        [(10, "bb", 7, 1590738995000), (11, "aa", 1, 1590738996000)],
+    ]
+    for rows in reqs:
+        compiled = sorted(map(tuple, dep.run_request(_req(spark, dep, rows)).collect()))
+        dep.use_compiled = False
+        plain = sorted(map(tuple, dep.run_request(_req(spark, dep, rows)).collect()))
+        dep.use_compiled = True
+        assert compiled == plain, rows
+    # second request's values are its own, not the first's (stale-shuffle
+    # hazard the fresh-Dataset-per-serve design exists to avoid)
+    got = {r["id"]: r["s"] for r in dep.run_request(_req(spark, dep, reqs[1])).collect()}
+    assert got == {10: 50 + 7, 11: 30 + 31 + 1}
+
+
+def test_dml_invalidates_compiled_plan(spark):
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc3 {SQL}")
+    req = _req(spark, dep, [(9, "aa", 40, 1590738995000)])
+    assert dep.run_request(req).collect()[0]["s"] == 30 + 31 + 40
+    first = dep._compiled
+    assert first is not None
+    eng.execute(
+        "INSERT INTO t0 VALUES (4, 'aa', 100, 1590738994000)"
+    )
+    assert dep.run_request(req).collect()[0]["s"] == 30 + 31 + 100 + 40
+    assert dep._compiled is not first, "epoch bump did not recompile"
+
+
+def test_explicit_history_and_parameters_bypass_compiled(spark):
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc4 {SQL}")
+    req = _req(spark, dep, [(9, "aa", 40, 1590738995000)])
+    hist = eng.tables["t0"].where("id = 1")
+    got = dep.run_request(req, history=hist).collect()
+    assert got[0]["s"] == 30 + 40
+    assert dep._compiled is None, "explicit history must not compile/stage"
+    # parameterized deploys bind per call: also uncached
+    dep2 = eng.execute(f"DEPLOY dc4p SELECT id, c1 FROM t0 WHERE id > ?")
+    got2 = dep2.run_request(req, parameters=[2]).collect()
+    assert {r["id"] for r in got2} == {9}
+    assert dep2._compiled is None
+
+
+def test_run_request_rows_matches_dataframe_path(spark):
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc5 {SQL}")
+    rows = [(9, "aa", 40, 1590738995000), (10, "bb", 7, 1590738995000)]
+    via_rows = sorted(map(tuple, dep.run_request_rows(_conv(rows))))
+    via_df = sorted(map(tuple, dep.run_request(_req(spark, dep, rows)).collect()))
+    assert via_rows == via_df
+    assert dep.run_request_rows([]) == []
+
+
+def test_drop_releases_staged_dir(spark):
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc6 {SQL}")
+    dep.run_request(_req(spark, dep, [(9, "aa", 40, 1590738995000)])).collect()
+    staged_dir = dep._compiled._dir
+    assert os.path.isdir(staged_dir)
+    eng.execute("DROP DEPLOYMENT dc6")
+    assert not os.path.exists(staged_dir), "DROP leaked the staged request dir"
+
+
+def test_ttl_pin_change_recompiles(spark):
+    """SET @@ttl_now_ms reshapes serving history -> the compiled plan
+    must rebuild (same machinery as the pre-agg cache key)."""
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE t0 (id int, c1 string, c4 bigint, c7 timestamp,"
+        " INDEX(KEY=(c1), TS=c7, TTL=2s, TTL_TYPE=absolute))"
+    )
+    eng.execute(
+        "INSERT INTO t0 VALUES (1, 'aa', 30, 1590738991000),"
+        " (2, 'aa', 31, 1590738995000)"
+    )
+    dep = eng.execute(f"DEPLOY dc7 {SQL}")
+    req = _req(spark, dep, [(9, "aa", 40, 1590738996000)])
+    # default pin: max(ts)=...995000, TTL 2s -> only row 2 lives
+    assert dep.run_request(req).collect()[0]["s"] == 31 + 40
+    eng.execute("SET @@ttl_now_ms = 1590738992500")
+    try:
+        # pinned "now": row 1 (991000 > 992500-2000) lives, row 2 future
+        # rows always live (ts > now - ttl)
+        got = dep.run_request(req).collect()[0]["s"]
+        assert got == 30 + 31 + 40
+    finally:
+        eng.variables.pop("ttl_now_ms", None)
