@@ -664,41 +664,23 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs. Candidates come from a
-    shingle inverted index (pairs sharing >= 5 distinct shingles, shingles
-    in > 50 docs dropped as boilerplate) — the deterministic, hash-free
-    candidate generator; exact Jaccard verifies each candidate once.
+    """Exact word-3-gram Jaccard near-dup pairs: pairs sharing >= 5
+    distinct rare shingles (document frequency <= 50 — the boilerplate
+    guard), verified by exact distinct-set Jaccard >= 0.2.
 
-    Scale shape (VERDICT r6 item 3): shingle document-frequency comes from
-    ``groupBy('s').count()`` — Catalyst's partial aggregation combines hot
-    shingles MAP-SIDE, so a boilerplate shingle shuffles one partial count
-    per partition instead of every occurrence to one reducer (the
-    ``Window.partitionBy`` formulation had no partial agg). The df filter
-    then drops hot shingles BEFORE the inverted-index self-join. The scan
-    spread is conditional (`S._spread`): no corpus Exchange when the scan
-    is already parallel (at 100 TB it always is)."""
+    r10 (SCALE.md §4 fix): candidates now come from
+    ``D.overlap_jaccard_pairs`` — the SSJoin/PPJoin overlap-prefix
+    formulation (per-doc DISTINCT int64 shingle hashes, prefix-lemma
+    candidate join, int-set-array verification) — instead of the string
+    inverted-index self-join + ``groupBy(a,b).count()`` whose pair
+    aggregate needed executor-shaped memory at 10x input (OOM under a
+    default 1 GB local heap; the reformulation completes there). Same
+    output contract; the DuckDB oracle (distinct string shingles) is
+    matched exactly up to the house xxhash64 set-over-hash convention."""
     d = S._spread(load_table(spark, sf, "documents"), 32)
-    sh = d.select(
-        "doc_id", F.explode(D.shingles(F.col("text"), 3)).alias("s")
-    )
-    rare_keys = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= 50)
-        .select("s")
-    )
-    rare = sh.join(rare_keys, "s")
-    cand = (
-        rare.select("s", F.col("doc_id").alias("a"))
-        .join(rare.select("s", F.col("doc_id").alias("b")), "s")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .count()
-        .filter(F.col("count") >= 5)
-        .select("a", "b")
-    )
-    pairs = D.ngram_jaccard_pairs(
-        d, "doc_id", "text", shingle_n=3, candidates=cand, threshold=0.2
+    pairs = D.overlap_jaccard_pairs(
+        d, "doc_id", "text",
+        shingle_n=3, min_overlap=5, threshold=0.2, max_token_df=50,
     )
     return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
 

@@ -509,6 +509,16 @@ def jaccard_dedup(
             .filter(filt)
             .select("__dd_id", "__n", F.col("__dd_h").alias("__ph"))
         )
+        if eager_materialize:
+            # the prefix index feeds BOTH candidate-join sides, and AQE
+            # may build one side as a broadcast: broadcast-subquery jobs
+            # re-execute the whole uncached prefix subtree per consumer
+            # (the r10 scale probe measured the same linear map stage run
+            # 2x at 1x input but 4x at 10x — the REAL cause of the >10x
+            # shuffle TOTALS r9 misattributed to df-regime growth).
+            # localCheckpoint materializes the ids+ints index once;
+            # ContextCleaner frees it on GC (no CacheManager entry).
+            pref = pref.localCheckpoint(eager=True)
         a = pref.select(F.col("__dd_id").alias("a"), F.col("__n").alias("na"), "__ph")
         b = pref.select(F.col("__dd_id").alias("b"), F.col("__n").alias("nb"), "__ph")
         cand = (
@@ -661,6 +671,111 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return out
+
+
+def overlap_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    min_overlap: int = 5,
+    threshold: float = 0.2,
+    max_token_df: int = 50,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs gated on a minimum RARE-shingle overlap —
+    the SSJoin-shaped formulation of the boilerplate-filtered pair search
+    (returns (a, b, jaccard) for pairs sharing >= ``min_overlap`` distinct
+    shingles of document frequency <= ``max_token_df``, with exact distinct-
+    set Jaccard >= ``threshold``).
+
+    Same output contract as the inverted-index + ``groupBy(a,b).count()``
+    spelling, but the memory shape that survives a small heap (SCALE.md §4:
+    the count spelling's pair aggregate OOM'd a default 1 GB local JVM at
+    10x input):
+
+    - shingles dedupe PER DOC first and hash to int64 (``xxhash64``), so
+      the candidate join and its pair-dedupe aggregate move 8-byte keys,
+      not ~40-byte strings, and co-occurrence counts are honest distinct
+      counts (the SQL-oracle semantics) rather than multiplicity products;
+    - candidates come from the OVERLAP PREFIX LEMMA (PPJoin family): under
+      any global total order, two docs with >= c common rare shingles must
+      collide within their first (n - c + 1) rare shingles — only those
+      prefix rows enter the self-join (100% recall, like
+      :func:`jaccard_dedup`'s threshold prefix);
+    - verification intersects per-doc int64 SET ARRAYS (rare sets for the
+      overlap gate, full sets for Jaccard) — one row per candidate pair,
+      ~5x smaller than string shingle arrays through the sort-merge join.
+
+    Hash collisions (~2^-64/pair) are the house convention for set-over-
+    hash equivalence (:func:`jaccard_dedup`). At 100 TB: candidate volume
+    is bounded by ``max_token_df`` x shingle rows (linear in corpus), and
+    every aggregate here has map-side partial combine.
+    """
+    t = float(threshold)
+    c = int(min_overlap)
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(shingles(F.col(text_col), shingle_n))
+        ).alias("__s"),
+    ).select("__id", F.xxhash64("__s").alias("__h"))
+    # full distinct shingle-hash set per doc (the Jaccard verify side)
+    per_doc = ex.groupBy("__id").agg(
+        F.array_sort(F.collect_set("__h")).alias("__hs")
+    )
+    exd = per_doc.select("__id", F.explode("__hs").alias("__h"))
+    dfreq = exd.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    rare = exd.join(
+        dfreq.filter(
+            (F.col("__df") <= F.lit(int(max_token_df))) & (F.col("__df") > 1)
+        ),
+        "__h",
+    )
+    wid = Window.partitionBy("__id")
+    rare_rn = (
+        rare.withColumn("__nr", F.count(F.lit(1)).over(wid))
+        .withColumn(
+            "__rn",
+            F.row_number().over(wid.orderBy(F.col("__df").asc(), F.col("__h").asc())),
+        )
+    )
+    # prefix membership: docs with < c rare shingles can never reach the
+    # overlap gate; others index only their first (nr - c + 1) rare
+    # shingles in the global (df asc, hash) order
+    pref = rare_rn.filter(
+        (F.col("__nr") >= c) & (F.col("__rn") <= F.col("__nr") - c + 1)
+    ).select("__id", "__h")
+    cand = (
+        pref.select(F.col("__id").alias("a"), "__h")
+        .join(pref.select(F.col("__id").alias("b"), "__h"), "__h")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    rare_sets = rare.groupBy("__id").agg(
+        F.array_sort(F.collect_set("__h")).alias("__rs")
+    )
+    return (
+        cand.join(
+            rare_sets.select(F.col("__id").alias("a"), F.col("__rs").alias("__ra")), "a"
+        )
+        .join(
+            rare_sets.select(F.col("__id").alias("b"), F.col("__rs").alias("__rb")), "b"
+        )
+        .filter(F.size(F.array_intersect("__ra", "__rb")) >= c)
+        .join(per_doc.select(F.col("__id").alias("a"), F.col("__hs").alias("__fa")), "a")
+        .join(per_doc.select(F.col("__id").alias("b"), F.col("__hs").alias("__fb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("__fa", "__fb")).cast("double")
+                / F.size(F.array_union("__fa", "__fb"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(t))
+    )
 
 
 def embedding_dedup(

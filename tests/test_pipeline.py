@@ -1208,3 +1208,57 @@ def test_fuse_list_agg_join_api(spark):
     spec = A.fuse_list_agg("join", A.window_split("s", ","), delim=" ")
     out = {r["id"]: r["j"] for r in window_agg(df, wd, {"j": spec}).collect()}
     assert out[2] == "c a b"  # rows ts-desc, pieces left-to-right
+
+
+def test_overlap_jaccard_pairs_equals_bruteforce(spark):
+    """The SSJoin/overlap-prefix formulation (r10, SCALE.md finding 4)
+    must return exactly the brute-force pair set: pairs sharing >=
+    min_overlap distinct rare shingles (df <= cap) with distinct-set
+    Jaccard >= threshold — including docs with fewer rare shingles than
+    the overlap gate (never candidates) and short docs (whole-text
+    shingle)."""
+    import itertools
+
+    from openmldb_spark.pipeline import dedup as D
+
+    words = ["w%d" % i for i in range(30)]
+    rows = []
+    # family of overlapping docs + short docs + a boilerplate block that
+    # pushes some shingles over the df cap
+    for i in range(40):
+        base = words[i % 8: i % 8 + 12]
+        if i % 3 == 0:
+            base = base + ["common", "block", "of", "text"]
+        rows.append((i, " ".join(base)))
+    rows.append((100, "tiny"))
+    rows.append((101, "tiny"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["a"], r["b"])
+        for r in D.overlap_jaccard_pairs(
+            df, "doc_id", "text",
+            shingle_n=3, min_overlap=3, threshold=0.3, max_token_df=10,
+        ).collect()
+    }
+
+    # brute force over distinct string shingle sets
+    sets = {
+        r["doc_id"]: set(r["g"])
+        for r in df.select(
+            "doc_id", F.array_distinct(D.shingles(F.col("text"), 3)).alias("g")
+        ).collect()
+    }
+    dfreq: dict = {}
+    for s in sets.values():
+        for g in s:
+            dfreq[g] = dfreq.get(g, 0) + 1
+    rare = {g for g, c in dfreq.items() if 1 < c <= 10}
+    want = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        if len(sets[a] & sets[b] & rare) < 3:
+            continue
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.3:
+            want.add((a, b))
+    assert got == want

@@ -107,15 +107,34 @@ def test_dedup_ngram_candidate_gen_partial_agg(spark, qs):
     """Shingle document-frequency must partial-aggregate map-side (r6
     verdict item 3): a Window.partitionBy count over the raw
     (shingle, doc) stream would shuffle every occurrence of a hot
-    boilerplate shingle to one reducer before the df filter can drop it."""
+    boilerplate shingle to one reducer before the df filter can drop it.
+    (The r10 overlap-prefix formulation ranks prefix membership with
+    windows partitioned by DOC id — bounded per document, fine — but df
+    counting itself must never become a shingle-partitioned window.)"""
     plan = _plan(qs["dedup_ngram_jaccard"](spark, SF))
     assert "partial_count" in plan, plan
-    # no window over the shingle stream in the candidate generator
-    assert "Window" not in plan.split("SortMergeJoin")[0], plan
+    # no window partitioned on the shingle-hash stream anywhere: every
+    # windowspecdefinition in the plan keys on the doc id
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\((\w+)", plan):
+        assert spec.startswith("__id"), plan
 
 
-def test_dedup_minhash_candidate_gen_partial_agg(spark, qs):
-    plan = _plan(qs["dedup_minhash"](spark, SF))
+def test_dedup_minhash_candidate_gen_partial_agg(spark):
+    """The gate plan now READS the localCheckpoint'ed prefix index (its
+    candidate-gen stages run once at build — SCALE.md finding 2b), so the
+    shape pin inspects the fully-lazy spelling (eager_materialize=False):
+    df counting is a partial+final groupBy aggregate, never a window."""
+    from openmldb_spark.pipeline import dedup as D
+    from openmldb_spark.session import load_table
+
+    d = load_table(spark, SF, "documents")
+    out = D.jaccard_dedup(
+        d, "doc_id", "text", shingle_n=5, threshold=0.7,
+        max_token_df=1000, eager_materialize=False,
+    )
+    plan = _plan(out)
     assert "partial_count" in plan, plan
 
 

@@ -134,8 +134,21 @@ def probes():
             planes=4, bands=8, seed=42, dim=64,
         )
 
+    def minhash_capped(spark, sf):
+        # the SCALE.md §3 claim-check arm (r9 verdict #4): the same SSJoin
+        # dedup with max_token_df LOW enough that the hot cap BINDS at both
+        # scales — candidate growth must return to linear once it does
+        from openmldb_spark.pipeline import dedup as D
+        from openmldb_spark.pipeline import similarity as S
+
+        d = S._spread(load_table(spark, sf, "documents"), 32)
+        return D.jaccard_dedup(
+            d, "doc_id", "text", shingle_n=3, threshold=0.7, max_token_df=50
+        )
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
+        "dedup_minhash_capped": minhash_capped,
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
         "embedding_lsh_topk_join": qs["embedding_lsh_topk_join"],
         "embedding_lsh_banded": lsh_banded,
@@ -145,9 +158,17 @@ def probes():
 
 
 def run(sf_dir: str, ev_dir: str) -> None:
+    """Env knobs: SPARK_SCALE_MEM (driver/executor heap, default 12g —
+    executor-shaped memory so the probe measures DATA shape, not the
+    default-heap ceiling), SPARK_SCALE_ONLY (comma-separated probe names
+    to run, default all — e.g. the 1g ngram-OOM repro arm)."""
     os.makedirs(ev_dir, exist_ok=True)
     from pyspark.sql import SparkSession
 
+    mem = os.environ.get("SPARK_SCALE_MEM", "12g")
+    only = {
+        s for s in os.environ.get("SPARK_SCALE_ONLY", "").split(",") if s
+    }
     spark = (
         SparkSession.builder.master("local[32]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -155,18 +176,15 @@ def run(sf_dir: str, ev_dir: str) -> None:
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.dir", f"file://{ev_dir}")
-        # the probe measures DATA shape, not the default-heap ceiling: at
-        # 10x the ngram-jaccard candidate stage (cap x shingle_rows pair
-        # rows through one hash aggregate) OOMs a 1g local JVM — itself a
-        # recorded finding (SCALE.md) — so give the shared local JVM the
-        # memory a real executor would have
-        .config("spark.driver.memory", "12g")
+        .config("spark.driver.memory", mem)
         .appName("scale-probe")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     walls = {}
     for name, fn in probes().items():
+        if only and name not in only:
+            continue
         spark.sparkContext.setJobGroup(name, name)
         t0 = time.perf_counter()
         cnt = fn(spark, sf_dir).count()
