@@ -782,10 +782,13 @@ def q_embedding_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     probe — the plan builds with zero driver actions."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
+    # bands=1 pins the single-band legacy arm this row's DuckDB oracle
+    # encodes (bit-identical since r8); the LIBRARY default is bands=8
+    # (r9 verdict #7 — recall-safe OR-of-bands)
     out = S.lsh_topk(
         emb, queries, corpus_id="vec_id", corpus_vec="embedding",
         query_id="vec_id", query_vec="embedding", k=5, planes=8, seed=42,
-        portable=True, dim=64,
+        portable=True, dim=64, bands=1,
     )
     return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
@@ -797,10 +800,11 @@ def q_embedding_lsh_topk_join(spark: SparkSession, sf: str) -> DataFrame:
     cosines are bit-reproducible in DuckDB: full rows+schema+hash oracle."""
     emb = load_table(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 50)
+    # bands=1: the oracle-pinned single-band arm (library default is 8)
     out = S.lsh_topk_join(
         emb, queries, corpus_id="vec_id", corpus_vec="embedding",
         query_id="vec_id", query_vec="embedding", k=5, planes=8, seed=42,
-        portable=True,
+        portable=True, bands=1,
     )
     return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 

@@ -182,7 +182,7 @@ def lsh_topk(
     exclude_self: bool = True,
     portable: bool = False,
     dim: int | None = None,
-    bands: int = 1,
+    bands: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k via shared random-hyperplane buckets.
 
@@ -191,9 +191,13 @@ def lsh_topk(
     plane sets; a candidate qualifies if it shares a bucket in ANY band
     (collision prob 1-(1-p^planes)^L vs p^planes) — the standard fix for
     sign-bit LSH's poor recall on isotropic embeddings. Cost scales ~L×
-    candidates. Output schema matches :func:`brute_force_topk` (may
-    return < k rows per query if its buckets are small — IVF-style
-    behavior).
+    candidates. The DEFAULT is ``bands=8`` (r9 verdict #7: measured 0.62
+    recall@5 on the driver's real isotropic embeddings at planes=4, vs
+    0.14 for a single band — an unwarned user must not get the worst
+    case); pass ``bands=1`` explicitly for the single-band legacy arm
+    (the correctness-gate oracles pin that arm bit-identical). Output
+    schema matches :func:`brute_force_topk` (may return < k rows per
+    query if its buckets are small — IVF-style behavior).
 
     ``portable=True`` keeps the broadcast-queries serving shape (the query
     side rides a broadcast hash join — no corpus shuffle) but derives
@@ -382,7 +386,7 @@ def lsh_topk_join(
     portable: bool = False,
     max_bucket: int | None = None,
     dim: int | None = None,
-    bands: int = 1,
+    bands: int = 8,
 ) -> DataFrame:
     """Approximate cosine top-k via a bucket-id equi-join — the scale path
     for large query sets (no driver-side collect; queries stay distributed;
@@ -403,13 +407,15 @@ def lsh_topk_join(
     from xxhash64 (identical to :func:`lsh_topk`) and computes bucket ids
     with one numpy matmul per Arrow batch — the fast path.
 
-    ``bands`` (OR-of-bands amplification, same contract as
-    :func:`lsh_topk`): L independent plane sets, each row emits one
-    band-offset bucket id per band — L× shuffle rows — candidates join on
-    any shared band bucket and pairs dedupe before ranking. The recall fix
-    for isotropic embeddings, where single-table sign-bit LSH measured
-    0.14 on the driver's real table (r8 verdict): planes=4/bands=8
-    measures ≥0.6 there (pinned in tests/test_pipeline.py).
+    ``bands`` (OR-of-bands amplification, same contract and DEFAULT —
+    ``bands=8`` — as :func:`lsh_topk`): L independent plane sets, each row
+    emits one band-offset bucket id per band — L× shuffle rows —
+    candidates join on any shared band bucket and pairs dedupe before
+    ranking. The recall fix for isotropic embeddings, where single-band
+    sign-bit LSH measured 0.14 on the driver's real table (r8 verdict):
+    planes=4/bands=8 measures ≥0.6 there (pinned in
+    tests/test_pipeline.py). Pass ``bands=1`` explicitly for the
+    single-band legacy arm (the gate oracles pin it bit-identical).
     """
     import numpy as np
 
