@@ -813,6 +813,20 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
                 from openmldb_spark.streaming.sqlsurface import lower_stream_select
 
                 return lower_stream_select(self, q)
+            if isinstance(b, P.Select) and b.from_ is not None:
+                from openmldb_spark.streaming.sqlsurface import (
+                    has_stream_window,
+                    lower_stream_select,
+                )
+
+                if has_stream_window(b):
+                    # batch≡streaming: the tumble/hop/session_window SQL
+                    # surface also runs over BATCH tables — same lowering
+                    # (F.window / F.session_window work in batch groupBy;
+                    # withWatermark is a no-op there), so one query text
+                    # serves both modes and the consistency family can
+                    # assert batch-over-union == final streaming state
+                    return lower_stream_select(self, q)
             return Lowerer(self.spark, self._table_view()).query(q, {})
         raise ValueError(f"unsupported statement: {render(toks[:4])} ...")
 

@@ -77,10 +77,22 @@ def _parse_window_call(toks: list[Tok]):
     return None
 
 
+def has_stream_window(body: "P.Select") -> bool:
+    """True if any GROUP BY entry is a tumble/hop/session_window call —
+    the router's batch-mode dispatch test (the event-time SQL surface
+    runs over batch tables too; batch≡streaming consistency)."""
+    return any(
+        _parse_window_call(list(g)) is not None for g in body.group_by or []
+    )
+
+
 def lower_stream_select(engine, q: "P.Query") -> DataFrame:
-    """Lower a SELECT over a registered stream onto the event-time
+    """Lower a SELECT over a registered stream — or, batch≡streaming, over
+    a BATCH table (``F.window``/``F.session_window`` aggregate batch rows
+    with identical window semantics; ``withWatermark`` is a no-op there,
+    correct: a complete batch has no late data) — onto the event-time
     helpers. Raises ValueError for shapes outside the supported surface
-    (the batch dialect stays the batch Lowerer's job)."""
+    (the plain batch dialect stays the batch Lowerer's job)."""
     body = q.body
     if not isinstance(body, P.Select):
         raise ValueError("streaming mode supports plain SELECT only")
@@ -89,7 +101,14 @@ def lower_stream_select(engine, q: "P.Query") -> DataFrame:
             "streaming SELECT supports WHERE + GROUP BY "
             "tumble/hop/session_window only (no joins/OVER/HAVING/LIMIT)"
         )
-    stream = engine._streams[engine._stream_loc(body.from_.name)]
+    loc = engine._stream_loc(body.from_.name)
+    if loc in engine._streams:
+        stream = engine._streams[loc]
+    else:
+        try:
+            stream = engine._table_view()[body.from_.name]
+        except KeyError:
+            raise ValueError(f"unknown table {body.from_.name!r}") from None
     if body.where is not None:
         from openmldb_spark.sql.rewrite import rewrite_expr
 

@@ -101,6 +101,32 @@ def test_stream_sql_case(spark, tmp_path, case):
     for e in case.get("never", []):
         assert tuple(e) not in rows, (e, rows)
 
+    # batch≡streaming consistency (r9 verdict #6; SURVEY §0 north star):
+    # the SAME sql over a BATCH table holding the union of all batches
+    # (minus the rows the watermark provably dropped — `dropped`) must
+    # reproduce the final streaming state. Update-mode cases compare
+    # exactly (last-write-wins state == batch); append-mode cases compare
+    # as a subset (streaming only emits windows the watermark FINALIZED;
+    # still-open windows live only in the batch result).
+    dropped = {tuple(r) for r in case.get("dropped", [])}
+    union = [
+        tuple(r)
+        for b in case["batches"]
+        for r in b
+        if tuple(r) not in dropped
+    ]
+    eng_b = Engine(spark)
+    eng_b.register(
+        "s", spark.createDataFrame(union, "pk string, ts bigint, v double")
+    )
+    bdf = eng_b.execute(case["sql"])
+    assert not bdf.isStreaming
+    batch_rows = sorted(map(tuple, bdf.collect()))
+    if case["mode"] == "update":
+        assert sorted(rows) == batch_rows, (rows, batch_rows)
+    else:
+        assert set(rows) <= set(batch_rows), (rows, batch_rows)
+
 
 def test_stream_batch_name_collision_rejected_both_ways(spark):
     """The SELECT router consults streams before batch tables, so BOTH
@@ -125,3 +151,39 @@ def test_stream_batch_name_collision_rejected_both_ways(spark):
     # and a non-streaming frame is rejected outright
     with pytest.raises(ValueError, match="streaming DataFrame"):
         eng2.register_stream("s2", spark.createDataFrame([(1,)], "id int"))
+
+
+def test_window_sql_over_batch_table(spark):
+    """The tumble/hop/session SQL surface runs over plain BATCH tables
+    (r10: the router dispatches GROUP BY window-calls to the event-time
+    lowering in both modes — one query text, batch≡streaming), while a
+    plain GROUP BY over the same table still goes to the batch Lowerer."""
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.register(
+        "ev",
+        spark.createDataFrame(
+            [("a", 1000, 1.0), ("a", 4000, 2.0), ("a", 12000, 5.0),
+             ("b", 2000, 7.0)],
+            "pk string, ts bigint, v double",
+        ),
+    )
+    out = eng.execute(
+        "SELECT pk, window_start, sum(v) AS sv, count(*) AS cnt FROM ev "
+        "GROUP BY tumble(ts, '10s'), pk"
+    )
+    assert not out.isStreaming
+    got = sorted(map(tuple, out.collect()))
+    assert got == [("a", 0, 3.0, 2), ("a", 10000, 5.0, 1), ("b", 0, 7.0, 1)]
+    # session windows in batch mode
+    ses = eng.execute(
+        "SELECT pk, window_start, count(*) AS cnt FROM ev "
+        "GROUP BY session_window(ts, '5s'), pk"
+    )
+    assert sorted(map(tuple, ses.collect())) == [
+        ("a", 1000, 2), ("a", 12000, 1), ("b", 2000, 1)
+    ]
+    # plain GROUP BY still routes to the batch dialect (no window call)
+    plain = eng.execute("SELECT pk, sum(v) AS sv FROM ev GROUP BY pk")
+    assert sorted(map(tuple, plain.collect())) == [("a", 8.0), ("b", 7.0)]
