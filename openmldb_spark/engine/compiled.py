@@ -60,13 +60,19 @@ class CompiledRequestPlan:
 
     The serve contract is collect-before-next-serve (the returned
     DataFrame reads the staged file at collect time); ``Engine``'s serving
-    surfaces collect eagerly.
+    surfaces collect eagerly. :meth:`serve_rows` additionally holds a lock
+    across stage+collect, so concurrent callers (the ThreadingHTTPServer
+    RESTful handler routes through it) serialize per deployment instead of
+    overwriting each other's staged rows.
     """
 
     def __init__(self, dep: "SqlDeployment", key: tuple):
+        import threading
+
         self.dep = dep
         self.key = key
         self.spark = dep.engine.spark
+        self._lock = threading.Lock()
         self._dir = tempfile.mkdtemp(prefix=f"omsk_req_{dep.name}_")
         self._staged = os.path.join(self._dir, "requests.arrow")
         # stage an empty batch so compile-time analysis sees the schema
@@ -100,12 +106,13 @@ class CompiledRequestPlan:
 
         if not rows:
             return []
-        self._write_staged(
-            LocalDataToArrowConversion.convert(
-                rows, self.dep.input_schema, False
+        with self._lock:
+            self._write_staged(
+                LocalDataToArrowConversion.convert(
+                    rows, self.dep.input_schema, False
+                )
             )
-        )
-        return self.plan.where(F.lit(True)).collect()
+            return self.plan.where(F.lit(True)).collect()
 
     def release(self) -> None:
         shutil.rmtree(self._dir, ignore_errors=True)

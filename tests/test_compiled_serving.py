@@ -169,3 +169,28 @@ def test_ttl_pin_change_recompiles(spark):
         assert got == 30 + 31 + 40
     finally:
         eng.variables.pop("ttl_now_ms", None)
+
+
+def test_concurrent_serve_rows_no_cross_talk(spark):
+    """The RESTful server is a ThreadingHTTPServer: concurrent requests to
+    one deployment must each get THEIR OWN result (the staged file is a
+    shared slot — serve_rows serializes stage+collect under the plan
+    lock, otherwise thread B's staging overwrites thread A's rows before
+    A collects)."""
+    import concurrent.futures
+
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dc8 {SQL}")
+    dep.run_request_rows(_conv([(0, "aa", 0, 1590738995000)]))  # compile
+
+    def call(i):
+        key = "aa" if i % 2 == 0 else "bb"
+        rows = dep.run_request_rows(_conv([(100 + i, key, i, 1590738995000)]))
+        assert len(rows) == 1
+        return rows[0]["id"], rows[0]["s"], key, i
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(call, range(16)))
+    for rid, s, key, i in results:
+        hist = 30 + 31 if key == "aa" else 50
+        assert rid == 100 + i and s == hist + i, (rid, s, key, i)
