@@ -31,6 +31,7 @@ from openmldb_spark.pipeline import dedup as D
 from openmldb_spark.pipeline import sampling as SA
 from openmldb_spark.pipeline import similarity as S
 from openmldb_spark.pipeline import text as T
+from openmldb_spark.pipeline import contamination as C
 from openmldb_spark.catalog import IndexDef, apply_ttl
 
 
@@ -761,6 +762,60 @@ def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition signals (dup/top token + bigram ratios) —
+    per-row Catalyst array expressions, zero shuffle (plan pinned in
+    tests/test_text_extras.py); the O(n log n) sorted-run top-count keeps
+    book-length docs safe. The explode-strategy sibling is equality-pinned
+    against this one in the same test file."""
+    d = S._spread(load_table(spark, sf, "documents"), 32)
+    out = T.repetition_features(d, ngram=2)
+    return out.select(
+        "doc_id", "n_tokens", "dup_token_ratio", "top_token_ratio",
+        "dup_ngram_ratio", "top_ngram_ratio",
+    )
+
+
+def q_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (emails -> phones -> IPv4s, in that order so an
+    email host can't double-count as an IP). The corpus is synthetic word
+    salad, so deterministic PII is injected from doc_id first — the
+    redaction path is then fully exercised and the scrubbed text itself is
+    oracle-checked via md5. Zero shuffle; scan-bound at 100 TB."""
+    d = S._spread(load_table(spark, sf, "documents"), 32)
+    injected = d.withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ),
+    )
+    out = T.pii_scrub(injected, "text2")
+    return out.select(
+        "doc_id", "n_email", "n_phone", "n_ip",
+        F.md5("text_scrubbed").alias("scrub_fp"),
+    )
+
+
+def q_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark n-gram decontamination audit: docs with doc_id % 20 == 0
+    play the embedded eval set (the realistic leak — they flag at 1.0).
+    Benchmark shingles broadcast; corpus shuffles once on doc_id."""
+    d = load_table(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 0)
+    out = C.ngram_contamination(d, bench, n=5)
+    return out.select(
+        "doc_id", "n_shingles", "n_contaminated",
+        "contamination_ratio", "is_contaminated",
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (exact ANN baseline): 20 query vectors
     against the whole corpus; broadcast queries, no corpus shuffle."""
@@ -1091,6 +1146,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "multimodal_features": q_multimodal_features,
         "text_features": q_text_features,
+        "text_repetition": q_text_repetition,
+        "pii_scrub": q_pii_scrub,
+        "contamination_ngram": q_contamination_ngram,
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk": q_embedding_lsh_topk,
         "embedding_lsh_topk_join": q_embedding_lsh_topk_join,
@@ -1859,6 +1917,101 @@ def oracle_sql() -> dict[str, str]:
                    md5(text) AS fp,
                    CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_bpeish
             FROM m
+        """,
+        "text_repetition": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i+1])
+                          ELSE []::VARCHAR[] END AS bg
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   round(CASE WHEN len(toks) > 0
+                         THEN 1.0 - len(list_distinct(toks)) * 1.0 / len(toks)
+                         ELSE 0.0 END, 4) AS dup_token_ratio,
+                   round(CASE WHEN len(toks) > 0
+                         THEN list_max(list_transform(list_distinct(toks),
+                                d -> len(list_filter(toks, x -> x = d)))) * 1.0 / len(toks)
+                         ELSE 0.0 END, 4) AS top_token_ratio,
+                   round(CASE WHEN len(bg) > 0
+                         THEN 1.0 - len(list_distinct(bg)) * 1.0 / len(bg)
+                         ELSE 0.0 END, 4) AS dup_ngram_ratio,
+                   round(CASE WHEN len(bg) > 0
+                         THEN list_max(list_transform(list_distinct(bg),
+                                d -> len(list_filter(bg, x -> x = d)))) * 1.0 / len(bg)
+                         ELSE 0.0 END, 4) AS top_ngram_ratio
+            FROM g
+        """,
+        "pii_scrub": """
+            WITH inj AS (
+              SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@example.com or 555-010-'
+                          || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                          || ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t0
+              FROM documents
+            ), e AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+                     regexp_replace(t0,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM inj
+            ), p AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phone,
+                     regexp_replace(t1, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                                    '<PHONE>', 'g') AS t2
+              FROM e
+            ), i AS (
+              SELECT doc_id, n_email, n_phone,
+                     len(regexp_extract_all(t2,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+                     regexp_replace(t2,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') AS t3
+              FROM p
+            )
+            SELECT doc_id, CAST(n_email AS BIGINT) AS n_email,
+                   CAST(n_phone AS BIGINT) AS n_phone,
+                   CAST(n_ip AS BIGINT) AS n_ip,
+                   md5(t3) AS scrub_fp
+            FROM i
+        """,
+        "contamination_ngram": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ), sh AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(range(1, len(toks) - 3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+              FROM t
+            ), bm AS (
+              SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
+            ), ex AS (
+              SELECT doc_id, unnest(s) AS g FROM sh
+            )
+            SELECT ex.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_shingles,
+                   CAST(count(bm.g) AS BIGINT) AS n_contaminated,
+                   round(count(bm.g) * 1.0 / count(*), 4) AS contamination_ratio,
+                   (round(count(bm.g) * 1.0 / count(*), 4) >= 0.5) AS is_contaminated
+            FROM ex LEFT JOIN bm ON ex.g = bm.g
+            GROUP BY ex.doc_id
         """,
         "embedding_lsh_topk": """
             WITH P AS (

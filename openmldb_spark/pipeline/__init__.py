@@ -7,7 +7,9 @@ transform — no driver-side loops, no per-row Python in hot paths.
   n-gram-Jaccard / embedding near-dup
 - :mod:`openmldb_spark.pipeline.similarity` brute-force + LSH-bucketed ANN
 - :mod:`openmldb_spark.pipeline.text`       language-ID, quality scoring,
-  token counting, fingerprinting
+  token counting, fingerprinting, repetition signals, PII scrubbing
+- :mod:`openmldb_spark.pipeline.contamination` benchmark n-gram
+  decontamination audit (broadcast eval shingles, one shuffle)
 - :mod:`openmldb_spark.pipeline.multimodal` binary-column plumbing with
   stubbed decoders
 """

@@ -1,0 +1,76 @@
+"""Benchmark-contamination check: flag training documents whose word
+n-grams overlap an evaluation/benchmark corpus (the standard
+train-test-leak audit run before pretraining — cf. GPT-3 appendix C /
+PaLM §8 style n-gram decontamination).
+
+Scale shape (the reason this is not a per-row array intersection):
+
+- The benchmark side is small (eval sets are MBs even when the training
+  corpus is 100 TB): its distinct shingle set is computed once and
+  **broadcast** — no shuffle of the big side against it.
+- The corpus side explodes each document's *distinct* shingles, LEFT
+  JOINs the broadcast benchmark set, and re-aggregates per document —
+  exactly ONE shuffle, on the document id, with map-side partial counts.
+- Nothing quadratic: hot shingles cost what they cost on the corpus side
+  only; the join is hash-probe per shingle.
+
+Reuses :func:`openmldb_spark.pipeline.dedup.shingles` (lowercased,
+distinct word n-grams; short docs fall back to the whole text as one
+shingle) so contamination and MinHash dedup agree on what a shingle is.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import broadcast
+
+from .dedup import shingles
+
+
+def benchmark_shingles(
+    benchmark: DataFrame, text_col: str = "text", *, n: int = 5
+) -> DataFrame:
+    """Distinct shingle set of the benchmark corpus, one column ``__bm_s``.
+    Intended to be tiny; callers broadcast it."""
+    return (
+        benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("__bm_s"))
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document contamination stats vs a benchmark corpus:
+
+    ``n_shingles``       distinct word-``n``-grams in the document
+    ``n_contaminated``   how many of those appear anywhere in the benchmark
+    ``contamination_ratio``  n_contaminated / n_shingles (4 dp)
+    ``is_contaminated``  ratio >= ``flag_threshold``
+
+    One shuffle (on ``id_col``); the benchmark shingle set is broadcast.
+    """
+    bm = broadcast(benchmark_shingles(benchmark, bench_text_col, n=n))
+    ex = docs.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    )
+    marked = ex.join(bm, ex["__s"] == bm["__bm_s"], "left")
+    stats = marked.groupBy(id_col).agg(
+        F.count("*").alias("n_shingles"),
+        F.count("__bm_s").alias("n_contaminated"),
+    )
+    ratio = F.round(
+        F.col("n_contaminated")
+        / F.when(F.col("n_shingles") > 0, F.col("n_shingles").cast("double")).otherwise(1.0),
+        4,
+    )
+    return stats.withColumn("contamination_ratio", ratio).withColumn(
+        "is_contaminated", (F.col("contamination_ratio") >= flag_threshold)
+    )

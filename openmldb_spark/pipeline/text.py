@@ -107,6 +107,189 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 4))
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """All (non-distinct) word n-grams of a token array, space-joined.
+    Short docs (< n tokens) yield an empty array."""
+    if n == 1:
+        return toks
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run_count(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr``: sort, then one
+    O(n) fold counting the longest run of equal adjacent elements.
+    O(n log n) per row vs the naive O(n*distinct) count-each-element scan
+    — the difference between fine and pathological on book-length docs."""
+    srt = F.array_sort(arr)
+    st = F.aggregate(
+        srt,
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best,
+                F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    return st.best
+
+
+def repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    *,
+    ngram: int = 2,
+    method: str = "array",
+    id_col: str | None = None,
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1), the
+    standard 'is this doc degenerate boilerplate?' filters for a
+    pretraining pipeline:
+
+    - ``dup_token_ratio``   = 1 - distinct_tokens / n_tokens
+    - ``top_token_ratio``   = count(most frequent token) / n_tokens
+    - ``dup_ngram_ratio``   = 1 - distinct_ngrams / n_ngrams   (word n-grams)
+    - ``top_ngram_ratio``   = count(most frequent n-gram) / n_ngrams
+
+    All lowercased, rounded to 4 decimals; 0.0 on empty docs.
+
+    Two physical strategies, identical results (pinned by test):
+
+    - ``method='array'`` (default): per-row Catalyst array expressions,
+      zero shuffle — a pure projection over the corpus scan. The top-count
+      is an O(n log n) sort + run-length fold, safe for book-length docs.
+    - ``method='explode'``: posexplode n-grams -> one partial-aggregated
+      shuffle on (id-ish hash, gram) -> per-doc max/sum. Use when rows are
+      huge enough that per-row arrays pressure executor memory (the
+      100 TB long-document path); requires every metric column to be
+      re-joined back, so it requires ``id_col`` — a deterministic unique
+      row key (a synthetic monotonically_increasing_id would be
+      re-evaluated differently on each side of the join and silently
+      mis-assign metrics).
+    """
+    t = F.lower(F.col(text_col))
+    toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
+    if method == "array":
+        grams = _word_ngrams(toks, ngram)
+        n_tok = F.size(toks)
+        n_gr = F.size(grams)
+        ntz = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
+        ngz = F.when(n_gr > 0, n_gr.cast("double")).otherwise(F.lit(1.0))
+        return (
+            df.withColumn("n_tokens", n_tok.cast("long"))
+            .withColumn(
+                "dup_token_ratio",
+                F.round(
+                    F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(toks)) / ntz).otherwise(0.0), 4
+                ),
+            )
+            .withColumn(
+                "top_token_ratio",
+                F.round(_top_run_count(toks).cast("double") / ntz, 4),
+            )
+            .withColumn(
+                "dup_ngram_ratio",
+                F.round(
+                    F.when(n_gr > 0, 1.0 - F.size(F.array_distinct(grams)) / ngz).otherwise(0.0), 4
+                ),
+            )
+            .withColumn(
+                "top_ngram_ratio",
+                F.round(_top_run_count(_word_ngrams(toks, ngram)).cast("double") / ngz, 4),
+            )
+        )
+    if method != "explode":
+        raise ValueError(f"repetition_features: unknown method {method!r}")
+    if id_col is None:
+        raise ValueError("repetition_features(method='explode') requires id_col")
+
+    base = df.withColumn("__rf_id", F.col(id_col))
+
+    def _stats(gram_col: Column, out_prefix: str) -> DataFrame:
+        ex = base.select("__rf_id", F.explode(gram_col).alias("__g"))
+        per_gram = ex.groupBy("__rf_id", "__g").agg(F.count("*").alias("__c"))
+        return per_gram.groupBy("__rf_id").agg(
+            F.sum("__c").alias(f"{out_prefix}_n"),
+            F.count("*").alias(f"{out_prefix}_distinct"),
+            F.max("__c").alias(f"{out_prefix}_top"),
+        )
+
+    tok_stats = _stats(toks, "__t")
+    gr_stats = _stats(_word_ngrams(toks, ngram), "__g")
+    joined = (
+        base.join(tok_stats, "__rf_id", "left")
+        .join(gr_stats, "__rf_id", "left")
+        .withColumn("n_tokens", F.coalesce(F.col("__t_n"), F.lit(0)).cast("long"))
+    )
+    ntz = F.when(F.col("__t_n") > 0, F.col("__t_n").cast("double")).otherwise(F.lit(1.0))
+    ngz = F.when(F.col("__g_n") > 0, F.col("__g_n").cast("double")).otherwise(F.lit(1.0))
+    out = (
+        joined.withColumn(
+            "dup_token_ratio",
+            F.round(F.coalesce(1.0 - F.col("__t_distinct") / ntz, F.lit(0.0)), 4),
+        )
+        .withColumn("top_token_ratio", F.round(F.coalesce(F.col("__t_top") / ntz, F.lit(0.0)), 4))
+        .withColumn(
+            "dup_ngram_ratio",
+            F.round(F.coalesce(1.0 - F.col("__g_distinct") / ngz, F.lit(0.0)), 4),
+        )
+        .withColumn("top_ngram_ratio", F.round(F.coalesce(F.col("__g_top") / ngz, F.lit(0.0)), 4))
+    )
+    return out.drop("__rf_id", "__t_n", "__t_distinct", "__t_top", "__g_n", "__g_distinct", "__g_top")
+
+
+#: portable PII patterns — deliberately restricted to syntax that means the
+#: same thing in Java regex (Spark) and RE2 (DuckDB/Go): char classes,
+#: bounded repetition, \b word boundaries. No lookaround, no backrefs.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "phone": (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+}
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", *, out_col: str = "text_scrubbed") -> DataFrame:
+    """Redact emails, NANP-style phone numbers, and IPv4 addresses,
+    appending ``out_col`` plus per-kind match counts (``n_email``,
+    ``n_phone``, ``n_ip``). Pure Catalyst (regexp_count + regexp_replace)
+    — a zero-shuffle projection; at 100 TB this is scan-bound.
+
+    Order matters: emails are scrubbed before phones/IPs so a phone-shaped
+    email local part (``a.b-555-010-1234@x.com``) stays ONE ``<EMAIL>``
+    instead of being torn apart by ``<PHONE>``. A numeric-host address
+    (``a.b@10.0.0.1``) is NOT an email — the pattern requires an alphabetic
+    TLD — so its embedded IPv4 is scrubbed instead. Counts are taken on the
+    same intermediate the corresponding replace sees.
+    """
+    t = F.col(text_col)
+    order = ["email", "phone", "ip"]
+    counts = {}
+    cur = t
+    for kind in order:
+        pat, repl = PII_PATTERNS[kind]
+        counts[kind] = F.regexp_count(cur, F.lit(pat))
+        cur = F.regexp_replace(cur, pat, repl)
+    return (
+        df.withColumn(out_col, cur)
+        .withColumn("n_email", counts["email"].cast("long"))
+        .withColumn("n_phone", counts["phone"].cast("long"))
+        .withColumn("n_ip", counts["ip"].cast("long"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint (md5 hex — portable across engines
     for oracle checks; xxhash64 is the cheaper in-engine alternative)."""
