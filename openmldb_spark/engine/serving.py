@@ -63,6 +63,12 @@ class SqlDeployment:
         self._compiled: Optional["CompiledRequestPlan"] = None
         #: escape hatch: False forces the per-call plan-build path
         self.use_compiled = True
+        #: parameterized body (`?` placeholders): binding happens by
+        #: literal-folding into the text per call, so there is no single
+        #: plan to compile — every serving surface must take the
+        #: per-call build path (same check deploy-time schema inference
+        #: uses, engine/deploy.py)
+        self.has_params = any(t.text == "?" for t in P.tokenize(select_sql))
         self.db_name = engine.current_db
         #: output schema, filled by Engine._deploy's validation lowering
         self.output_schema = None
@@ -99,6 +105,14 @@ class SqlDeployment:
         plan; here binding = literal fold + re-parse of the stored text,
         so each call can carry different parameter values)."""
         if parameters is None:
+            if self.has_params:
+                # without this, the unbound `?` survives lowering and
+                # surfaces as Spark's UNBOUND_SQL_PARAMETER analysis error
+                # mid-plan — fail at the contract boundary instead
+                raise ValueError(
+                    f"deployment {self.name!r} is parameterized "
+                    f"(? placeholders); pass parameters=[...]"
+                )
             return copy.deepcopy(self.query)
         return P.parse(P.substitute_params(self.sql_text, parameters))
 
@@ -144,6 +158,7 @@ class SqlDeployment:
             )
         if (
             self.use_compiled
+            and not self.has_params
             and history is None
             and parameters is None
             and self.input_schema is not None
@@ -167,7 +182,7 @@ class SqlDeployment:
         the collected result rows. Falls back to the DataFrame path when
         no compiled plan applies (e.g. no input schema)."""
         rows = list(rows)
-        if self.use_compiled and self.input_schema is not None:
+        if self.use_compiled and not self.has_params and self.input_schema is not None:
             key = self._serving_key()
             if self._compiled is None or self._compiled.key != key:
                 self._release_compiled()

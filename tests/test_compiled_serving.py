@@ -194,3 +194,38 @@ def test_concurrent_serve_rows_no_cross_talk(spark):
     for rid, s, key, i in results:
         hist = 30 + 31 if key == "aa" else 50
         assert rid == 100 + i and s == hist + i, (rid, s, key, i)
+
+
+def test_parameterized_body_never_compiles_and_errors_cleanly(spark):
+    """A deployed body that still holds `?` placeholders (r10 regression,
+    caught by the advice-r8 RESTful family): every serving surface must
+    take the per-call path — the compiled plan would freeze one binding —
+    and serving WITHOUT parameters fails with the dialect contract error,
+    not Spark's mid-analysis UNBOUND_SQL_PARAMETER."""
+    import json
+
+    from openmldb_spark.restful import ApiServer
+
+    eng = _engine(spark)
+    dep = eng.execute("DEPLOY dcp1 SELECT id, c1 FROM t0 WHERE id > ?")
+    assert dep.has_params is True
+    req = _req(spark, dep, [(9, "aa", 40, 1590738995000)])
+    # bound parameters: per-call build, works, never caches a plan
+    assert {r["id"] for r in dep.run_request(req, parameters=[2]).collect()} == {9}
+    assert dep._compiled is None
+    # unbound: the contract error on every surface
+    with pytest.raises(ValueError, match="parameterized"):
+        dep.run_request(req)
+    with pytest.raises(ValueError, match="parameterized"):
+        dep.run_batch()
+    with pytest.raises(ValueError, match="parameterized"):
+        dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    assert dep._compiled is None
+    # RESTful exec surfaces it as a clean API error payload
+    api = ApiServer(eng)
+    r = api.handle(
+        "POST",
+        f"/dbs/{eng.current_db}/deployments/dcp1",
+        json.dumps({"input": [[9, "aa", 40, 1590738995000]]}),
+    )
+    assert r["code"] != 0 and "parameterized" in r["msg"]
