@@ -39,8 +39,11 @@ def test_oracle_keys_subset_of_queries():
 
 
 def test_every_query_has_oracle_or_documented_exemption():
-    # queries intentionally without a SQL oracle (driver does rows-only check)
-    exempt = {"embedding_lsh_topk"}  # hash-derived hyperplanes; recall unit-tested
+    # queries intentionally without a SQL oracle (driver does rows-only
+    # check); empty since r10 — every registry row carries a full oracle
+    # (embedding_lsh_topk, the one historical exemption, gained a portable
+    # oracle in r8 and its gate row retired in r10 for the 50-row cap)
+    exempt: set[str] = set()
     qs = set(entry.queries())
     oracles = set(entry.oracle_sql())
     unexplained = qs - oracles - exempt
