@@ -800,8 +800,13 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
 def q_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     """Benchmark n-gram decontamination audit: docs with doc_id % 20 == 0
     play the embedded eval set (the realistic leak — they flag at 1.0).
-    Benchmark shingles broadcast; corpus shuffles once on doc_id."""
-    d = load_table(spark, sf, "documents")
+    Benchmark shingles broadcast; corpus shuffles once on doc_id.
+
+    The small-SF parquet is ONE split and the shingle HOF is CPU-bound —
+    spread it conditionally like the other document queries (at real
+    scale the file count parallelizes the scan and no Exchange is
+    added; unspread, the whole explode ran on one core: 4.5s -> ~0.4s)."""
+    d = S._spread(load_table(spark, sf, "documents"), 32)
     bench = d.where(F.col("doc_id") % 20 == 0)
     out = C.ngram_contamination(d, bench, n=5)
     return out.select(

@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash",
     "text_features",
+    "text_repetition",
+    "contamination_ngram",
     "curation_sample_pack",
     "embedding_topk",
     "embedding_lsh_topk_join",
