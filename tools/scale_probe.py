@@ -146,8 +146,20 @@ def probes():
             d, "doc_id", "text", shingle_n=3, threshold=0.7, max_token_df=50
         )
 
+    def contamination_fixed_bench(spark, sf):
+        # r10 arm: the realistic decontamination shape — the CORPUS grows
+        # 10x, the benchmark stays FIXED (doc_id < 250 at both scales).
+        # Expected: corpus-side shuffle ~10x, broadcast side ~constant.
+        from openmldb_spark.pipeline import contamination as C
+        from openmldb_spark.pipeline import similarity as S
+
+        d = S._spread(load_table(spark, sf, "documents"), 32)
+        bench = d.where(F.col("doc_id") < 250)
+        return C.ngram_contamination(d, bench, n=5)
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
+        "contamination_fixed_bench": contamination_fixed_bench,
         "dedup_minhash_capped": minhash_capped,
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
         "embedding_lsh_topk_join": qs["embedding_lsh_topk_join"],
