@@ -11,7 +11,7 @@ the section headers below for per-family file:line cites).
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -25,6 +25,7 @@ from openmldb_spark.functions.aggregates import (
     _arr_min,
     _arr_sum,
     _c,
+    _group_via_collect,
     _nn,
 )
 
