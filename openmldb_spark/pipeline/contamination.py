@@ -21,7 +21,7 @@ shingle) so contamination and MinHash dedup agree on what a shingle is.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
 from .dedup import shingles
@@ -73,4 +73,59 @@ def ngram_contamination(
     )
     return stats.withColumn("contamination_ratio", ratio).withColumn(
         "is_contaminated", (F.col("contamination_ratio") >= flag_threshold)
+    )
+
+
+def stream_decontaminate(
+    stream: DataFrame,
+    benchmark: DataFrame,
+    *,
+    n: int = 5,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    flag_threshold: float = 0.5,
+) -> DataFrame:
+    """Per-document contamination stats for a STREAMING document source —
+    same output columns as :func:`ngram_contamination`, appended to the
+    stream's own columns.
+
+    The streaming-native formulation is STATELESS: the benchmark's
+    distinct shingle set is collected ONCE (driver-side — eval corpora
+    are MBs by definition, the same boundedness the batch op's broadcast
+    relies on), hashed to a sorted int64 literal array, and each incoming
+    document intersects its own shingle-hash array against it in a pure
+    projection. No state store, no watermark requirement, works in
+    append mode — a per-doc groupBy over an unkeyed stream would instead
+    grow unbounded state.
+
+    Set semantics match the batch op through 64-bit shingle hashing
+    (collision odds ~2^-64/pair — the house set-over-hash convention,
+    :func:`openmldb_spark.pipeline.dedup.jaccard_dedup`); a test pins
+    stream-vs-batch equality on the same rows. Also valid on a batch
+    DataFrame (the projection is mode-agnostic).
+    """
+    bench_hashes = sorted(
+        r[0]
+        for r in benchmark_shingles(benchmark, bench_text_col, n=n)
+        .select(F.xxhash64("__bm_s"))
+        .collect()
+    )
+    bench_arr: Column = (
+        F.lit(bench_hashes).cast("array<bigint>")
+        if bench_hashes
+        else F.array().cast("array<bigint>")
+    )
+    doc_hashes = F.transform(
+        shingles(F.col(text_col), n), lambda s: F.xxhash64(s)
+    )
+    n_sh = F.size(doc_hashes)
+    n_cont = F.size(F.array_intersect(doc_hashes, bench_arr))
+    ratio = F.round(
+        n_cont / F.when(n_sh > 0, n_sh.cast("double")).otherwise(1.0), 4
+    )
+    return (
+        stream.withColumn("n_shingles", n_sh.cast("long"))
+        .withColumn("n_contaminated", n_cont.cast("long"))
+        .withColumn("contamination_ratio", ratio)
+        .withColumn("is_contaminated", ratio >= flag_threshold)
     )

@@ -194,3 +194,68 @@ def test_contamination_self_benchmark_flags_eval_docs(spark):
     eval_rows = out.filter(F.col("doc_id") % 20 == 0)
     assert eval_rows.filter(~F.col("is_contaminated")).isEmpty()
     assert eval_rows.filter(F.col("contamination_ratio") < 1.0).isEmpty()
+
+
+# -- stream_decontaminate ------------------------------------------------------
+
+
+def test_stream_decontaminate_matches_batch_on_static_df(spark):
+    """The stateless hash-intersect formulation equals the batch
+    join+aggregate op on the same rows (64-bit set-over-hash convention)."""
+    from openmldb_spark.pipeline.contamination import stream_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    cols = ["doc_id", "n_shingles", "n_contaminated",
+            "contamination_ratio", "is_contaminated"]
+    a = ngram_contamination(docs, bench, n=5).select(cols)
+    b = stream_decontaminate(docs, bench, n=5).select(cols)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_stream_decontaminate_empty_benchmark(spark):
+    from openmldb_spark.pipeline.contamination import stream_decontaminate
+
+    docs = spark.createDataFrame([(1, "a b c d e f")], "doc_id int, text string")
+    bench = spark.createDataFrame([], "doc_id int, text string")
+    got = _rows(stream_decontaminate(docs, bench, n=5))[1]
+    assert got["n_contaminated"] == 0 and got["is_contaminated"] is False
+
+
+def test_stream_decontaminate_on_live_stream(spark, tmp_path):
+    """Append-mode streaming run with NO state store: per-batch rows carry
+    the contamination columns; an embedded eval doc flags at 1.0."""
+    from openmldb_spark.pipeline.contamination import stream_decontaminate
+
+    bench = spark.createDataFrame([(100, "q w e r t y u")], "bid int, text string")
+    src = tmp_path / "cont_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("doc_id int, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = stream_decontaminate(stream, bench, n=5)
+    got: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda df, bid: got.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "cont_ckpt"))
+        .start()
+    )
+    try:
+        for i, rows in enumerate(
+            [[(1, "q w e r t y u")], [(2, "zz xx e r t y u"), (3, "a b c d e f g")]]
+        ):
+            spark.createDataFrame(rows, "doc_id int, text string").coalesce(
+                1
+            ).write.parquet(str(src / f"b{i}"))
+            for _ in range(3):
+                q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[1]["contamination_ratio"] == 1.0 and by_id[1]["is_contaminated"]
+    assert by_id[2]["n_contaminated"] == 1 and not by_id[2]["is_contaminated"]
+    assert by_id[3]["n_contaminated"] == 0
