@@ -157,9 +157,33 @@ def probes():
         bench = d.where(F.col("doc_id") < 250)
         return C.ngram_contamination(d, bench, n=5)
 
+    def repetition_explode(spark, sf):
+        # r10 arm: the explode strategy is the documented long-document
+        # path for repetition_features (per-row arrays pressure executor
+        # memory on book-length docs) — its two explode->partial-agg
+        # shuffles must scale linearly with the corpus. The harness's
+        # count() action over the raw output (or a global aggregate of
+        # it) lets Catalyst eliminate the whole subtree — unique-key
+        # left-join elimination / count-of-global-agg folding — and
+        # measure only the spread exchange; a FILTER referencing every
+        # metric column keeps the full plan inside the counted job.
+        from openmldb_spark.pipeline import similarity as S
+        from openmldb_spark.pipeline import text as T
+
+        d = S._spread(load_table(spark, sf, "documents"), 32)
+        out = T.repetition_features(d, method="explode", id_col="doc_id")
+        return out.where(
+            (
+                F.col("dup_token_ratio") + F.col("top_token_ratio")
+                + F.col("dup_ngram_ratio") + F.col("top_ngram_ratio")
+            )
+            > -1
+        )
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "contamination_fixed_bench": contamination_fixed_bench,
+        "repetition_explode": repetition_explode,
         "dedup_minhash_capped": minhash_capped,
         "dedup_ngram_jaccard": qs["dedup_ngram_jaccard"],
         "embedding_lsh_topk_join": qs["embedding_lsh_topk_join"],
