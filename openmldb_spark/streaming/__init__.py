@@ -8,6 +8,11 @@ The equivalent here:
   request rows is evaluated by a :class:`~openmldb_spark.plans.deploy.Deployment`
   against the history table (train/serve-consistent with ``run_batch``).
 - TTL ≈ watermark + state timeout (see catalog.apply_ttl for the batch form).
+- :mod:`.eventtime` — tumble/hop/session windowed aggregation + watermark
+  late-data semantics + exact dedup; :mod:`.sqlsurface` — the SQL spelling
+  (batch + stream, one query text); :mod:`.sliding` — per-key sliding
+  features via ``applyInPandasWithState``; :mod:`.fuzzydedup` — MinHash
+  band-bucket NEAR-dup detection (r10, stateful stream keys).
 
 Kafka/Pulsar connector parity = ``spark.readStream.format("kafka")`` — no
 code needed beyond configuration; gated behind import so the package works
