@@ -5,6 +5,8 @@ transform — no driver-side loops, no per-row Python in hot paths.
 
 - :mod:`openmldb_spark.pipeline.dedup`      exact / MinHash-LSH / SimHash /
   n-gram-Jaccard / embedding near-dup
+- :mod:`openmldb_spark.pipeline.clusters`   duplicate-cluster assignment
+  (connected components over dup pairs) + quality-aware representatives
 - :mod:`openmldb_spark.pipeline.similarity` brute-force + LSH-bucketed ANN
 - :mod:`openmldb_spark.pipeline.text`       language-ID, quality scoring,
   token counting, fingerprinting, repetition signals, PII scrubbing

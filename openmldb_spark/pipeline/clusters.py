@@ -1,0 +1,118 @@
+"""Duplicate-cluster assignment: connected components over near-dup PAIRS
+(the output of ``minhash_lsh_pairs`` / ``overlap_jaccard_pairs`` /
+``ngram_jaccard_pairs``), plus quality-aware representative picking.
+
+Why it exists: the pair-based dedup ops keep the min-id of each pair —
+correct for REMOVAL (a component's min id is never the larger side of any
+pair), but it cannot tell you WHICH docs form one duplicate group, how
+big the groups are, or keep the highest-QUALITY member instead of the
+smallest id. ``minhash_dedup``'s own docstring defers transitive closure
+("run iteratively if full closure is needed") — this module is that
+closure, done properly.
+
+Algorithm: min-label propagation (the hash-to-min family — Rastogi et
+al., "Finding Connected Components in Map-Reduce in Logarithmic Rounds").
+Each iteration is ONE shuffle round (edge-join + min-aggregate); the
+driver loop runs until no label changes, bounded by the component
+diameter — near-dup graphs are overwhelmingly star/clique shaped
+(diameter 2-3), so 3-4 rounds in practice. Labels are
+``localCheckpoint``ed per round to cut the lineage (iterative plans
+otherwise grow exponentially). At 100 TB the edge set is the small side
+(pairs above threshold), not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    *,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components of the pair graph: returns ``(id, cluster_id)``
+    with one row per distinct id appearing in any pair; ``cluster_id`` is
+    the component's minimum id. Raises if ``max_iters`` rounds don't
+    converge (a diameter that large means the input is not a near-dup
+    graph)."""
+    edges = pairs.select(
+        F.col(a_col).alias("__src"), F.col(b_col).alias("__dst")
+    ).where(F.col("__src") != F.col("__dst")).distinct().localCheckpoint()
+    labels = (
+        edges.select(F.col("__src").alias("id"))
+        .union(edges.select(F.col("__dst").alias("id")))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        prop = (
+            edges.join(labels, edges["__src"] == labels["id"])
+            .select(F.col("__dst").alias("id"), "cluster_id")
+            .union(
+                edges.join(labels, edges["__dst"] == labels["id"]).select(
+                    F.col("__src").alias("id"), "cluster_id"
+                )
+            )
+        )
+        new_labels = (
+            labels.select("id", "cluster_id")
+            .union(prop)
+            .groupBy("id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters: no convergence after {max_iters} rounds "
+        "(component diameter too large for a near-dup graph)"
+    )
+
+
+def pick_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    *,
+    score_col: str | None = None,
+) -> DataFrame:
+    """One representative per duplicate cluster, UNION all never-paired
+    docs: the quality-aware version of 'keep the min id'. With
+    ``score_col``, the highest-scoring member wins (ties break to the
+    smaller id, so the result is deterministic); without it, the min id —
+    bit-identical to what the pair-based removal keeps.
+
+    One broadcast-able join (clusters is pairs-sized, not corpus-sized)
+    plus one aggregate on cluster_id.
+    """
+    joined = docs.join(
+        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    solo = joined.where(F.col("cluster_id").isNull()).drop("cluster_id")
+    grouped = joined.where(F.col("cluster_id").isNotNull())
+    if score_col is None:
+        order = F.struct(F.col(id_col).alias("k1"))
+        pick = F.min_by(F.struct(*[F.col(c) for c in docs.columns]), order)
+    else:
+        # max score, then min id: min_by over (-score, id)
+        order = F.struct(
+            (-F.col(score_col)).alias("k0"), F.col(id_col).alias("k1")
+        )
+        pick = F.min_by(F.struct(*[F.col(c) for c in docs.columns]), order)
+    reps = (
+        grouped.groupBy("cluster_id")
+        .agg(pick.alias("__rep"))
+        .select("__rep.*")
+    )
+    return solo.unionByName(reps)
