@@ -66,7 +66,21 @@ execution-environment tiers.
 """
 
 #
-# Adjudication of embedding_topk (r5/r6/r7 judged it in three different
+# Adjudication of the r9->r10 embedding_lsh_topk_join reading (published
+# 1.611 -> 4.574s; round 11, fresh-JVM A/B under the exact bench warmup,
+# 6 reps, clearCache between, sf0.1): CURRENT code
+# [5.719, 2.326, 2.124, 2.117, 1.868, 1.967]s; the r9 code tree (92ec73c,
+# same protocol, same host window) [4.051, 2.192, 1.932, 1.908, 1.851,
+# 1.920]s. Verdict: steady state is ~1.9-2.3s on BOTH trees — no code
+# drift (the r10 bands=8 default change never touches this bands=1-pinned
+# query; plan pin green). r9's published 1.611 was a favorable host band,
+# and r10's 4.574 was the in-bench JIT tier striking all three reps of a
+# min-of-3 after ~548 prior codegen stages. Two fixes: (1) this query
+# joins the REPS map (min-of-5, the dedup_minhash mechanism), and
+# (2) the session now reserves a 512m JVM code cache
+# (session.py get_spark) — JDK17's 240m default fills over a 22-query
+# bench and forces late queries into interpreted/deopt execution, which
+# is the tier's root mechanism.
 # directions; round 8, same fresh-JVM protocol, sf0.1, clearCache between
 # reps): [2.635, 1.502, 1.155, 1.212, 1.123, 1.133]s. Verdict: steady
 # state ~1.1-1.2s, one ~2.6s plan-cold first rep (mapInPandas scoring
@@ -122,7 +136,7 @@ MIN_REPS = 3
 
 #: extra reps for queries with an adjudicated stochastic JIT tier (module
 #: docstring): min-of-N needs one steady-state rep to land
-REPS = {"dedup_minhash": 4, "embedding_topk": 4}
+REPS = {"dedup_minhash": 4, "embedding_topk": 4, "embedding_lsh_topk_join": 5}
 
 
 def main() -> None:
