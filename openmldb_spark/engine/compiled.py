@@ -13,6 +13,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+#: spark.conf key naming a shared-filesystem directory for staged request
+#: batches (the ``Engine(staging_dir=...)`` argument takes precedence)
+STAGING_DIR_CONF = "spark.openmldb.serving.stagingDir"
+
+
+def resolve_staging_dir(master: str, explicit: str | None) -> str | None:
+    """Pick the staging root for compiled-plan request batches.
+
+    ``explicit`` (Engine arg or the ``spark.openmldb.serving.stagingDir``
+    conf) wins. With no explicit dir, a driver-local tempdir is only
+    correct when driver and executors share a filesystem — i.e. local
+    mode; on any other master this RAISES instead of silently serving
+    empty results when executors fail to open the driver's tempfile. The
+    reference has no such gap (request rows travel inside the RPC,
+    ``src/sdk/sql_cluster_router.h:116-190``); ours is a file handoff, so
+    the cluster contract is enforced here rather than docstring-only.
+    """
+    if explicit:
+        return explicit
+    if not master.startswith("local"):
+        raise RuntimeError(
+            "compiled request serving stages rows in a file that every "
+            f"executor must read; spark.master={master!r} is non-local, so "
+            "pass Engine(staging_dir=...) or set spark conf "
+            f"{STAGING_DIR_CONF!r} to a shared-filesystem path (NFS/EFS/"
+            "Lustre) visible to all executors"
+        )
+    return None
+
+
 def _staged_reader(path: str):
     """Task-side reader for the compiled plan's request source: yields the
     Arrow batches staged at ``path`` AT EXECUTION TIME — the plan is fixed,
@@ -73,7 +103,14 @@ class CompiledRequestPlan:
         self.key = key
         self.spark = dep.engine.spark
         self._lock = threading.Lock()
-        self._dir = tempfile.mkdtemp(prefix=f"omsk_req_{dep.name}_")
+        root = resolve_staging_dir(
+            self.spark.conf.get("spark.master", "local"),
+            getattr(dep.engine, "staging_dir", None)
+            or self.spark.conf.get(STAGING_DIR_CONF, None),
+        )
+        if root is not None:
+            os.makedirs(root, exist_ok=True)
+        self._dir = tempfile.mkdtemp(prefix=f"omsk_req_{dep.name}_", dir=root)
         self._staged = os.path.join(self._dir, "requests.arrow")
         # stage an empty batch so compile-time analysis sees the schema
         self._write_staged(

@@ -165,8 +165,13 @@ class Engine(DdlMixin, DmlMixin, DeployMixin, ShowMixin):
     #: parser/lowerer machinery works unchanged across databases
     _DBM = "__omdb__"
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, staging_dir: str | None = None):
         self.spark = spark
+        #: shared-filesystem root for compiled-plan request staging (see
+        #: engine/compiled.py resolve_staging_dir). None -> driver tempdir,
+        #: valid only in local mode; REQUIRED (here or via the
+        #: spark.openmldb.serving.stagingDir conf) on a real cluster.
+        self.staging_dir = staging_dir
         self.current_db = "default"
         #: db -> {table name -> DataFrame}; the reference's multi-database
         #: catalog (USE / db-qualified names, test_multiple_databases.yaml)

@@ -229,3 +229,50 @@ def test_parameterized_body_never_compiles_and_errors_cleanly(spark):
         json.dumps({"input": [[9, "aa", 40, 1590738995000]]}),
     )
     assert r["code"] != 0 and "parameterized" in r["msg"]
+
+
+def test_custom_staging_dir_round_trips_a_serve(spark, tmp_path):
+    """Engine(staging_dir=...) relocates the staged Arrow file (the
+    cluster contract: a shared-filesystem path every executor can read)
+    and serving still answers correctly through it."""
+    root = str(tmp_path / "shared_staging")
+    eng = Engine(spark, staging_dir=root)
+    eng.execute(DDL)
+    vals = ", ".join("(%d, %r, %d, %d)" % r for r in ROWS)
+    eng.execute(f"INSERT INTO t0 VALUES {vals}")
+    dep = eng.execute(f"DEPLOY dc9 {SQL}")
+    got = dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    assert got[0]["s"] == 30 + 31 + 40
+    staged_dir = dep._compiled._dir
+    assert staged_dir.startswith(root), staged_dir
+    eng.execute("DROP DEPLOYMENT dc9")
+    assert not os.path.exists(staged_dir)
+    assert os.path.isdir(root), "DROP must release the serve dir, not the root"
+
+
+def test_staging_conf_key_is_honored(spark, tmp_path):
+    from openmldb_spark.engine.compiled import STAGING_DIR_CONF
+
+    root = str(tmp_path / "conf_staging")
+    spark.conf.set(STAGING_DIR_CONF, root)
+    try:
+        eng = _engine(spark)
+        dep = eng.execute(f"DEPLOY dc10 {SQL}")
+        dep.run_request_rows(_conv([(9, "bb", 1, 1590738995000)]))
+        assert dep._compiled._dir.startswith(root)
+    finally:
+        spark.conf.unset(STAGING_DIR_CONF)
+
+
+def test_staging_dir_required_on_nonlocal_master():
+    """The 100x-deployment guard: a non-local master with no explicit
+    staging dir must refuse loudly, not serve empty results."""
+    from openmldb_spark.engine.compiled import resolve_staging_dir
+
+    assert resolve_staging_dir("local[32]", None) is None
+    assert resolve_staging_dir("local", None) is None
+    assert resolve_staging_dir("yarn", "/mnt/nfs/stage") == "/mnt/nfs/stage"
+    with pytest.raises(RuntimeError, match="stagingDir"):
+        resolve_staging_dir("yarn", None)
+    with pytest.raises(RuntimeError, match="shared-filesystem"):
+        resolve_staging_dir("spark://host:7077", None)
