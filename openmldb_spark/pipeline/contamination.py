@@ -76,6 +76,15 @@ def ngram_contamination(
     )
 
 
+#: default ceiling on the benchmark's distinct-shingle count for the
+#: STREAMING formulation: the set is serialized into the plan as a literal
+#: array and ``array_intersect`` re-derives its probe hash set on every
+#: row, so cost is O(|benchmark|) per document and the plan itself grows
+#: with the eval corpus. 100k int64 hashes ~ 800 KB of plan — the point
+#: where the batch op's broadcast join is strictly better.
+MAX_STREAM_BENCHMARK_SHINGLES = 100_000
+
+
 def stream_decontaminate(
     stream: DataFrame,
     benchmark: DataFrame,
@@ -84,6 +93,7 @@ def stream_decontaminate(
     text_col: str = "text",
     bench_text_col: str = "text",
     flag_threshold: float = 0.5,
+    max_benchmark_shingles: int = MAX_STREAM_BENCHMARK_SHINGLES,
 ) -> DataFrame:
     """Per-document contamination stats for a STREAMING document source —
     same output columns as :func:`ngram_contamination`, appended to the
@@ -103,13 +113,30 @@ def stream_decontaminate(
     :func:`openmldb_spark.pipeline.dedup.jaccard_dedup`); a test pins
     stream-vs-batch equality on the same rows. Also valid on a batch
     DataFrame (the projection is mode-agnostic).
+
+    Boundedness is ENFORCED, not assumed: the literal costs
+    O(|benchmark|) per document (``array_intersect`` re-derives its probe
+    set each row) and inflates every serialized task, so a benchmark with
+    more than ``max_benchmark_shingles`` distinct shingles raises with a
+    pointer at :func:`ngram_contamination` — the broadcast-join batch op
+    that scales to arbitrarily large suites. Raise the cap explicitly
+    only when the per-row CPU and plan size are an accepted trade.
     """
-    bench_hashes = sorted(
+    bench_hashes = [
         r[0]
         for r in benchmark_shingles(benchmark, bench_text_col, n=n)
         .select(F.xxhash64("__bm_s"))
         .collect()
-    )
+    ]
+    if len(bench_hashes) > max_benchmark_shingles:
+        raise ValueError(
+            f"benchmark has {len(bench_hashes):,} distinct shingles, over the "
+            f"stateless-streaming cap of {max_benchmark_shingles:,}: the set is "
+            "embedded in the plan and probed O(|benchmark|) per document. Use "
+            "ngram_contamination (broadcast join, one shuffle) for benchmark "
+            "suites this large, or pass max_benchmark_shingles= explicitly."
+        )
+    bench_hashes.sort()  # deterministic plan/literal across collect orders
     bench_arr: Column = (
         F.lit(bench_hashes).cast("array<bigint>")
         if bench_hashes
