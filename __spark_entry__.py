@@ -1971,10 +1971,15 @@ def oracle_sql() -> dict[str, str]:
                                  x -> x <> '') AS toks
               FROM documents
             ), sh AS (
+              -- mirror shingles()'s short-doc fallback: under n tokens,
+              -- the whole token list rejoined is the one shingle (ADVICE
+              -- r10: without this, <5-token docs vanish from the oracle)
               SELECT doc_id,
-                     list_distinct(list_transform(range(1, len(toks) - 3),
-                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-                            || ' ' || toks[i+3] || ' ' || toks[i+4])) AS s
+                     CASE WHEN len(toks) < 5
+                          THEN [array_to_string(toks, ' ')]
+                          ELSE list_distinct(list_transform(range(1, len(toks) - 3),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                                 || ' ' || toks[i+3] || ' ' || toks[i+4])) END AS s
               FROM t
             ), bm AS (
               SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 20 = 0
