@@ -20,9 +20,14 @@ Shape, and why it scales:
   (estimated Jaccard = fraction of equal minhash slots, the standard
   unbiased estimator) and emits one row per match >= ``threshold``.
 
-Output contract: ``(doc_id, match_id, est_jaccard)`` in APPEND mode,
-``match_id`` always a doc seen in an EARLIER row (arrival order within
-a micro-batch, cross-batch via state). A pair that collides in several
+Output contract: ``(doc_id, match_id, est_jaccard)`` in APPEND mode.
+``match_id`` is a doc from an EARLIER micro-batch (via state) — that
+direction is guaranteed CROSS-batch only; for two matching docs arriving
+in the SAME micro-batch, row order within the pandas group is not
+deterministic, so either may play ``doc_id``. A duplicate delivery of an
+id already in the bucket refreshes its stored signature rather than
+appending a copy (state stays one entry per distinct id). A pair that
+collides in several
 bands is emitted once PER BAND with the same est_jaccard — dedupe
 downstream with ``dropDuplicates(["doc_id", "match_id"])`` per
 micro-batch (cross-bucket dedup inside the operator would need a second
@@ -133,14 +138,24 @@ def stream_minhash_dedup(
                             {
                                 "doc_id": rid,
                                 "match_id": oid,
-                                "est_jaccard": round(est, 4),
+                                # HALF_UP like Spark's F.round, NOT Python's
+                                # banker's round — the batch minhash_lsh_pairs
+                                # estimate must compare equal (mode pin)
+                                "est_jaccard": int(est * 10000 + 0.5) / 10000,
                             }
                         )
-                ids.append(str(rid))
-                sigs.append(rsig)
-                if len(ids) > max_per_bucket:
-                    ids = ids[-max_per_bucket:]
-                    sigs = sigs[-max_per_bucket:]
+                if rid in ids:
+                    # re-delivered / duplicate doc_id: refresh the stored
+                    # signature in place instead of appending a copy —
+                    # otherwise one hot id inflates state and, under the
+                    # FIFO cap, evicts DISTINCT earlier docs (ADVICE r10)
+                    sigs[ids.index(rid)] = rsig
+                else:
+                    ids.append(str(rid))
+                    sigs.append(rsig)
+                    if len(ids) > max_per_bucket:
+                        ids = ids[-max_per_bucket:]
+                        sigs = sigs[-max_per_bucket:]
         state.update(
             (
                 _IDS_SEP.join(ids),

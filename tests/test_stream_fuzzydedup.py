@@ -98,3 +98,59 @@ def test_bands_must_divide(spark, tmp_path):
     stream = spark.readStream.schema("doc_id int, text string").parquet(str(src))
     with pytest.raises(ValueError, match="divide"):
         stream_minhash_dedup(stream, num_hashes=64, bands=7)
+
+
+def test_redelivered_doc_id_does_not_inflate_state(spark, tmp_path):
+    """ADVICE r10: a re-delivered doc_id must refresh its bucket entry, not
+    append a copy — with max_per_bucket=2, three deliveries of doc 1 would
+    otherwise evict doc 2 and doc 3's copy could only match doc 1."""
+    got = _run(
+        spark,
+        tmp_path,
+        [[(1, BASE)], [(2, BASE)], [(1, BASE)], [(1, BASE)], [(3, BASE)]],
+        max_per_bucket=2,
+    )
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], set()).add(r["match_id"])
+    # doc 2 survived the cap (state holds one entry per DISTINCT id)
+    assert by_doc["3"] == {"1", "2"}, by_doc
+    # a re-delivery never matches itself
+    assert "1" not in by_doc.get("1", set()), by_doc
+
+
+def test_stream_pairs_equal_batch_lsh_pairs(spark, tmp_path):
+    """Mode-consistency pin (SURVEY §0 north star): the same corpus through
+    the STREAM op (one doc per micro-batch) and the BATCH LSH pipeline with
+    identical num_hashes/shingle_n/bands/threshold yields the SAME pair set
+    with the SAME estimates (the stream signature is the projection-form
+    minhash_signatures, the batch banding groups on equal band slices)."""
+    from pyspark.sql import functions as F
+
+    from openmldb_spark.pipeline.dedup import minhash_lsh_pairs, minhash_signatures
+
+    docs = [
+        (1, BASE),
+        (2, NEAR),
+        (3, OTHER),
+        (4, BASE),
+        (5, OTHER.replace("three", "tres").replace("nine", "nueve")),
+    ]
+    kw = dict(num_hashes=32, bands=8, threshold=0.4)
+    got = _run(spark, tmp_path, [[d] for d in docs], **kw)
+    stream_pairs = {
+        (int(r["match_id"]), int(r["doc_id"])): r["est_jaccard"] for r in got
+    }
+
+    bdf = spark.createDataFrame(docs, "doc_id int, text string")
+    sigs = minhash_signatures(
+        bdf, "text", num_hashes=32, shingle_n=3, out_col="minhash"
+    )
+    batch = minhash_lsh_pairs(
+        sigs, "doc_id", bands=8, min_jaccard_est=0.4
+    ).select("a", "b", F.round("jaccard_est", 4).alias("est"))
+    batch_pairs = {(r["a"], r["b"]): r["est"] for r in batch.collect()}
+
+    # docs arrive in id order, so stream direction (earlier, later) == (a, b)
+    assert stream_pairs == batch_pairs, (stream_pairs, batch_pairs)
+    assert stream_pairs, "corpus must produce at least one near-dup pair"
