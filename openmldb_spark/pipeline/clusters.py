@@ -86,32 +86,45 @@ def pick_representatives(
     id_col: str,
     *,
     score_col: str | None = None,
+    broadcast_clusters: bool = True,
 ) -> DataFrame:
     """One representative per duplicate cluster, UNION all never-paired
     docs: the quality-aware version of 'keep the min id'. With
-    ``score_col``, the highest-scoring member wins (ties break to the
+    ``score_col``, the highest-scoring member wins (null scores LOSE to
+    any scored member — min_by would otherwise rank a null struct field
+    smallest and silently crown a scoreless doc; ties break to the
     smaller id, so the result is deterministic); without it, the min id —
     bit-identical to what the pair-based removal keeps.
 
-    One broadcast-able join (clusters is pairs-sized, not corpus-sized)
-    plus one aggregate on cluster_id.
+    ``clusters`` is pairs-sized, not corpus-sized, so the join is
+    broadcast by default (``broadcast_clusters``) — at 100 TB the docs
+    side never shuffles for it (plan pinned: no Exchange below the join
+    on the docs side). Internal columns are ``__dc_``-prefixed so a docs
+    table that already carries a ``cluster_id`` column round-trips
+    untouched.
     """
-    joined = docs.join(
-        clusters.withColumnRenamed("id", id_col), id_col, "left"
+    cl = clusters.select(
+        F.col("id").alias(id_col), F.col("cluster_id").alias("__dc_cid")
     )
-    solo = joined.where(F.col("cluster_id").isNull()).drop("cluster_id")
-    grouped = joined.where(F.col("cluster_id").isNotNull())
+    if broadcast_clusters:
+        cl = F.broadcast(cl)
+    joined = docs.join(cl, id_col, "left")
+    solo = joined.where(F.col("__dc_cid").isNull()).drop("__dc_cid")
+    grouped = joined.where(F.col("__dc_cid").isNotNull())
     if score_col is None:
         order = F.struct(F.col(id_col).alias("k1"))
-        pick = F.min_by(F.struct(*[F.col(c) for c in docs.columns]), order)
     else:
-        # max score, then min id: min_by over (-score, id)
+        # max score, then min id: min_by over (-score, id); null score ->
+        # -inf so k0 = +inf and the member sorts LAST instead of winning
         order = F.struct(
-            (-F.col(score_col)).alias("k0"), F.col(id_col).alias("k1")
+            (-F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            )).alias("k0"),
+            F.col(id_col).alias("k1"),
         )
-        pick = F.min_by(F.struct(*[F.col(c) for c in docs.columns]), order)
+    pick = F.min_by(F.struct(*[F.col(c) for c in docs.columns]), order)
     reps = (
-        grouped.groupBy("cluster_id")
+        grouped.groupBy("__dc_cid")
         .agg(pick.alias("__rep"))
         .select("__rep.*")
     )

@@ -74,3 +74,54 @@ def test_nonconvergence_raises(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 8)], "a long, b long")
     with pytest.raises(RuntimeError, match="convergence"):
         dedup_clusters(pairs, max_iters=1)
+
+
+def test_null_score_member_never_wins(spark):
+    """ADVICE r10: a null score made the min_by struct's first field null,
+    which compares smallest -- a scoreless doc silently won the cluster.
+    Null scores must LOSE to any scored member (and an all-null cluster
+    still yields a deterministic min-id representative)."""
+    docs = spark.createDataFrame(
+        [(1, "a", None), (2, "b", 0.1), (3, "c", None), (7, "d", None), (8, "e", None)],
+        "doc_id long, text string, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "a long, b long")
+    clusters = dedup_clusters(pairs)
+    got = {r["doc_id"] for r in
+           pick_representatives(docs, clusters, "doc_id", score_col="quality").collect()}
+    assert got == {2, 7}, got  # scored doc 2 beats nulls; all-null -> min id 7
+
+
+def test_docs_with_existing_cluster_id_column_round_trip(spark):
+    """Internal join columns are __dc_-prefixed: a docs table that already
+    carries cluster_id must not collide and must keep its own values."""
+    docs = spark.createDataFrame(
+        [(1, 99, 0.2), (2, 98, 0.9), (9, 97, 0.1)],
+        "doc_id long, cluster_id long, quality double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    clusters = dedup_clusters(pairs)
+    got = pick_representatives(docs, clusters, "doc_id", score_col="quality")
+    rows = {r["doc_id"]: r["cluster_id"] for r in got.collect()}
+    assert rows == {2: 98, 9: 97}, rows
+
+
+def test_representatives_join_broadcasts_clusters(spark):
+    """Plan pin (VERDICT r10 #7): the clusters side is pairs-sized --
+    the join must be a BroadcastHashJoin with NO Exchange below it on the
+    docs side, so a 100 TB docs table never shuffles for the join."""
+    docs = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (9, 0.1)], "doc_id long, quality double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "a long, b long")
+    clusters = dedup_clusters(pairs)
+    out = pick_representatives(docs, clusters, "doc_id", score_col="quality")
+    out.collect()  # finalize the adaptive plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the ONLY shuffle exchange allowed is the post-join representative
+    # aggregate (keyed on the internal __dc_cid) -- never the docs side
+    import re
+
+    for ex in re.findall(r"Exchange hashpartitioning\((\w+)", plan):
+        assert ex.startswith("__dc_cid"), plan
