@@ -16,9 +16,10 @@ from openmldb_spark.sql import parser as P
 from openmldb_spark.sql.lowering import Lowerer
 
 from openmldb_spark.engine.compiled import CompiledRequestPlan
+from openmldb_spark.engine.preagg_serving import PreaggServing
 
 
-class SqlDeployment:
+class SqlDeployment(PreaggServing):
     """A deployed SELECT: named, schema-contracted, two execution modes
     (see module docstring).
 
@@ -595,272 +596,6 @@ class SqlDeployment:
             (common_idx if ok else noncommon_idx).append(idx)
 
         return common_idx, noncommon_idx
-
-    _LW_AGGS = ("sum", "count", "avg", "min", "max")
-    _LW_WHERE_AGGS = tuple(f"{a}_where" for a in _LW_AGGS)
-
-    @staticmethod
-    def _lw_where_cond(cond_tokens) -> tuple[str, str, str]:
-        """Long-window ``*_where`` conditions are restricted to
-        ``<column> <op> <constant>`` (the reference's filter-keyed pre-agg,
-        ``aggregator.cc``): returns (filter column, op, literal)."""
-        toks = [t for t in cond_tokens]
-        _OPS = ("=", "==", "!=", "<", "<=", ">", ">=")
-        if (
-            len(toks) == 4
-            and toks[2].text == "-"
-            and toks[3].kind == "num"
-        ):
-            # fold unary minus: <col> <op> - <num>
-            toks = toks[:2] + [P.Tok("num", "-" + toks[3].text)]
-        if (
-            len(toks) == 3
-            and toks[0].kind == "name"
-            and toks[1].text in _OPS
-            and toks[2].kind in ("num", "str")
-        ):
-            op = "=" if toks[1].text == "==" else toks[1].text
-            return toks[0].text, op, toks[2].text
-        raise ValueError(
-            "long-window *_where condition must be <column> <op> <constant>"
-        )
-
-    def _lw_items(self):
-        """(item_idx, window_name, agg, value_sql, cond_tokens|None) for
-        each PRE-AGG-SERVABLE long-window select item. An opted-in window
-        that this engine cannot serve from time buckets — ROWS frame or a
-        bare-number (row-count) bucket, WINDOW UNION/MAXSIZE/EXCLUDE attrs,
-        a non-sum/count/avg/min/max[_where] function — is skipped, which
-        makes :meth:`run_request_preagg` fall back to raw request serving
-        (results stay exact; only the pre-agg speedup is lost). The
-        reference additionally materializes ROW-COUNT buckets
-        (``aggregator.cc`` kRowsNum) — a documented non-goal here
-        (DIVERGENCES #25). ``*_where`` aggregates carry their condition
-        tokens (filter-keyed pre-agg)."""
-        from openmldb_spark.sql.rewrite import rewrite_expr
-
-        body = self.query.body
-        out = []
-        for idx, it in enumerate(body.items):
-            if it.over is None or it.over.window not in self.long_windows:
-                continue
-            w = body.windows[it.over.window]
-            is_where = it.over.func in self._LW_WHERE_AGGS
-            ok_fn = (
-                it.over.func in self._LW_AGGS and len(it.over.args) == 1
-            ) or (is_where and len(it.over.args) == 2)
-            if (
-                w.frame_kind != "rows_range"
-                or self.long_windows[it.over.window].isdigit()
-                or w.union_tables
-                or w.maxsize is not None
-                or w.exclude_current_row
-                or w.exclude_current_time
-                or not ok_fn
-            ):
-                continue
-            cond = None
-            if is_where:
-                cond = it.over.args[1]
-                try:
-                    self._lw_where_cond(cond)  # restricted-shape check
-                except ValueError:
-                    continue
-            out.append(
-                (idx, it.over.window, it.over.func,
-                 rewrite_expr(it.over.args[0]), cond)
-            )
-        return out
-
-    def _release_preagg(self) -> None:
-        """Unpersist and forget every cached pre-agg DataFrame. Called on
-        staleness (epoch/TTL/history change) AND from every drop path —
-        DROP DEPLOYMENT / DROP PROCEDURE / DROP TABLE of the request table
-        / DROP DATABASE — because a ``del`` alone leaves the ``.persist()``ed
-        buckets in the Spark cache until the ContextCleaner happens to
-        collect the orphaned JVM refs: non-deterministic memory pressure on
-        a serving cluster (r9 verdict #3)."""
-        for cached in self._preagg.values():
-            cached.unpersist()
-        self._preagg.clear()
-        self._preagg_src = None
-        self._preagg_hist = None
-
-    def prepare_preagg(self, history: Optional[DataFrame] = None) -> None:
-        """Materialize per-(key, bucket) partial aggregates for every
-        long-window (agg-input) pair. At scale: persist these to storage
-        and refresh incrementally; here they are cached DataFrames.
-
-        The cache is epoch-stamped against the request table: any DML on it
-        (INSERT/DELETE/LOAD/TRUNCATE) bumps ``Engine.table_epoch`` and the
-        next serve rebuilds from live rows — the batch counterpart of the
-        reference's maintain-on-every-Put/Delete aggregator
-        (``src/storage/aggregator.cc``; integration_test/long_window
-        "delete pk" cases pin that a DELETE empties the pre-agg)."""
-        from openmldb_spark.operators.window import parse_interval_ms
-        from openmldb_spark.plans.longwindow import preaggregate
-        from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
-
-        if history is not None:
-            stale = history is not self._preagg_hist
-            src = None
-        else:
-            src = (
-                "tbl",
-                # the resolved (db, bare) + execute_mode join the key (r9
-                # ADVICE): a USE to another db holding a same-named table,
-                # or an online<->offline switch (which changes whether the
-                # TTL filter applies in _serving_history), must not serve
-                # buckets built from different rows than the live scan
-                self.engine._loc(self.request_table),
-                self.engine.variables.get("execute_mode", "online"),
-                self.engine.table_epoch(self.request_table),
-                # the TTL pin also shapes serving history: a SET
-                # @@ttl_now_ms between serves must rebuild the buckets
-                self.engine.variables.get("ttl_now_ms"),
-            )
-            stale = self._preagg_hist is not None or src != self._preagg_src
-        if stale:
-            self._release_preagg()
-            self._preagg_src = src
-            self._preagg_hist = history
-        hist = self._serving_history(history)
-        body = self.query.body
-        # partition keys may be qualified (`PARTITION BY t0.c1`): resolve
-        # them against the main-table alias and store under safe flat names
-        bind = body.from_.alias or self.request_table
-        hist = hist.alias(bind)
-        for _, wname, _, val_sql, cond in self._lw_items():
-            fcol = self._lw_where_cond(cond)[0] if cond is not None else None
-            key = (wname, val_sql, fcol)
-            if key in self._preagg:
-                continue
-            w = body.windows[wname]
-            keys = [P.render(p) for p in w.partition_by]
-            knames = [f"__lwk{i}" for i in range(len(keys))]
-            ord_sql = rewrite_expr(w.order_by)
-            bucket_ms = parse_interval_ms(self.long_windows[wname])
-            sel = [
-                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
-                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
-                F.expr(val_sql).alias("__lw_v"),
-            ]
-            if fcol is not None:
-                sel.append(F.expr(fcol).alias("__lw_f"))
-            prepared = hist.select(*sel)
-            pre = preaggregate(
-                prepared, knames, "__lw_ts", "__lw_v", bucket_ms,
-                filter_col="__lw_f" if fcol is not None else None,
-            )
-            self._preagg[key] = pre.persist()
-
-    def run_request_preagg(self, requests: DataFrame, history: Optional[DataFrame] = None) -> DataFrame:
-        """Request mode served from pre-agg buckets + edge scans. Every
-        window item must be long-window eligible (the mixed case falls back
-        to :meth:`run_request`)."""
-        from openmldb_spark.operators.window import parse_interval_ms
-        from openmldb_spark.plans.longwindow import request_long_window
-        from openmldb_spark.sql.lowering import _derived_name
-        from openmldb_spark.sql.rewrite import _t_bigint, rewrite_expr
-
-        body = self.query.body
-        lw = {idx: rest for idx, *rest in self._lw_items()}
-        n_window_items = sum(1 for it in body.items if it.over is not None)
-        if len(lw) != n_window_items or body.joins or body.where is not None:
-            return self.run_request(requests, history)
-        self.prepare_preagg(history)
-        hist = self._serving_history(history)
-
-        bind = body.from_.alias or self.request_table
-        hist = hist.alias(bind)
-        work = requests.withColumn(
-            "__lw_rid", F.monotonically_increasing_id()
-        ).alias(bind)
-        out_cols: list = []
-        for idx, it in enumerate(body.items):
-            pretty = it.alias or _derived_name(it.expr)
-            if idx not in lw:
-                out_cols.append((pretty, F.expr(rewrite_expr(it.expr))))
-                continue
-            wname, agg, val_sql, cond = lw[idx]
-            w = body.windows[wname]
-            keys = [P.render(p) for p in w.partition_by]
-            knames = [f"__lwk{i}" for i in range(len(keys))]
-            ord_sql = rewrite_expr(w.order_by)
-            bucket_ms = parse_interval_ms(self.long_windows[wname])
-            range_ms = parse_interval_ms(w.lower[1]) if w.lower[0] == "preceding" else None
-            if range_ms is None:
-                raise ValueError("long windows need a bounded ROWS_RANGE frame")
-            # *_where serving (filter-keyed pre-agg): full buckets filter on
-            # the stored filter value, the raw edge scan filters on the
-            # actual condition, and the request row's own value folds in
-            # only when it satisfies the condition
-            fcol = cond_sql = None
-            if cond is not None:
-                fcol, fop, flit = self._lw_where_cond(cond)
-                cond_sql = rewrite_expr(cond)
-            prepared_hist = hist.select(
-                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
-                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
-                F.expr(val_sql).alias("__lw_v"),
-                *([F.expr(cond_sql).alias("__lw_ok")] if cond_sql else []),
-            )
-            pre = self._preagg[(wname, val_sql, fcol)]
-            if cond_sql:
-                prepared_hist = prepared_hist.filter(F.col("__lw_ok")).drop("__lw_ok")
-                pre = pre.filter(F.expr(f"__fv {fop} {flit}"))
-            req = work.select(
-                "__lw_rid",
-                *[F.expr(k).alias(kn) for k, kn in zip(keys, knames)],
-                F.expr(_t_bigint(ord_sql)).alias("__lw_ts"),
-            )
-            scored = request_long_window(
-                req,
-                prepared_hist,
-                pre,
-                knames,
-                "__lw_ts",
-                "__lw_v",
-                range_ms=range_ms,
-                bucket_ms=bucket_ms,
-                agg="raw",
-                request_id="__lw_rid",
-            ).select(
-                "__lw_rid",
-                F.col("agg_sum").alias(f"__lw_s{idx}"),
-                F.col("agg_cnt").alias(f"__lw_c{idx}"),
-                F.col("agg_min").alias(f"__lw_mn{idx}"),
-                F.col("agg_max").alias(f"__lw_mx{idx}"),
-            )
-            work = work.join(scored, "__lw_rid")
-            # request-mode frame = history rows in range + the request row
-            # itself (RequestUnion merge) — fold the request value in
-            v = F.expr(val_sql)
-            if cond_sql:
-                v = F.when(F.expr(cond_sql), v)
-            s_h, c_h = F.col(f"__lw_s{idx}"), F.col(f"__lw_c{idx}")
-            mn_h, mx_h = F.col(f"__lw_mn{idx}"), F.col(f"__lw_mx{idx}")
-            # typed zeros (v*0 / s_h*0) keep the value column's native type
-            # through the combine, so sum over an integer column returns the
-            # same dtype as run_batch (double literals silently widened)
-            s = F.when(
-                v.isNotNull() | s_h.isNotNull(),
-                F.coalesce(s_h, v * 0) + F.coalesce(v, s_h * 0),
-            )
-            c = c_h + F.when(v.isNotNull(), F.lit(1)).otherwise(F.lit(0))
-            agg = agg.removesuffix("_where")
-            if agg == "sum":
-                col = s
-            elif agg == "count":
-                col = c
-            elif agg == "avg":
-                col = F.when(c > 0, s / c)
-            elif agg == "min":
-                col = F.least(mn_h, v)
-            else:
-                col = F.greatest(mx_h, v)
-            out_cols.append((pretty, col))
-        return work.select(*[c.alias(n) for n, c in out_cols])
 
     def release_serving(self) -> None:
         """Free every cached serving resource (persisted pre-agg buckets +
