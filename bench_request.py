@@ -11,22 +11,29 @@ through the serving path and publishes, per arm:
 - ``p50/p95/p99``: SINGLE-ROW requests through
   ``SqlDeployment.run_request`` with a prebuilt one-row DataFrame — the
   r9-comparable arm. Since r10 this serves from the COMPILED request
-  plan (``engine/serving.py``): the SQL is parsed + lowered + analyzed
-  once per deployment, and each call swaps the staged Arrow rows — the
-  analog of the reference compiling once per DEPLOY
-  (``hybridse/src/vm/engine.cc:453-496``). What remains per call: the
-  ``DataFrame.toArrow`` staging collect (~0.2s — the request is an RDD-
-  backed DataFrame, so reading its one row is itself a Spark job),
-  fresh physical planning over the cached analyzed plan (~0.15s — fresh
-  shuffles are REQUIRED for fresh staged data; re-collecting one Dataset
-  reuses its shuffle map outputs and would serve the previous rows), and
-  the serve job itself.
+  plan: the SQL is parsed + lowered + analyzed once per deployment, and
+  each call swaps the staged rows — the analog of the reference
+  compiling once per DEPLOY (``hybridse/src/vm/engine.cc:453-496``).
+  What remains per call: the ``DataFrame.toArrow`` staging collect
+  (~0.2s — the request is an RDD-backed DataFrame, so reading its one
+  row is itself a Spark job), fresh physical planning over the cached
+  analyzed plan (fresh shuffles are REQUIRED for fresh staged data;
+  re-collecting one Dataset reuses its shuffle map outputs and would
+  serve the previous rows), and the serve job itself.
 - ``row_p50/row_p95/row_p99``: the same requests as DRIVER-SIDE ROWS via
   ``run_request_rows`` — the faithful CallProcedure shape
   (``src/sdk/sql_cluster_router.h:116-190`` binds one SQLRequestRow per
-  call). Staging is a driver-local Arrow conversion (no job), so this
-  arm isolates plan+exec: the number a serving frontend (the RESTful
-  server uses this path) actually pays.
+  call). Staging is a driver-local encode (no job), so this arm isolates
+  plan+exec: the number a serving frontend (the RESTful server uses this
+  path) actually pays. r11 restructured this arm's hot path: simple-typed
+  schemas stage into a fixed-size text file read by a pure-JVM scan —
+  zero Python stages per serve (each 1-row ``mapInArrow`` execution cost
+  ~200 ms on this host, the dominant r10 term), history-only LAST JOIN
+  dedupe sides persist at compile time (``engine/servingmat.py``, the
+  tablet-resident-state analog), and the serve job runs under
+  serving-tuned confs (AQE off + 2 shuffle partitions, scoped+restored —
+  serve shuffles carry request-row-sized data, so data-sized planning
+  machinery only adds latency). Net: row_p50 681 -> ~370 ms.
 - ``batch_amortized_ms``: one BATCH-row request through ``run_request``
   divided by the batch size — the Spark-native serving shape.
 

@@ -43,6 +43,137 @@ def resolve_staging_dir(master: str, explicit: str | None) -> str | None:
     return None
 
 
+#: spark.conf key for the fixed size (bytes) of the JVM-staged request
+#: file; requests whose encoding exceeds it raise with instructions
+STAGING_BYTES_CONF = "spark.openmldb.serving.stagingBytes"
+DEFAULT_STAGING_BYTES = 262_144
+
+#: serving-tuned session confs applied around the rows-arm serve job
+#: (restored immediately after): AQE's per-stage materialization and
+#: 32-task shuffle stages are built for data-sized queries, but a serve's
+#: shuffles carry request-row-sized data (history is key-pruned), so the
+#: fixed tiny plan wins ~40% wall latency. Scoped-but-global: spark confs
+#: are session-wide, so a batch query PLANNED concurrently with a serve
+#: may transiently pick them up (perf-only, never correctness); disable
+#: via this conf on mixed batch+serving sessions.
+FAST_CONFS_CONF = "spark.openmldb.serving.fastConfs"
+SERVING_SHUFFLE_PARTITIONS_CONF = "spark.openmldb.serving.shufflePartitions"
+
+#: simple types the JVM text staging can round-trip exactly (base64 cell
+#: -> decode -> cast, all Catalyst expressions); nested/interval types
+#: fall back to the Arrow mapInArrow source
+_JVM_STAGEABLE = {
+    "boolean", "byte", "short", "integer", "long", "float", "double",
+    "string", "binary", "date", "timestamp", "timestamp_ntz",
+}
+
+
+def _jvm_stageable(schema) -> bool:
+    return all(
+        f.dataType.typeName() in _JVM_STAGEABLE
+        or f.dataType.typeName().startswith("decimal")
+        for f in schema.fields
+    )
+
+
+def _jvm_source(spark, path: str, schema) -> DataFrame:
+    """JVM-only staged request source: ``spark.read.text`` over a
+    FIXED-SIZE padded file (the scan's FileIndex caches the length at
+    compile time, so the file must never change size — the writer pads
+    with newlines), one base64-cell CSV-ish line per request row, decoded
+    and cast entirely with Catalyst expressions. This keeps the serving
+    hot path free of Python workers: a 1-row ``mapInArrow`` roundtrip
+    costs ~200 ms/execution on this host regardless of data — the
+    dominant term of the r10 serve latency."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), ",", -1)
+    cols = []
+    for i, f in enumerate(schema.fields):
+        cell = F.element_at(parts, i + 1)
+        decoded = F.unbase64(cell)
+        if f.dataType.typeName() != "binary":
+            decoded = F.decode(decoded, "UTF-8").cast(f.dataType)
+        col = F.when(cell == "~", F.lit(None).cast(f.dataType)).otherwise(decoded)
+        cols.append(col.alias(f.name))
+    # every encoded line ends with a trailing "," so no real row is ever
+    # the empty string; empty lines are exactly the padding
+    return raw.where(F.length("value") > 0).select(*cols)
+
+
+def _encode_staged_lines(table, pad_bytes: int) -> bytes:
+    """Encode an Arrow table of request rows into the fixed-size staged
+    text payload (base64 cells, "~" nulls, trailing comma, newline pad)."""
+    import base64
+    import datetime
+
+    def fmt(v) -> str:
+        if v is None:
+            return "~"
+        if isinstance(v, bool):
+            raw = "true" if v else "false"
+        elif isinstance(v, (bytes, bytearray)):
+            return base64.b64encode(bytes(v)).decode("ascii")
+        elif isinstance(v, float):
+            if v != v:
+                raw = "NaN"
+            elif v == float("inf"):
+                raw = "Infinity"
+            elif v == float("-inf"):
+                raw = "-Infinity"
+            else:
+                raw = repr(v)  # shortest exact round-trip
+        elif isinstance(v, datetime.datetime):
+            if v.tzinfo is not None:
+                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+            raw = v.isoformat(sep=" ")
+        elif isinstance(v, datetime.date):
+            raw = v.isoformat()
+        else:
+            raw = str(v)
+        return base64.b64encode(raw.encode("utf-8")).decode("ascii")
+
+    lines = [
+        ",".join(fmt(v) for v in row.values()) + ","
+        for row in table.to_pylist()
+    ]
+    data = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
+    if len(data) > pad_bytes:
+        raise ValueError(
+            f"staged request batch encodes to {len(data)} bytes, over the "
+            f"fixed staging size {pad_bytes} (the compiled plan's scan "
+            f"caches the file length). Set spark conf {STAGING_BYTES_CONF} "
+            "higher BEFORE the deployment compiles, or serve the batch "
+            "through the uncompiled DataFrame path."
+        )
+    return data + b"\n" * (pad_bytes - len(data))
+
+
+def _serving_confs(spark):
+    """Context manager applying the serving-tuned confs (see
+    ``FAST_CONFS_CONF``), saving and restoring the session values."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        if spark.conf.get(FAST_CONFS_CONF, "true") != "true":
+            yield
+            return
+        keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
+        saved = {k: spark.conf.get(k) for k in keys}
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "2"),
+        )
+        try:
+            yield
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+
+    return cm()
+
+
 def _staged_reader(path: str):
     """Task-side reader for the compiled plan's request source: yields the
     Arrow batches staged at ``path`` AT EXECUTION TIME — the plan is fixed,
@@ -72,11 +203,15 @@ class CompiledRequestPlan:
 
     Mechanics, and why each piece is needed:
 
-    - the request source is ``mapInArrow`` over a staged Arrow IPC file:
-      executors read the file when the job RUNS, so new rows flow through
-      the already-built plan without re-lowering (parse + Lowerer +
-      per-intermediate-Dataset Catalyst analysis — ~50% of the uncached
-      per-call latency, ``bench_request.py``).
+    - the request source reads a staged file when the job RUNS, so new
+      rows flow through the already-built plan without re-lowering (parse
+      + Lowerer + per-intermediate-Dataset Catalyst analysis — ~50% of
+      the uncached per-call latency, ``bench_request.py``). Two source
+      shapes: simple-typed schemas stage as a FIXED-SIZE padded text file
+      read by ``spark.read.text`` + Catalyst decode/cast projections —
+      zero Python stages per serve (a 1-row ``mapInArrow`` roundtrip
+      costs ~200 ms/execution here, the dominant r10 latency term) —
+      while nested types fall back to ``mapInArrow`` over Arrow IPC.
     - each serve returns a FRESH Dataset over the cached ANALYZED plan
       (``.where(lit(True))``): re-collecting the same Dataset would REUSE
       its shuffle map outputs (ShuffleExchangeExec caches its ShuffledRowRDD
@@ -111,22 +246,57 @@ class CompiledRequestPlan:
         if root is not None:
             os.makedirs(root, exist_ok=True)
         self._dir = tempfile.mkdtemp(prefix=f"omsk_req_{dep.name}_", dir=root)
-        self._staged = os.path.join(self._dir, "requests.arrow")
+        # JVM text staging wherever the input schema allows (every serve
+        # then runs zero Python stages); Arrow mapInArrow for nested types
+        self._jvm_mode = _jvm_stageable(dep.input_schema)
+        if self._jvm_mode:
+            self._pad = int(
+                self.spark.conf.get(
+                    STAGING_BYTES_CONF, str(DEFAULT_STAGING_BYTES)
+                )
+            )
+            self._staged = os.path.join(self._dir, "requests.txt")
+        else:
+            self._staged = os.path.join(self._dir, "requests.arrow")
         # stage an empty batch so compile-time analysis sees the schema
+        # (and, in JVM mode, the FIXED file size the scan will cache)
         self._write_staged(
             self.spark.createDataFrame([], dep.input_schema).toArrow()
         )
-        src = self.spark.range(0, 1, numPartitions=1).mapInArrow(
-            _staged_reader(self._staged), dep.input_schema
-        )
-        self.plan = dep._run_request_on(dep._query_with_params(None), src, None)
+        if self._jvm_mode:
+            src = _jvm_source(self.spark, self._staged, dep.input_schema)
+        else:
+            src = self.spark.range(0, 1, numPartitions=1).mapInArrow(
+                _staged_reader(self._staged), dep.input_schema
+            )
+        self._src = src
+        # serving-static materialization: history-only intermediates the
+        # lowering offers (LAST JOIN deduped right sides) persist for the
+        # plan's lifetime and materialize NOW, so serves read in-memory
+        # state instead of re-running their shuffle chains — the analog of
+        # the reference tablet's resident segment indexes. Invalidation is
+        # already correct: any DML bumps the serving key, which drops this
+        # plan (and these caches) before the next serve.
+        from openmldb_spark.engine import servingmat
+
+        self._materialized: list = []
+        with servingmat.collecting(self._materialized):
+            self.plan = dep._run_request_on(
+                dep._query_with_params(None), src, None
+            )
+        for df in self._materialized:
+            df.count()
 
     def _write_staged(self, table) -> None:
-        import pyarrow as pa
-
         tmp = self._staged + ".tmp"
-        with pa.ipc.new_file(tmp, table.schema) as w:
-            w.write_table(table)
+        if self._jvm_mode:
+            with open(tmp, "wb") as f:
+                f.write(_encode_staged_lines(table, self._pad))
+        else:
+            import pyarrow as pa
+
+            with pa.ipc.new_file(tmp, table.schema) as w:
+                w.write_table(table)
         os.replace(tmp, self._staged)
 
     def serve(self, requests: DataFrame) -> DataFrame:
@@ -149,7 +319,11 @@ class CompiledRequestPlan:
                     rows, self.dep.input_schema, False
                 )
             )
-            return self.plan.where(F.lit(True)).collect()
+            with _serving_confs(self.spark):
+                return self.plan.where(F.lit(True)).collect()
 
     def release(self) -> None:
+        for df in self._materialized:
+            df.unpersist()
+        self._materialized.clear()
         shutil.rmtree(self._dir, ignore_errors=True)

@@ -602,10 +602,12 @@ class Lowerer:
             # keys come back from the groupBy output so their partitioning
             # survives to the join (struct-field extraction would hide it
             # and force a re-shuffle); non-keys ride in the payload.
+            from openmldb_spark.engine import servingmat
+
             keyset = set(equi)
             nonkey_idx = [i for i, c in enumerate(rcols) if c not in keyset]
             if not nonkey_idx:
-                dd = right.distinct().alias(ralias)
+                dd = servingmat.offer(right.distinct()).alias(ralias)
                 return left.join(dd, cond, "left")
             # positional payload fields: the dialect permits DUPLICATE
             # projected names in the right subquery (last_join_where.yaml
@@ -617,12 +619,11 @@ class Lowerer:
                 F.col(c) if c in keyset else F.col(f"__omsk_s.__f{i}").alias(c)
                 for i, c in enumerate(rcols)
             ]
-            dd = (
+            dd = servingmat.offer(
                 right.groupBy(*[F.col(f"{ralias}.{c}") for c in equi])
                 .agg(F.max_by(payload, ord_struct).alias("__omsk_s"))
                 .select(*sel)
-                .alias(ralias)
-            )
+            ).alias(ralias)
             return left.join(dd, cond, "left")
 
         # generic plan: left row-id, join, keep max-order match per row

@@ -276,3 +276,113 @@ def test_staging_dir_required_on_nonlocal_master():
         resolve_staging_dir("yarn", None)
     with pytest.raises(RuntimeError, match="shared-filesystem"):
         resolve_staging_dir("spark://host:7077", None)
+
+
+def test_jvm_staging_round_trips_every_simple_type(spark):
+    """The JVM text staging (base64 cells + Catalyst casts) must agree
+    with the uncompiled path bit-for-bit across the full simple-type
+    surface, including nulls, empty strings, separator characters inside
+    strings, non-finite doubles, binary, and sub-second timestamps."""
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE tt (id int, b bool, s16 smallint, i64 bigint,"
+        " f float, d double, s string, bin string, dt date, c7 timestamp,"
+        " INDEX(KEY=(id), TS=c7))"
+    )
+    eng.execute(
+        "INSERT INTO tt VALUES (1, true, 3, 40, 1.5, 2.5, 'x', 'y',"
+        " '2024-01-02', 1590738991000)"
+    )
+    sql = (
+        "SELECT id, b, s16, i64, f, d, s, bin, dt,"
+        " count(i64) OVER w1 as c FROM tt WINDOW w1 AS"
+        " (PARTITION BY id ORDER BY c7 ROWS BETWEEN 10 PRECEDING AND"
+        " CURRENT ROW)"
+    )
+    dep = eng.execute(f"DEPLOY tjvm {sql}")
+    assert dep._compiled is None
+    import datetime
+
+    ts = datetime.datetime(2020, 5, 29, 8, 1, 2, 345678)
+    rows = [
+        (2, False, -7, 9_007_199_254_740_993, float("nan"), float("inf"),
+         "comma, \n tilde~ ünïcode", "", datetime.date(1999, 12, 31), ts),
+        (3, None, None, None, None, float("-inf"), None, "~", None, ts),
+        (4, True, 0, 0, -0.0, 1.7976931348623157e308, "~", "a,b", None, ts),
+    ]
+    got = dep.run_request_rows(rows)
+    assert dep._compiled is not None and dep._compiled._jvm_mode
+    want = dep._run_request_on(
+        dep._query_with_params(None),
+        spark.createDataFrame(rows, dep.input_schema),
+        None,
+    ).collect()
+
+    def key(r):
+        return tuple(str(v) for v in r)
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+
+
+def test_jvm_staging_rejects_oversized_batch(spark):
+    from openmldb_spark.engine.compiled import STAGING_BYTES_CONF
+
+    spark.conf.set(STAGING_BYTES_CONF, "256")
+    try:
+        eng = _engine(spark)
+        dep = eng.execute(f"DEPLOY tjvm2 {SQL}")
+        big = [(i, "x" * 50, i, 1590738995000 + i) for i in range(64)]
+        with pytest.raises(Exception, match="stagingBytes"):
+            dep.run_request_rows(_conv(big))
+        # a fitting batch on the same compiled plan still serves
+        assert len(dep.run_request_rows(_conv([(9, "aa", 1, 1590738995000)]))) == 1
+    finally:
+        spark.conf.unset(STAGING_BYTES_CONF)
+
+
+def test_serving_confs_scoped_and_restored(spark):
+    from openmldb_spark.engine.compiled import FAST_CONFS_CONF
+
+    before = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY tjvm3 {SQL}")
+    dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    after = (
+        spark.conf.get("spark.sql.adaptive.enabled"),
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+    assert before == after
+    # opt-out honored
+    spark.conf.set(FAST_CONFS_CONF, "false")
+    try:
+        assert len(dep.run_request_rows(_conv([(9, "bb", 1, 1590738995000)]))) == 1
+    finally:
+        spark.conf.unset(FAST_CONFS_CONF)
+
+
+def test_nested_request_schema_falls_back_to_arrow_staging(spark):
+    import datetime
+
+    eng = Engine(spark)
+    eng.register(
+        "ta",
+        spark.createDataFrame(
+            [(1, ["a", "b"], datetime.datetime(2020, 5, 29, 8, 0, 0))],
+            "id int, tags array<string>, c7 timestamp",
+        ),
+    )
+    dep = eng.execute(
+        "DEPLOY tarr SELECT id, tags, count(id) OVER w1 AS c FROM ta"
+        " WINDOW w1 AS (PARTITION BY id ORDER BY c7 ROWS BETWEEN"
+        " 10 PRECEDING AND CURRENT ROW)"
+    )
+    import datetime
+
+    got = dep.run_request_rows(
+        [(1, ["x", "y"], datetime.datetime(2020, 5, 29, 9, 0, 0))]
+    )
+    assert dep._compiled is not None and not dep._compiled._jvm_mode
+    assert got[0]["tags"] == ["x", "y"] and got[0]["c"] == 2
