@@ -180,6 +180,36 @@ def probes():
             > -1
         )
 
+    def clusters_reps(spark, sf):
+        # r11 arm (the pick_representatives broadcast claim-check): LSH
+        # pairs -> connected components -> quality-aware representatives.
+        # The claim: the iteration and the representative join shuffle
+        # PAIRS-sized data, never corpus-sized (the docs side of the
+        # representative join is broadcast-joined, plan-pinned in
+        # tests/test_clusters.py). Planted duplicates are bounded PAIRS by
+        # construction, so the edge set grows ~linearly with the corpus
+        # and shuffle totals must too.
+        from openmldb_spark.pipeline import dedup as D
+        from openmldb_spark.pipeline import similarity as S
+        from openmldb_spark.pipeline.clusters import (
+            dedup_clusters,
+            pick_representatives,
+        )
+
+        d = S._spread(load_table(spark, sf, "documents"), 32)
+        sigs = D.minhash_signatures(
+            d.select("doc_id", "text"), "text",
+            id_col="doc_id", num_hashes=32, shingle_n=3,
+        )
+        pairs = D.minhash_lsh_pairs(
+            sigs, "doc_id", bands=8, min_jaccard_est=0.7
+        )
+        clusters = dedup_clusters(pairs)
+        docs = d.select(
+            "doc_id", F.length("text").cast("double").alias("q")
+        )
+        return pick_representatives(docs, clusters, "doc_id", score_col="q")
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "contamination_fixed_bench": contamination_fixed_bench,
@@ -190,6 +220,7 @@ def probes():
         "embedding_lsh_banded": lsh_banded,
         "embedding_ivf_topk_join": qs["embedding_ivf_topk_join"],
         "budget_chunks_global": budget_global,
+        "clusters_reps": clusters_reps,
     }
 
 
