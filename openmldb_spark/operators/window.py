@@ -230,6 +230,7 @@ def window_agg(
     *,
     instance_not_in_window: bool = False,
     keep_flag: bool = False,
+    keep_order: bool = False,
 ) -> DataFrame:
     """Append one output column per (name -> AggSpec) computed over ``wdef``.
 
@@ -237,6 +238,11 @@ def window_agg(
     drawn only from UNION-side rows (``_FLAG == 0``) plus the current row;
     only meaningful when ``df`` carries the union flag column (see
     window_union.py).
+
+    ``keep_order``: retain the internal ``_ORD``/``_RID`` columns so a
+    SECOND window over the same (partition, order) relation reuses the
+    same tiebreak ids (the fused multi-window path, window_union.py
+    ``flagged_union``) — the caller drops them after the last window.
     """
     df, framed_ws, plain_ws = _specs_window(df, wdef)
     parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
@@ -382,7 +388,7 @@ def window_agg(
 
     # select("*") (not a by-name re-projection) so joined inputs keep their
     # alias qualifiers and duplicate column names survive untouched
-    drops = [_ORD, _RID] + ([] if keep_flag else [_FLAG])
+    drops = ([] if keep_order else [_ORD, _RID]) + ([] if keep_flag else [_FLAG])
     return df.select("*", *[c.alias(n) for n, c in native_cols.items()]).drop(*drops)
 
 

@@ -33,17 +33,19 @@ def _numeric(dtype: str) -> bool:
     )
 
 
-def window_union(
+def flagged_union(
     main: DataFrame,
     unions: Sequence[DataFrame],
-    wdef: WindowDef,
-    aggs: dict[str, AggSpec],
     *,
-    instance_not_in_window: bool = False,
     nullfill_cols: Sequence[str] = (),
 ) -> DataFrame:
-    """Compute ``aggs`` over windows spanning main ∪ union rows; emit only
-    main rows (with their original columns + aggregate columns).
+    """The union-side relation every WINDOW UNION window computes over:
+    main rows flagged 1, side rows flagged 0, schemas reconciled, plus the
+    shared same-ts tiebreak id. Factored out of :func:`window_union` so
+    SEVERAL windows over the same (partition, order, union tables) can
+    share ONE union + shuffle (the fused multi-window path — request-mode
+    plans put the history union under every window, and feature queries
+    routinely carry many frames over one partitioning: 1d/7d/30d).
 
     ``nullfill_cols``: main columns a union table may legitimately lack —
     columns appended by a JOIN in the same SELECT (the reference's window
@@ -148,14 +150,27 @@ def window_union(
     # test_batch_request id 8: current time == history time), then a
     # per-side monotonic id. A struct sorts lexicographically, so this is
     # one orderable column everywhere _RID is consumed.
-    flagged = flagged.withColumn(
+    return flagged.withColumn(
         _RID,
         F.struct(
             F.col(_FLAG).alias("u"), F.monotonically_increasing_id().alias("i")
         ),
     )
+
+
+def window_union(
+    main: DataFrame,
+    unions: Sequence[DataFrame],
+    wdef: WindowDef,
+    aggs: dict[str, AggSpec],
+    *,
+    instance_not_in_window: bool = False,
+    nullfill_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Compute ``aggs`` over windows spanning main ∪ union rows; emit only
+    main rows (with their original columns + aggregate columns)."""
     out = window_agg(
-        flagged,
+        flagged_union(main, unions, nullfill_cols=nullfill_cols),
         wdef,
         aggs,
         instance_not_in_window=instance_not_in_window,

@@ -338,20 +338,69 @@ class Lowerer:
             composite[idx] = residual
 
         skew_buckets = int(sel.config.get("skew_buckets", 0))
+        # multi-window fusion: union-windows sharing (partition, order,
+        # union tables, instance flag) — frames may differ — compute over
+        # ONE flagged union instead of nesting each window's union around
+        # the previous window's whole plan. Feature queries routinely hold
+        # many frames over one partitioning (1d/7d/30d), and request-mode
+        # lowering puts the history union under EVERY window, so without
+        # fusion the history subtree re-materializes per window. AST
+        # dataclasses compare structurally, so the key is plain equality.
+        fused_with: dict[str, list[str]] = {}
+        fused_away: set = set()
+        wnames = [n for n in per_window]
+        for i, a in enumerate(wnames):
+            if a in fused_away:
+                continue
+            wa = sel.windows[a]
+            if not (wa.union_tables or wa.instance_not_in_window):
+                continue
+            for b in wnames[i + 1:]:
+                if b in fused_away:
+                    continue
+                wb = sel.windows[b]
+                if (
+                    (wb.union_tables or wb.instance_not_in_window)
+                    and wa.partition_by == wb.partition_by
+                    and wa.order_by == wb.order_by
+                    and wa.union_tables == wb.union_tables
+                    and wa.instance_not_in_window == wb.instance_not_in_window
+                ):
+                    fused_with.setdefault(a, []).append(b)
+                    fused_away.add(b)
         for wname, aggs in per_window.items():
+            if wname in fused_away:
+                continue
             w = sel.windows[wname]
             wdef = self._window_def(df, w)
             if w.union_tables or w.instance_not_in_window:
                 # INSTANCE_NOT_IN_WINDOW without UNION tables (fz_sql.yaml
                 # id 2): frames see only the current row — the flag-column
                 # plan with an empty union list expresses exactly that.
+                from openmldb_spark.operators.window import _FLAG as _WFLAG
+                from openmldb_spark.operators.window import _ORD as _WORD
+                from openmldb_spark.operators.window import _RID as _WRID
+                from openmldb_spark.operators.window_union import flagged_union
+
                 unions = [self.table_ref(u, env) for u in w.union_tables]
-                df = window_union(
-                    df, unions, wdef, aggs,
-                    instance_not_in_window=w.instance_not_in_window,
+                flagged = flagged_union(
+                    df, unions,
                     # join-added columns may be NULL-filled: the reference's
                     # window sees the pre-join main table (id 40)
                     nullfill_cols=[c for c in df.columns if c not in from_cols],
+                )
+                for member in [wname, *fused_with.get(wname, [])]:
+                    flagged = window_agg(
+                        flagged,
+                        self._window_def(df, sel.windows[member]),
+                        per_window[member],
+                        instance_not_in_window=w.instance_not_in_window,
+                        keep_flag=True,
+                        keep_order=True,
+                    )
+                df = (
+                    flagged.filter(F.col(_WFLAG) == 1)
+                    .drop(_WFLAG, _WORD, _WRID)
                 )
             elif (
                 skew_buckets >= 2
