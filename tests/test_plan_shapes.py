@@ -243,3 +243,98 @@ def test_banded_lsh_join_stays_single_bucket_equijoin(spark):
     assert len(joins) == 1, joins
     assert "__bucket" in plan
     assert "HashAggregate" in plan or "SortAggregate" in plan
+
+
+def test_same_spec_union_windows_fuse_to_one_union(spark):
+    """r11 multi-window fusion: two WINDOW UNION windows differing only
+    in frame must share ONE flagged union + one window partitioning sort
+    chain — the union side (history, at serving time) must not
+    re-materialize per window. Pinned on both the batch two-window shape
+    and the request-mode plan."""
+    import datetime
+
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE tf (id int, k string, v bigint, ts timestamp,"
+        " INDEX(KEY=(k), TS=ts))"
+    )
+    eng.execute(
+        "INSERT INTO tf VALUES (1, 'a', 10, 1590738990000),"
+        " (2, 'a', 20, 1590738991000)"
+    )
+    dep = eng.execute(
+        "DEPLOY dp_fuse SELECT id, sum(v) OVER w1 AS s,"
+        " count(v) OVER w2 AS c FROM tf WINDOW"
+        " w1 AS (PARTITION BY k ORDER BY ts ROWS_RANGE BETWEEN 10s"
+        " PRECEDING AND CURRENT ROW),"
+        " w2 AS (PARTITION BY k ORDER BY ts ROWS BETWEEN 100 PRECEDING"
+        " AND CURRENT ROW)"
+    )
+    reqs = spark.createDataFrame(
+        [(9, "a", 40, datetime.datetime.utcfromtimestamp(1590738995))],
+        dep.input_schema,
+    )
+    out = dep.run_request(reqs)
+    got = {tuple(r) for r in out.collect()}
+    assert got == {(9, 10 + 20 + 40, 3)}, got
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    import re
+
+    # the decisive pin: the request-history prune marker subtree exists
+    # ONCE (pre-fusion request plans carried it once per window)
+    assert analyzed.count("__rq_m0#") > 0
+    distinct_markers = len(set(re.findall(r"__rq_m0#\d+", analyzed)))
+    assert distinct_markers <= 2, (
+        f"history subtree duplicated across windows: {distinct_markers} "
+        "distinct prune-marker ids (expected one per union build, got one "
+        "per window)"
+    )
+
+
+def test_fused_windows_equal_sequential_single_window_runs(spark):
+    """Fusion equality pin: each fused window's outputs must equal the
+    same window computed ALONE (which takes the unfused single-window
+    path) on the same data."""
+    from openmldb_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.execute(
+        "CREATE TABLE tg (id int, k string, v bigint, ts timestamp,"
+        " INDEX(KEY=(k), TS=ts))"
+    )
+    rows = [
+        (1, "a", 10, 1590738990000), (2, "a", 20, 1590738991000),
+        (3, "b", 7, 1590738990500), (4, "a", 5, 1590739005000),
+        (5, "b", 9, 1590738999999),
+    ]
+    eng.execute(
+        "INSERT INTO tg VALUES "
+        + ", ".join("(%d, %r, %d, %d)" % r for r in rows)
+    )
+    w1 = ("(PARTITION BY k ORDER BY ts ROWS_RANGE BETWEEN 10s PRECEDING"
+          " AND CURRENT ROW)")
+    w2 = "(PARTITION BY k ORDER BY ts ROWS BETWEEN 1 PRECEDING AND CURRENT ROW)"
+    # the fused two-window request-mode run
+    import datetime
+
+    dep = eng.execute(
+        f"DEPLOY dp_fuse_eq SELECT id, sum(v) OVER w1 AS s, min(v) OVER w2"
+        f" AS m FROM tg WINDOW w1 AS {w1}, w2 AS {w2}"
+    )
+    req = [(9, "a", 40, datetime.datetime.utcfromtimestamp(1590739006)),
+           (10, "b", 1, datetime.datetime.utcfromtimestamp(1590738999))]
+    fused = {r["id"]: (r["s"], r["m"]) for r in dep.run_request_rows(req)}
+    # each window alone (single-window path, no fusion possible)
+    d1 = eng.execute(
+        f"DEPLOY dp_solo1 SELECT id, sum(v) OVER w1 AS s FROM tg"
+        f" WINDOW w1 AS {w1}"
+    )
+    d2 = eng.execute(
+        f"DEPLOY dp_solo2 SELECT id, min(v) OVER w2 AS m FROM tg"
+        f" WINDOW w2 AS {w2}"
+    )
+    solo_s = {r["id"]: r["s"] for r in d1.run_request_rows(req)}
+    solo_m = {r["id"]: r["m"] for r in d2.run_request_rows(req)}
+    assert fused == {i: (solo_s[i], solo_m[i]) for i in solo_s}, fused
