@@ -98,3 +98,25 @@ def test_index_union_grows_incrementally(spark):
         ).collect()
     }
     assert got == {(21, 13)}, got
+
+
+def test_incremental_exact_dups(spark):
+    from openmldb_spark.pipeline.incremental import (
+        exact_index,
+        incremental_exact_dups,
+    )
+
+    old = spark.createDataFrame(OLD, "doc_id int, text string")
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    idx = exact_index(old, "doc_id", "text")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_exact_dups(new, idx, "doc_id", "text").collect()
+    }
+    assert got == {(11, 1)}, got  # only the byte-identical copy
+    # dropping flagged rows keeps the rest of the batch
+    dups = incremental_exact_dups(new, idx, "doc_id", "text").select(
+        F.col("new_id").alias("doc_id")
+    )
+    kept = new.join(dups, "doc_id", "left_anti")
+    assert {r["doc_id"] for r in kept.collect()} == {12, 13}

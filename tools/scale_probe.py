@@ -210,6 +210,28 @@ def probes():
         )
         return pick_representatives(docs, clusters, "doc_id", score_col="q")
 
+    def incremental_dedup(spark, sf):
+        # r11 arm (pipeline/incremental.py claim-check): a FIXED 500-doc
+        # ingestion batch against a corpus index that grows 10x. The
+        # claim: per-batch cost is O(batch x bands) plus the bucket join —
+        # the batch side's shuffle is CONSTANT as the corpus grows; only
+        # the index scan/join side grows linearly.
+        from openmldb_spark.pipeline import similarity as S
+        from openmldb_spark.pipeline.incremental import (
+            incremental_near_dups,
+            minhash_index,
+        )
+
+        d = S._spread(load_table(spark, sf, "documents"), 32)
+        corpus = d.where(F.col("doc_id") >= 500)
+        batch = d.where(F.col("doc_id") < 500)  # fixed at both scales
+        idx = minhash_index(corpus, "doc_id", "text",
+                            num_hashes=32, bands=8, shingle_n=3)
+        return incremental_near_dups(
+            batch, idx, "doc_id", "text",
+            num_hashes=32, bands=8, shingle_n=3, min_jaccard_est=0.5,
+        )
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "contamination_fixed_bench": contamination_fixed_bench,
@@ -221,6 +243,7 @@ def probes():
         "embedding_ivf_topk_join": qs["embedding_ivf_topk_join"],
         "budget_chunks_global": budget_global,
         "clusters_reps": clusters_reps,
+        "incremental_dedup": incremental_dedup,
     }
 
 
