@@ -16,7 +16,6 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmldb_spark.operators.window import WindowDef, window_agg
-from openmldb_spark.operators.window_union import window_union
 from openmldb_spark.sql import parser as P
 from openmldb_spark.sql.parser import Join, Query, Select, SelectItem, SetOp, TableRef, Tok, WindowClause
 from openmldb_spark.sql.rewrite import rewrite_expr
@@ -377,7 +376,7 @@ class Lowerer:
                 # INSTANCE_NOT_IN_WINDOW without UNION tables (fz_sql.yaml
                 # id 2): frames see only the current row — the flag-column
                 # plan with an empty union list expresses exactly that.
-                from openmldb_spark.operators.window import _FLAG as _WFLAG
+                from openmldb_spark.operators.window import _FLAG as _WFLAG  # noqa: local import by house style
                 from openmldb_spark.operators.window import _ORD as _WORD
                 from openmldb_spark.operators.window import _RID as _WRID
                 from openmldb_spark.operators.window_union import flagged_union
