@@ -154,10 +154,19 @@ def _ord_long(df: DataFrame, order_by: ColumnOrName) -> Column:
     return col.cast("long")
 
 
-def _specs_window(df: DataFrame, wdef: WindowDef) -> tuple[DataFrame, WindowSpec, WindowSpec]:
-    """Attach normalized order/rid cols; build framed + unframed WindowSpecs."""
+def _specs_window(
+    df: DataFrame, wdef: WindowDef, reuse_order: bool = False
+) -> tuple[DataFrame, WindowSpec, WindowSpec]:
+    """Attach normalized order/rid cols; build framed + unframed WindowSpecs.
+
+    ``reuse_order``: keep an existing ``_ORD`` column instead of minting a
+    new (identically-valued) expression — ONLY valid when the caller
+    guarantees the previous window had the same ORDER BY (the fused
+    multi-window chain); a fresh expression id would make Catalyst unable
+    to prove the sort order unchanged and re-sort between the windows."""
     parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
-    df = df.withColumn(_ORD, _ord_long(df, wdef.order_by))
+    if not (reuse_order and _ORD in df.columns):
+        df = df.withColumn(_ORD, _ord_long(df, wdef.order_by))
     if wdef.tiebreak is not None:
         tb = F.col(wdef.tiebreak) if isinstance(wdef.tiebreak, str) else wdef.tiebreak
         df = df.withColumn(_RID, tb)
@@ -231,6 +240,7 @@ def window_agg(
     instance_not_in_window: bool = False,
     keep_flag: bool = False,
     keep_order: bool = False,
+    reuse_order: bool = False,
 ) -> DataFrame:
     """Append one output column per (name -> AggSpec) computed over ``wdef``.
 
@@ -244,7 +254,7 @@ def window_agg(
     same tiebreak ids (the fused multi-window path, window_union.py
     ``flagged_union``) — the caller drops them after the last window.
     """
-    df, framed_ws, plain_ws = _specs_window(df, wdef)
+    df, framed_ws, plain_ws = _specs_window(df, wdef, reuse_order)
     parts = [F.col(p) if isinstance(p, str) else p for p in wdef.partition_by]
 
     array_specs: dict[str, AggSpec] = {}

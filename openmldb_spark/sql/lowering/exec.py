@@ -345,6 +345,11 @@ class Lowerer:
         # lowering puts the history union under EVERY window, so without
         # fusion the history subtree re-materializes per window. AST
         # dataclasses compare structurally, so the key is plain equality.
+        # PLAIN windows fuse too (both sides unionless): chaining them
+        # with a SHARED _RID lets Catalyst reuse one exchange+sort AND
+        # makes same-ts tiebreaks consistent across the frames (separate
+        # window_agg calls each minted their own monotonic id). Skipped
+        # under skew_buckets (the skew rewrite is per-window).
         fused_with: dict[str, list[str]] = {}
         fused_away: set = set()
         wnames = [n for n in per_window]
@@ -352,14 +357,15 @@ class Lowerer:
             if a in fused_away:
                 continue
             wa = sel.windows[a]
-            if not (wa.union_tables or wa.instance_not_in_window):
+            a_union = bool(wa.union_tables or wa.instance_not_in_window)
+            if not a_union and skew_buckets >= 2:
                 continue
             for b in wnames[i + 1:]:
                 if b in fused_away:
                     continue
                 wb = sel.windows[b]
                 if (
-                    (wb.union_tables or wb.instance_not_in_window)
+                    bool(wb.union_tables or wb.instance_not_in_window) == a_union
                     and wa.partition_by == wb.partition_by
                     and wa.order_by == wb.order_by
                     and wa.union_tables == wb.union_tables
@@ -388,7 +394,14 @@ class Lowerer:
                     # window sees the pre-join main table (id 40)
                     nullfill_cols=[c for c in df.columns if c not in from_cols],
                 )
-                for member in [wname, *fused_with.get(wname, [])]:
+                # ROWS-frame members first: their (ord, rid) sort is a
+                # prefix-superset of the RANGE members' (ord)-only sort,
+                # so one sort satisfies the whole chain
+                members = sorted(
+                    [wname, *fused_with.get(wname, [])],
+                    key=lambda m: sel.windows[m].frame_kind != "rows",
+                )
+                for mi, member in enumerate(members):
                     flagged = window_agg(
                         flagged,
                         self._window_def(df, sel.windows[member]),
@@ -396,6 +409,7 @@ class Lowerer:
                         instance_not_in_window=w.instance_not_in_window,
                         keep_flag=True,
                         keep_order=True,
+                        reuse_order=mi > 0,
                     )
                 df = (
                     flagged.filter(F.col(_WFLAG) == 1)
@@ -425,7 +439,22 @@ class Lowerer:
                 )
                 df = window_agg_skewed(df, named, aggs, buckets=skew_buckets)
             else:
-                df = window_agg(df, wdef, aggs)
+                from openmldb_spark.operators.window import _ORD as _WORD
+                from openmldb_spark.operators.window import _RID as _WRID
+
+                members = sorted(
+                    [wname, *fused_with.get(wname, [])],
+                    key=lambda m: sel.windows[m].frame_kind != "rows",
+                )
+                for mi, member in enumerate(members):
+                    df = window_agg(
+                        df,
+                        self._window_def(df, sel.windows[member]),
+                        per_window[member],
+                        keep_order=True,
+                        reuse_order=mi > 0,
+                    )
+                df = df.drop(_WORD, _WRID)
 
         # final projection
         cols: list[Column] = []

@@ -338,3 +338,34 @@ def test_fused_windows_equal_sequential_single_window_runs(spark):
     solo_s = {r["id"]: r["s"] for r in d1.run_request_rows(req)}
     solo_m = {r["id"]: r["m"] for r in d2.run_request_rows(req)}
     assert fused == {i: (solo_s[i], solo_m[i]) for i in solo_s}, fused
+
+
+def test_plain_multiframe_windows_share_one_sort(spark):
+    """r11 plain-window fusion: frames differing only in bound over one
+    (PARTITION BY, ORDER BY) must share one exchange AND one sort — the
+    ROWS member runs first so its (ord, rid) sort is a prefix-superset of
+    the RANGE members' (ord)-only requirement, and reuse_order keeps the
+    _ORD attribute stable so Catalyst can prove the ordering unchanged."""
+    import re
+
+    from openmldb_spark.session import load_table
+    from openmldb_spark.sql import sql as osql
+
+    load_table(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView(
+        "events"
+    )
+    df = osql(
+        spark,
+        "SELECT event_id, sum(value) OVER w1 AS s, count(value) OVER w2 AS c"
+        " FROM events WINDOW"
+        " w1 AS (PARTITION BY user_id ORDER BY ts ROWS_RANGE BETWEEN 30m"
+        " PRECEDING AND CURRENT ROW),"
+        " w2 AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 100 PRECEDING"
+        " AND CURRENT ROW)",
+    )
+    df.count()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_sort = len(re.findall(r"\bSort \[", plan))
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    n_win = len(re.findall(r"\bWindow ", plan))
+    assert (n_sort, n_ex, n_win) == (1, 1, 2), plan
