@@ -2,22 +2,40 @@
 against an EXISTING corpus without rescanning the corpus.
 
 The production continual-ingestion shape: a 100 TB corpus is deduped
-once, its banded MinHash index is persisted (parquet — ``bands`` small
-rows per document: band, bucket, signature), and every subsequent batch
+once, its banded MinHash index is persisted, and every subsequent batch
 only (1) signs itself, (2) equi-joins its band buckets against the
 index, and (3) scores the collisions. Cost per batch is
 O(batch × bands) shuffle rows plus the bucket-collision join — the
 corpus is touched only through the index, never re-shingled.
 
+The index is TWO skinny tables, mirroring the batch pipeline's
+ids-only-shuffle rule (``dedup.py minhash_lsh_candidates``: "banded rows
+carry ONLY (id, band, bucket) — at 100 TB that is the difference
+between shuffling ids and shuffling the whole signature matrix"):
+
+- :func:`minhash_index` — one row per (document, band):
+  ``(id, band, bucket)`` plus three constant parameter columns
+  (``num_hashes, bands, shingle_n`` — parquet RLE-encodes constants to
+  ~nothing on disk; they are pruned before any join so no shuffle ever
+  carries them). ~bands skinny rows per document.
+- :func:`minhash_signature_table` — ``(id, minhash)``, ONE row per
+  document. Signatures are joined onto the candidate pair set only
+  AFTER it has been deduplicated, so hot buckets multiply 16-byte id
+  pairs, never 32-slot signature arrays.
+
 Consistency contract (pinned in ``tests/test_incremental_dedup.py``):
 the same banding and estimator as the batch pipeline
-(:func:`openmldb_spark.pipeline.dedup.minhash_lsh_pairs`), so
+(:func:`openmldb_spark.pipeline.dedup.minhash_lsh_pairs`), and the
+hot-bucket guard counts old∪new rows exactly like the batch run, so
 ``incremental_near_dups(new, index(old))`` equals the (old, new) cross
-pairs of ``minhash_lsh_pairs(old ∪ new)`` exactly — batch-rebuild and
-incremental ingestion can be mixed freely without drift. The streaming
-sibling (:mod:`openmldb_spark.streaming.fuzzydedup`) covers the
-micro-batch case with bounded state; this module is the batch-to-batch
-case with an unbounded, persistable index.
+pairs of ``minhash_lsh_pairs(old ∪ new)`` exactly — including at the
+``max_bucket`` boundary — and batch-rebuild and incremental ingestion
+can be mixed freely without drift. A probe whose MinHash parameters
+disagree with the ones stored in the index RAISES instead of silently
+returning near-empty results. The streaming sibling
+(:mod:`openmldb_spark.streaming.fuzzydedup`) covers the micro-batch
+case with bounded state; this module is the batch-to-batch case with an
+unbounded, persistable index.
 
 Reference note: the reference has no corpus-dedup surface; this is
 Spark-native pipeline tooling (SURVEY §6 pipeline additions).
@@ -30,15 +48,27 @@ from pyspark.sql import functions as F
 
 from .dedup import minhash_signatures
 
+#: constant parameter columns persisted into the band index so a probe
+#: can detect a parameter-mismatched index instead of silently missing
+_META_COLS = ("num_hashes", "bands", "shingle_n")
+
+
+def _check_banding(num_hashes: int, bands: int) -> None:
+    if num_hashes % bands:
+        raise ValueError(
+            f"incremental minhash: bands={bands} must divide "
+            f"num_hashes={num_hashes} (parity with streaming/fuzzydedup)"
+        )
+
 
 def _band_buckets(sig: DataFrame, id_col: str, sig_col: str, bands: int) -> DataFrame:
-    """(id, band, bucket) per document — the exact banding of
+    """ids-only ``(id, band, bucket)`` per document — the exact banding of
     ``minhash_lsh_candidates`` (hash of the band's signature slice), kept
-    in lockstep so incremental and batch pipelines collide identically."""
+    in lockstep so incremental and batch pipelines collide identically.
+    The signature itself never enters these rows (ids-only shuffle)."""
     s = F.col(sig_col)
     return sig.select(
         F.col(id_col).alias("__id"),
-        s.alias("__sig"),
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -61,9 +91,26 @@ def _band_buckets(sig: DataFrame, id_col: str, sig_col: str, bands: int) -> Data
             )
         ).alias("bb"),
     ).select(
-        "__id", "__sig",
+        "__id",
         F.col("bb.band").alias("__band"), F.col("bb.bucket").alias("__bucket"),
     )
+
+
+def minhash_signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    shingle_n: int = 5,
+) -> DataFrame:
+    """The persistable signature half of the index: ``(id, minhash)``,
+    ONE row per document (vs ~``bands`` band rows). Parquet it next to
+    :func:`minhash_index` and union new batches on after ingestion."""
+    return minhash_signatures(
+        df.select(id_col, text_col), text_col,
+        id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n,
+    ).select(F.col(id_col).alias("id"), F.col("minhash"))
 
 
 def minhash_index(
@@ -75,13 +122,15 @@ def minhash_index(
     bands: int = 8,
     shingle_n: int = 5,
 ) -> DataFrame:
-    """The persistable banded index of a corpus: one row per (document,
-    band) with columns ``(id, band, bucket, minhash)``. Write it out with
-    ``df.write.parquet(...)`` partitioned however the store likes; union
-    a new batch's own index rows onto it after ingestion so the next
-    batch dedups against both. ``num_hashes % bands`` must be 0-safe the
-    same way the batch pipeline slices (integer division of the
-    signature)."""
+    """The persistable banded index of a corpus: one SKINNY row per
+    (document, band) — ``(id, band, bucket)`` plus the three constant
+    parameter columns (RLE ≈ free on disk, pruned before every join).
+    Write it out with ``df.write.parquet(...)``; union a new batch's own
+    index rows onto it after ingestion (see :func:`compact_index` for
+    re-ingestion idempotence) so the next batch dedups against both.
+    Pair it with :func:`minhash_signature_table` — the probe joins
+    signatures onto the DEDUPED pair set, never into the band shuffle."""
+    _check_banding(num_hashes, bands)
     sig = minhash_signatures(
         df.select(id_col, text_col), text_col,
         id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n,
@@ -90,8 +139,41 @@ def minhash_index(
         F.col("__id").alias("id"),
         F.col("__band").alias("band"),
         F.col("__bucket").alias("bucket"),
-        F.col("__sig").alias("minhash"),
+        F.lit(num_hashes).alias("num_hashes"),
+        F.lit(bands).alias("bands"),
+        F.lit(shingle_n).alias("shingle_n"),
     )
+
+
+def compact_index(index: DataFrame) -> DataFrame:
+    """Idempotent-ingestion compaction: re-ingesting a batch (union of
+    the same index rows twice) leaves duplicate ``(id, band)`` rows that
+    inflate state and hot-bucket counts. One ``dropDuplicates`` restores
+    the one-row-per-(document, band) invariant — run it (or write through
+    it) whenever an ingestion might replay."""
+    return index.dropDuplicates(["id", "band"])
+
+
+def _validate_index_params(
+    index: DataFrame, num_hashes: int, bands: int, shingle_n: int
+) -> None:
+    """Raise if the index's stored parameters disagree with the probe's.
+    Reads ONE row (``first()`` — limit-1 scan, cheap even on a 100 TB
+    index); indexes written before the metadata columns existed are
+    accepted unchecked (docstring contract only)."""
+    if not set(_META_COLS) <= set(index.columns):
+        return
+    row = index.select(*_META_COLS).first()
+    if row is None:
+        return
+    stored = (row["num_hashes"], row["bands"], row["shingle_n"])
+    given = (num_hashes, bands, shingle_n)
+    if stored != given:
+        raise ValueError(
+            "incremental_near_dups: index was built with "
+            f"(num_hashes, bands, shingle_n)={stored} but probed with "
+            f"{given} — same banding is required for collisions to line up"
+        )
 
 
 def exact_index(
@@ -134,6 +216,7 @@ def incremental_near_dups(
     id_col: str,
     text_col: str,
     *,
+    signatures: DataFrame,
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 5,
@@ -141,41 +224,61 @@ def incremental_near_dups(
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Near-duplicate pairs between a new batch and an indexed corpus:
-    ``(new_id, corpus_id, jaccard_est)``. MinHash parameters MUST match
-    the ones the index was built with (same banding → same collisions).
+    ``(new_id, corpus_id, jaccard_est)``. ``index`` is the band table
+    (:func:`minhash_index` rows, possibly unioned over many ingestions);
+    ``signatures`` is the one-row-per-doc companion
+    (:func:`minhash_signature_table`). MinHash parameters MUST match the
+    ones the index was built with — a metadata-carrying index enforces
+    this (mismatch raises naming stored vs given).
 
-    Plan shape: the new batch signs itself (one shuffle on its own ids),
-    band buckets equi-join the index on (band, bucket) — never all-pairs
-    — and the estimate is the matching-slot fraction over the two stored
-    signatures. Index buckets larger than ``max_bucket`` are dropped
-    (the boilerplate guard of the batch pipeline, same stance)."""
-    nb = _band_buckets(
-        minhash_signatures(
-            new_docs.select(id_col, text_col), text_col,
-            id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-        ),
-        id_col, "minhash", bands,
+    Plan shape, mirroring the batch pipeline's ids-only discipline
+    (``dedup.py:286-321``): the new batch signs itself (one shuffle on
+    its own ids), ids-only band buckets equi-join the index on
+    (band, bucket) — never all-pairs, no signature arrays in the
+    shuffle — candidate pairs are deduplicated FIRST, and only then are
+    the two stored signatures joined on to score the estimate. Buckets
+    whose combined old∪new size exceeds ``max_bucket`` are dropped —
+    counting BOTH sides, exactly like the batch run over old ∪ new, so
+    the batch≡incremental equality holds at the boundary too."""
+    _check_banding(num_hashes, bands)
+    _validate_index_params(index, num_hashes, bands, shingle_n)
+    new_sigs = minhash_signatures(
+        new_docs.select(id_col, text_col), text_col,
+        id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n,
     )
+    nb = _band_buckets(new_sigs, id_col, "minhash", bands)
+    idx = index.select("id", "band", "bucket")  # prune metadata pre-join
+    # hot-bucket guard over old ∪ new — the batch pipeline counts the
+    # whole banded set, so the incremental guard must too (an index-only
+    # count would keep pairs the batch drops near the cap, and vice versa)
     big = (
-        index.groupBy("band", "bucket")
+        idx.select("band", "bucket")
+        .unionByName(
+            nb.select(
+                F.col("__band").alias("band"), F.col("__bucket").alias("bucket")
+            )
+        )
+        .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("__bsize"))
         .filter(F.col("__bsize") > max_bucket)
         .select("band", "bucket")
     )
-    idx = index.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    idx = idx.join(F.broadcast(big), ["band", "bucket"], "left_anti")
+    # ids-only candidates, deduped BEFORE any signature joins on
     cand = (
         nb.join(
             idx,
             (nb["__band"] == idx["band"]) & (nb["__bucket"] == idx["bucket"]),
         )
         .where(nb["__id"] != idx["id"])
-        .select(
-            nb["__id"].alias("new_id"),
-            idx["id"].alias("corpus_id"),
-            nb["__sig"].alias("__sa"),
-            idx["minhash"].alias("__sb"),
-        )
+        .select(nb["__id"].alias("new_id"), idx["id"].alias("corpus_id"))
         .dropDuplicates(["new_id", "corpus_id"])
+    )
+    sa = new_sigs.select(
+        F.col(id_col).alias("new_id"), F.col("minhash").alias("__sa")
+    )
+    sb = signatures.select(
+        F.col("id").alias("corpus_id"), F.col("minhash").alias("__sb")
     )
     est = (
         F.size(
@@ -187,7 +290,9 @@ def incremental_near_dups(
         / F.size(F.col("__sa"))
     )
     return (
-        cand.withColumn("jaccard_est", est)
+        cand.join(sa, "new_id")
+        .join(sb, "corpus_id")
+        .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= min_jaccard_est)
         .select("new_id", "corpus_id", "jaccard_est")
     )

@@ -1,14 +1,20 @@
 """Incremental near-dup detection against a persisted MinHash index
 (pipeline/incremental.py) — the batch-to-batch continual-ingestion shape.
 The decisive contract: incremental(new vs index(old)) == the (old, new)
-cross pairs of the batch pipeline run over old ∪ new."""
+cross pairs of the batch pipeline run over old ∪ new — including at the
+max_bucket boundary (the guard counts old∪new like the batch run). The
+index is SKINNY: band rows are (id, band, bucket) only; signatures live
+once per doc in a companion table and join on AFTER the pair dedup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from openmldb_spark.pipeline.dedup import minhash_lsh_pairs, minhash_signatures
 from openmldb_spark.pipeline.incremental import (
+    compact_index,
     incremental_near_dups,
     minhash_index,
+    minhash_signature_table,
 )
 
 OLD = [
@@ -24,13 +30,25 @@ NEW = [
 KW = dict(num_hashes=32, bands=8, shingle_n=3)
 
 
+def _index_pair(spark, rows):
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    return (
+        minhash_index(df, "doc_id", "text", **KW),
+        minhash_signature_table(
+            df, "doc_id", "text", num_hashes=32, shingle_n=3
+        ),
+    )
+
+
 def test_incremental_equals_batch_cross_pairs(spark):
     old = spark.createDataFrame(OLD, "doc_id int, text string")
     new = spark.createDataFrame(NEW, "doc_id int, text string")
-    idx = minhash_index(old, "doc_id", "text", **KW)
+    idx, sigs_old = _index_pair(spark, OLD)
     inc = {
         (r["corpus_id"], r["new_id"]): round(r["jaccard_est"], 6)
-        for r in incremental_near_dups(new, idx, "doc_id", "text", **KW).collect()
+        for r in incremental_near_dups(
+            new, idx, "doc_id", "text", signatures=sigs_old, **KW
+        ).collect()
     }
 
     both = old.unionByName(new)
@@ -46,77 +64,181 @@ def test_incremental_equals_batch_cross_pairs(spark):
     assert (1, 11) in inc and inc[(1, 11)] == 1.0  # the exact copy
 
 
-def test_index_round_trips_through_parquet(spark, tmp_path):
-    """The index is a plain persistable table: write/read parquet and the
-    incremental join must produce identical pairs."""
-    old = spark.createDataFrame(OLD, "doc_id int, text string")
+def test_index_is_skinny_and_round_trips_through_parquet(spark, tmp_path):
+    """Both index tables are plain persistable parquet: band rows carry
+    NO signature array (ids-only-shuffle design), and the probe over the
+    re-read tables produces identical pairs."""
+    idx, sigs = _index_pair(spark, OLD)
+    assert set(idx.columns) == {
+        "id", "band", "bucket", "num_hashes", "bands", "shingle_n"
+    }
+    assert not any("array" in f.dataType.typeName() for f in idx.schema.fields)
+    assert set(sigs.columns) == {"id", "minhash"}
+
     new = spark.createDataFrame(NEW, "doc_id int, text string")
-    p = str(tmp_path / "mh_index")
-    minhash_index(old, "doc_id", "text", **KW).write.parquet(p)
-    idx = spark.read.parquet(p)
+    pb, ps = str(tmp_path / "mh_bands"), str(tmp_path / "mh_sigs")
+    idx.write.parquet(pb)
+    sigs.write.parquet(ps)
     got = {
         (r["new_id"], r["corpus_id"])
         for r in incremental_near_dups(
-            new, idx, "doc_id", "text", min_jaccard_est=0.5, **KW
+            new, spark.read.parquet(pb), "doc_id", "text",
+            signatures=spark.read.parquet(ps), min_jaccard_est=0.5, **KW
         ).collect()
     }
     assert got == {(11, 1), (12, 2)}, got
 
 
 def test_threshold_and_hot_bucket_guard(spark):
-    old = spark.createDataFrame(OLD, "doc_id int, text string")
     new = spark.createDataFrame(NEW, "doc_id int, text string")
-    idx = minhash_index(old, "doc_id", "text", **KW)
+    idx, sigs = _index_pair(spark, OLD)
     # a high threshold keeps only the exact copy
     strict = incremental_near_dups(
-        new, idx, "doc_id", "text", min_jaccard_est=0.99, **KW
+        new, idx, "doc_id", "text", signatures=sigs,
+        min_jaccard_est=0.99, **KW
     ).collect()
     assert {(r["new_id"], r["corpus_id"]) for r in strict} == {(11, 1)}
     # max_bucket=0 drops EVERY bucket -> no pairs at all (guard wiring)
     none = incremental_near_dups(
-        new, idx, "doc_id", "text", max_bucket=0, **KW
+        new, idx, "doc_id", "text", signatures=sigs, max_bucket=0, **KW
     ).collect()
     assert none == []
 
 
+def test_hot_bucket_guard_counts_both_sides(spark):
+    """The guard sizes buckets over old∪new exactly like the batch run:
+    2 old copies + 2 new copies of one text = 4-row buckets, so at
+    max_bucket=3 BOTH pipelines drop the pairs (an index-only count of 2
+    would keep them), and at max_bucket=4 both keep them."""
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    old_rows = [(1, text), (2, text)]
+    new_rows = [(11, text), (12, text)]
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    idx, sigs = _index_pair(spark, old_rows)
+
+    both = spark.createDataFrame(
+        old_rows + new_rows, "doc_id int, text string"
+    )
+    bsigs = minhash_signatures(
+        both, "text", id_col="doc_id", num_hashes=32, shingle_n=3
+    )
+    for cap in (3, 4):
+        inc = {
+            (r["corpus_id"], r["new_id"])
+            for r in incremental_near_dups(
+                new, idx, "doc_id", "text", signatures=sigs,
+                max_bucket=cap, **KW
+            ).collect()
+        }
+        batch = {
+            (r["a"], r["b"])
+            for r in minhash_lsh_pairs(
+                bsigs, "doc_id", bands=8, max_bucket=cap
+            ).collect()
+            if r["a"] <= 10 < r["b"]
+        }
+        assert inc == batch, (cap, inc, batch)
+    assert inc == {(1, 11), (1, 12), (2, 11), (2, 12)}  # cap=4 keeps all
+
+
 def test_index_union_grows_incrementally(spark):
-    """Ingesting a batch = union its own index rows; the NEXT batch then
-    matches against both the original corpus and the first batch."""
-    old = spark.createDataFrame(OLD, "doc_id int, text string")
-    b1 = spark.createDataFrame(NEW, "doc_id int, text string")
+    """Ingesting a batch = union its own index rows (both tables); the
+    NEXT batch then matches against the original corpus AND batch 1."""
     b2 = spark.createDataFrame(
         [(21, "totally different words with no overlap at all whatsoever")],
         "doc_id int, text string",
     )  # copy of 13, which only exists in batch 1
-    idx = minhash_index(old, "doc_id", "text", **KW).unionByName(
-        minhash_index(b1, "doc_id", "text", **KW)
-    )
+    i0, s0 = _index_pair(spark, OLD)
+    i1, s1 = _index_pair(spark, NEW)
     got = {
         (r["new_id"], r["corpus_id"])
         for r in incremental_near_dups(
-            b2, idx, "doc_id", "text", min_jaccard_est=0.9, **KW
+            b2, i0.unionByName(i1), "doc_id", "text",
+            signatures=s0.unionByName(s1), min_jaccard_est=0.9, **KW
         ).collect()
     }
     assert got == {(21, 13)}, got
 
 
-def test_incremental_exact_dups(spark):
-    from openmldb_spark.pipeline.incremental import (
-        exact_index,
-        incremental_exact_dups,
-    )
-
-    old = spark.createDataFrame(OLD, "doc_id int, text string")
+def test_reingestion_compaction_idempotent(spark):
+    """Replaying an ingestion (same index rows unioned twice) is repaired
+    by compact_index: probe results equal the single-ingest results, and
+    the compacted row count is back to docs × bands."""
     new = spark.createDataFrame(NEW, "doc_id int, text string")
-    idx = exact_index(old, "doc_id", "text")
-    got = {
+    idx, sigs = _index_pair(spark, OLD)
+    replayed = compact_index(idx.unionByName(idx))
+    assert replayed.count() == len(OLD) * KW["bands"]
+    once = {
         (r["new_id"], r["corpus_id"])
-        for r in incremental_exact_dups(new, idx, "doc_id", "text").collect()
+        for r in incremental_near_dups(
+            new, idx, "doc_id", "text", signatures=sigs,
+            min_jaccard_est=0.5, **KW
+        ).collect()
     }
-    assert got == {(11, 1)}, got  # only the byte-identical copy
-    # dropping flagged rows keeps the rest of the batch
-    dups = incremental_exact_dups(new, idx, "doc_id", "text").select(
-        F.col("new_id").alias("doc_id")
+    again = {
+        (r["new_id"], r["corpus_id"])
+        for r in incremental_near_dups(
+            new, replayed, "doc_id", "text", signatures=sigs,
+            min_jaccard_est=0.5, **KW
+        ).collect()
+    }
+    assert once == again == {(11, 1), (12, 2)}
+
+
+def test_parameter_validation(spark):
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    idx, sigs = _index_pair(spark, OLD)
+    # bands must divide num_hashes (parity with streaming/fuzzydedup)
+    with pytest.raises(ValueError, match="must divide"):
+        minhash_index(new, "doc_id", "text", num_hashes=32, bands=6)
+    with pytest.raises(ValueError, match="must divide"):
+        incremental_near_dups(
+            new, idx, "doc_id", "text", signatures=sigs,
+            num_hashes=32, bands=6, shingle_n=3,
+        )
+    # a probe whose parameters disagree with the index metadata raises
+    # naming stored vs given, instead of silently returning near-nothing
+    with pytest.raises(ValueError, match=r"\(32, 8, 3\).*\(32, 4, 3\)"):
+        incremental_near_dups(
+            new, idx, "doc_id", "text", signatures=sigs,
+            num_hashes=32, bands=4, shingle_n=3,
+        )
+    # a pre-metadata (or externally built) skinny index passes unchecked
+    bare = idx.select("id", "band", "bucket")
+    got = incremental_near_dups(
+        new, bare, "doc_id", "text", signatures=sigs,
+        min_jaccard_est=0.5, **KW
+    ).collect()
+    assert {(r["new_id"], r["corpus_id"]) for r in got} == {(11, 1), (12, 2)}
+
+
+def test_collision_join_shuffles_no_arrays(spark):
+    """Plan pin for the ids-only discipline: every Exchange that feeds
+    the band/bucket collision join or the pair dedup carries NO array
+    column — signatures join on only after dropDuplicates."""
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    idx, sigs = _index_pair(spark, OLD)
+    df = incremental_near_dups(
+        new, idx, "doc_id", "text", signatures=sigs, **KW
     )
-    kept = new.join(dups, "doc_id", "left_anti")
-    assert {r["doc_id"] for r in kept.collect()} == {12, 13}
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    plan = df._jdf.queryExecution().explainString(mode)
+    exchanges = []
+    for para in plan.split("\n\n"):
+        lines = para.strip().splitlines()
+        if not lines or ") Exchange" not in lines[0]:
+            continue
+        args = next((l for l in lines if l.startswith("Arguments")), "")
+        inp = next((l for l in lines if l.startswith("Input")), "")
+        exchanges.append((args, inp))
+    assert exchanges, plan  # formatted explain did list Exchange nodes
+    band_exchanges = [
+        (a, i) for a, i in exchanges if "band" in a or "bucket" in a
+    ]
+    assert band_exchanges, plan  # the collision join's shuffles exist
+    for args, inp in band_exchanges:
+        assert "minhash" not in inp and "__sa" not in inp and "__sb" not in inp, (
+            args, inp,
+        )

@@ -220,6 +220,7 @@ def probes():
         from openmldb_spark.pipeline.incremental import (
             incremental_near_dups,
             minhash_index,
+            minhash_signature_table,
         )
 
         d = S._spread(load_table(spark, sf, "documents"), 32)
@@ -227,8 +228,10 @@ def probes():
         batch = d.where(F.col("doc_id") < 500)  # fixed at both scales
         idx = minhash_index(corpus, "doc_id", "text",
                             num_hashes=32, bands=8, shingle_n=3)
+        sigs = minhash_signature_table(corpus, "doc_id", "text",
+                                       num_hashes=32, shingle_n=3)
         return incremental_near_dups(
-            batch, idx, "doc_id", "text",
+            batch, idx, "doc_id", "text", signatures=sigs,
             num_hashes=32, bands=8, shingle_n=3, min_jaccard_est=0.5,
         )
 
