@@ -263,12 +263,17 @@ class CompiledRequestPlan:
         self._write_staged(
             self.spark.createDataFrame([], dep.input_schema).toArrow()
         )
+        from openmldb_spark.engine import servingmat
+
         if self._jvm_mode:
             src = _jvm_source(self.spark, self._staged, dep.input_schema)
         else:
             src = self.spark.range(0, 1, numPartitions=1).mapInArrow(
                 _staged_reader(self._staged), dep.input_schema
             )
+        # marker filter (constant-folded away) so servingmat.offer can
+        # refuse subtrees reading the staged source in EITHER mode
+        src = servingmat.mark_staged(src)
         self._src = src
         # serving-static materialization: history-only intermediates the
         # lowering offers (LAST JOIN deduped right sides) persist for the
@@ -277,7 +282,6 @@ class CompiledRequestPlan:
         # the reference tablet's resident segment indexes. Invalidation is
         # already correct: any DML bumps the serving key, which drops this
         # plan (and these caches) before the next serve.
-        from openmldb_spark.engine import servingmat
 
         self._materialized: list = []
         with servingmat.collecting(self._materialized):

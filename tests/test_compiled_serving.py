@@ -386,3 +386,60 @@ def test_nested_request_schema_falls_back_to_arrow_staging(spark):
     )
     assert dep._compiled is not None and not dep._compiled._jvm_mode
     assert got[0]["tags"] == ["x", "y"] and got[0]["c"] == 2
+
+
+def test_offer_refuses_staged_source_in_both_modes(spark):
+    """servingmat.offer must decline any subtree reading the staged
+    request source regardless of staging mode. The JVM text mode has no
+    MapInArrow node, so refusal keys on the STAGED_MARKER tag — which
+    must survive analysis (where offer looks) and constant-fold away
+    before execution (zero serve cost)."""
+    from openmldb_spark.engine import servingmat
+
+    src = servingmat.mark_staged(spark.range(3).toDF("x"))
+    analyzed = src._jdf.queryExecution().analyzed().toString()
+    assert servingmat.STAGED_MARKER in analyzed
+    optimized = src._jdf.queryExecution().optimizedPlan().toString()
+    assert servingmat.STAGED_MARKER not in optimized  # folded away
+
+    sink = []
+    with servingmat.collecting(sink):
+        # the marker survives through derived subtrees (the shape offer
+        # actually sees: an aggregate over a join touching the source)
+        derived = src.groupBy("x").count()
+        out = servingmat.offer(derived)
+        assert out is derived and sink == []
+        # a genuinely history-only subtree is still accepted
+        plain = spark.range(3).toDF("x").distinct()
+        kept = servingmat.offer(plain)
+        assert sink == [kept]
+    kept.unpersist()
+
+
+def test_self_last_join_on_request_table_jvm_mode(spark):
+    """The ADVICE r11 scenario: a deployment whose LAST JOIN right side
+    IS the request table. In JVM staging mode the right side reads the
+    staged text source (no MapInArrow); offering it would persist the
+    compile-time EMPTY staged file and every serve would join against
+    nothing. The marker must keep it un-materialized and the compiled
+    result equal to the uncompiled path."""
+    eng = _engine(spark)
+    dep = eng.execute(
+        "DEPLOY dself SELECT t0.id, t0.c1, r.c4 as rc4 FROM t0 "
+        "LAST JOIN t0 AS r ORDER BY r.c7 ON t0.c1 = r.c1"
+    )
+    rows = [(9, "aa", 40, 1590738995000), (10, "bb", 7, 1590738996000)]
+    compiled = sorted(
+        map(tuple, dep.run_request(_req(spark, dep, rows)).collect())
+    )
+    assert dep._compiled is not None and dep._compiled._jvm_mode
+    # nothing offered over the request source was materialized
+    assert dep._compiled._materialized == []
+    dep.use_compiled = False
+    plain = sorted(
+        map(tuple, dep.run_request(_req(spark, dep, rows)).collect())
+    )
+    dep.use_compiled = True
+    assert compiled == plain and len(compiled) == 2
+    # the request rows themselves ARE the join's right side here
+    assert {t[2] for t in compiled} == {40, 7}
