@@ -48,14 +48,17 @@ def resolve_staging_dir(master: str, explicit: str | None) -> str | None:
 STAGING_BYTES_CONF = "spark.openmldb.serving.stagingBytes"
 DEFAULT_STAGING_BYTES = 262_144
 
-#: serving-tuned session confs applied around the rows-arm serve job
-#: (restored immediately after): AQE's per-stage materialization and
-#: 32-task shuffle stages are built for data-sized queries, but a serve's
-#: shuffles carry request-row-sized data (history is key-pruned), so the
-#: fixed tiny plan wins ~40% wall latency. Scoped-but-global: spark confs
-#: are session-wide, so a batch query PLANNED concurrently with a serve
-#: may transiently pick them up (perf-only, never correctness); disable
-#: via this conf on mixed batch+serving sessions.
+#: serving-tuned confs applied to an ISOLATED serving session (a
+#: ``newSession()`` clone — own conf, shared SparkContext/catalog/cache):
+#: AQE's per-stage materialization and 32-task shuffle stages are built
+#: for data-sized queries, but a serve's shuffles carry request-row-sized
+#: data (history is key-pruned), so the fixed tiny plan wins ~40% wall
+#: latency. Serves re-root the compiled plan's ANALYZED tree onto the
+#: clone, so physical planning picks the serving confs up while the
+#: user's session confs are NEVER touched — a batch query planned
+#: concurrently with a serve sees its own AQE/partition settings
+#: (the r11 swap-and-restore was session-global and racy). Set false to
+#: serve on the engine session with its normal confs.
 FAST_CONFS_CONF = "spark.openmldb.serving.fastConfs"
 SERVING_SHUFFLE_PARTITIONS_CONF = "spark.openmldb.serving.shufflePartitions"
 
@@ -148,30 +151,18 @@ def _encode_staged_lines(table, pad_bytes: int) -> bytes:
     return data + b"\n" * (pad_bytes - len(data))
 
 
-def _serving_confs(spark):
-    """Context manager applying the serving-tuned confs (see
-    ``FAST_CONFS_CONF``), saving and restoring the session values."""
-    from contextlib import contextmanager
-
-    @contextmanager
-    def cm():
-        if spark.conf.get(FAST_CONFS_CONF, "true") != "true":
-            yield
-            return
-        keys = ("spark.sql.adaptive.enabled", "spark.sql.shuffle.partitions")
-        saved = {k: spark.conf.get(k) for k in keys}
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        spark.conf.set(
-            "spark.sql.shuffle.partitions",
-            spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "2"),
-        )
-        try:
-            yield
-        finally:
-            for k, v in saved.items():
-                spark.conf.set(k, v)
-
-    return cm()
+def _serving_session(spark):
+    """The isolated serving session: a ``newSession()`` clone sharing the
+    SparkContext, catalog and cache manager but owning its conf — AQE off
+    and a tiny shuffle fan-out are set ONCE here instead of swapped on
+    the shared session per serve (see ``FAST_CONFS_CONF``)."""
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.adaptive.enabled", "false")
+    clone.conf.set(
+        "spark.sql.shuffle.partitions",
+        spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "2"),
+    )
+    return clone
 
 
 def _staged_reader(path: str):
@@ -213,7 +204,8 @@ class CompiledRequestPlan:
       costs ~200 ms/execution here, the dominant r10 latency term) —
       while nested types fall back to ``mapInArrow`` over Arrow IPC.
     - each serve returns a FRESH Dataset over the cached ANALYZED plan
-      (``.where(lit(True))``): re-collecting the same Dataset would REUSE
+      (re-rooted onto the isolated serving session, else
+      ``.where(lit(True))``): re-collecting the same Dataset would REUSE
       its shuffle map outputs (ShuffleExchangeExec caches its ShuffledRowRDD
       and the DAGScheduler skips registered map stages), silently serving
       the PREVIOUS request's rows. Fresh physical planning per call is the
@@ -290,6 +282,36 @@ class CompiledRequestPlan:
             )
         for df in self._materialized:
             df.count()
+        # isolated serving session + the compiled plan's analyzed tree:
+        # each serve re-roots the (immutable) tree onto the clone via
+        # Dataset.ofRows — a FRESH QueryExecution per call (no stale
+        # shuffle reuse) planned under the serving confs, with the user's
+        # session confs never touched. Availability-probed once; any
+        # failure falls back to serving on the engine session.
+        self._lp = self.plan._jdf.queryExecution().analyzed()
+        try:
+            self._serve_spark = _serving_session(self.spark)
+            self._reroot(self._serve_spark)._jdf.queryExecution()
+        except Exception:  # pragma: no cover - e.g. non-classic backends
+            self._serve_spark = None
+
+    def _reroot(self, session) -> DataFrame:
+        jdf = self.spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
+            session._jsparkSession, self._lp
+        )
+        return DataFrame(jdf, session)
+
+    def _fresh_serve_df(self) -> DataFrame:
+        """A fresh Dataset over the compiled plan for one serve — on the
+        serving clone when enabled (serve-time opt-out honored), else the
+        engine session (``.where(lit(True))`` forces a new physical plan
+        there; see the class docstring's stale-shuffle note)."""
+        if (
+            self._serve_spark is not None
+            and self.spark.conf.get(FAST_CONFS_CONF, "true") == "true"
+        ):
+            return self._reroot(self._serve_spark)
+        return self.plan.where(F.lit(True))
 
     def _write_staged(self, table) -> None:
         tmp = self._staged + ".tmp"
@@ -305,7 +327,7 @@ class CompiledRequestPlan:
 
     def serve(self, requests: DataFrame) -> DataFrame:
         self._write_staged(requests.toArrow())
-        return self.plan.where(F.lit(True))
+        return self._fresh_serve_df()
 
     def serve_rows(self, rows: list) -> list:
         """Driver-side staging + eager collect: no Spark job other than
@@ -323,8 +345,7 @@ class CompiledRequestPlan:
                     rows, self.dep.input_schema, False
                 )
             )
-            with _serving_confs(self.spark):
-                return self.plan.where(F.lit(True)).collect()
+            return self._fresh_serve_df().collect()
 
     def release(self) -> None:
         for df in self._materialized:

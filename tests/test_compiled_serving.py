@@ -340,24 +340,58 @@ def test_jvm_staging_rejects_oversized_batch(spark):
         spark.conf.unset(STAGING_BYTES_CONF)
 
 
-def test_serving_confs_scoped_and_restored(spark):
+def test_serving_session_isolated_from_batch_confs(spark):
+    """Serves run on a newSession clone with the serving confs set ONCE;
+    the engine session's AQE/shuffle confs are never touched — not even
+    transiently (there is no swap to race with), so a batch query planned
+    DURING an in-flight serve still plans with AQE on."""
+    import threading
+
     from openmldb_spark.engine.compiled import FAST_CONFS_CONF
 
-    before = (
-        spark.conf.get("spark.sql.adaptive.enabled"),
-        spark.conf.get("spark.sql.shuffle.partitions"),
-    )
     eng = _engine(spark)
     dep = eng.execute(f"DEPLOY tjvm3 {SQL}")
     dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
-    after = (
-        spark.conf.get("spark.sql.adaptive.enabled"),
-        spark.conf.get("spark.sql.shuffle.partitions"),
-    )
-    assert before == after
-    # opt-out honored
+    cp = dep._compiled
+    assert cp is not None and cp._serve_spark is not None
+    assert cp._serve_spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    # the serve's own physical plan is non-AQE and clone-rooted...
+    sdf = cp._fresh_serve_df()
+    assert sdf.sparkSession is cp._serve_spark
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" not in plan
+    # ...while batch queries planned concurrently with serves keep AQE:
+    # hammer explains on the engine session during in-flight serves
+    aqe_seen = []
+    stop = threading.Event()
+
+    def batch_explains():
+        while not stop.is_set():
+            p = (
+                spark.range(100)
+                .groupBy((F.col("id") % 3).alias("k"))
+                .count()
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            aqe_seen.append("AdaptiveSparkPlan" in p)
+
+    t = threading.Thread(target=batch_explains)
+    t.start()
+    try:
+        for i in range(3):
+            dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000 + i)]))
+    finally:
+        stop.set()
+        t.join()
+    assert aqe_seen and all(aqe_seen), f"{aqe_seen.count(False)} AQE-off plans"
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    # serve-time opt-out: back to the engine session with its own confs
     spark.conf.set(FAST_CONFS_CONF, "false")
     try:
+        assert cp._fresh_serve_df().sparkSession is spark
         assert len(dep.run_request_rows(_conv([(9, "bb", 1, 1590738995000)]))) == 1
     finally:
         spark.conf.unset(FAST_CONFS_CONF)
@@ -443,3 +477,30 @@ def test_self_last_join_on_request_table_jvm_mode(spark):
     assert compiled == plain and len(compiled) == 2
     # the request rows themselves ARE the join's right side here
     assert {t[2] for t in compiled} == {40, 7}
+
+
+def test_materialized_join_side_cache_hits_from_serving_clone(spark):
+    """The resident LAST JOIN right sides are persisted on the engine
+    session but serves execute on the clone — the shared cache manager
+    must still substitute them (InMemoryTableScan in the serve plan)."""
+    eng = _engine(spark)
+    eng.execute(
+        "CREATE TABLE tm1 (c1 string, v bigint, c7 timestamp,"
+        " INDEX(KEY=(c1), TS=c7))"
+    )
+    eng.execute(
+        "INSERT INTO tm1 VALUES ('aa', 7, 1590738991000),"
+        " ('aa', 8, 1590738992000), ('bb', 9, 1590738991000)"
+    )
+    dep = eng.execute(
+        "DEPLOY dmat SELECT t0.id, tm1.v AS rv FROM t0 "
+        "LAST JOIN tm1 ORDER BY tm1.c7 ON t0.c1 = tm1.c1"
+    )
+    got = dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    assert [(r["id"], r["rv"]) for r in got] == [(9, 8)]
+    cp = dep._compiled
+    assert cp is not None and cp._materialized, "right side was not offered"
+    sdf = cp._fresh_serve_df()
+    assert sdf.sparkSession is cp._serve_spark
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan
