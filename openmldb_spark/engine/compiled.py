@@ -94,7 +94,15 @@ def _jvm_source(spark, path: str, schema) -> DataFrame:
     for i, f in enumerate(schema.fields):
         cell = F.element_at(parts, i + 1)
         decoded = F.unbase64(cell)
-        if f.dataType.typeName() != "binary":
+        tn = f.dataType.typeName()
+        if tn == "timestamp":
+            # staged as epoch-MICROS (not a wall-clock string, whose cast
+            # would re-interpret in the session timezone and silently
+            # shift every value on non-UTC sessions)
+            decoded = F.timestamp_micros(
+                F.decode(decoded, "UTF-8").cast("long")
+            )
+        elif tn != "binary":
             decoded = F.decode(decoded, "UTF-8").cast(f.dataType)
         col = F.when(cell == "~", F.lit(None).cast(f.dataType)).otherwise(decoded)
         cols.append(col.alias(f.name))
@@ -103,13 +111,26 @@ def _jvm_source(spark, path: str, schema) -> DataFrame:
     return raw.where(F.length("value") > 0).select(*cols)
 
 
-def _encode_staged_lines(table, pad_bytes: int) -> bytes:
+def _encode_staged_lines(
+    table, pad_bytes: int, schema=None, session_tz: str = "UTC"
+) -> bytes:
     """Encode an Arrow table of request rows into the fixed-size staged
-    text payload (base64 cells, "~" nulls, trailing comma, newline pad)."""
+    text payload (base64 cells, "~" nulls, trailing comma, newline pad).
+    ``timestamp``-typed fields encode as epoch-MICROS (decoded by
+    ``timestamp_micros`` — timezone-free on the wire); naive datetimes
+    are interpreted in ``session_tz``, matching what
+    ``LocalDataToArrowConversion``/``toArrow`` meant by them."""
     import base64
     import datetime
 
-    def fmt(v) -> str:
+    ts_fields = (
+        {f.name for f in schema.fields if f.dataType.typeName() == "timestamp"}
+        if schema is not None
+        else set()
+    )
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+
+    def fmt(name, v) -> str:
         if v is None:
             return "~"
         if isinstance(v, bool):
@@ -126,9 +147,19 @@ def _encode_staged_lines(table, pad_bytes: int) -> bytes:
             else:
                 raw = repr(v)  # shortest exact round-trip
         elif isinstance(v, datetime.datetime):
-            if v.tzinfo is not None:
-                v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
-            raw = v.isoformat(sep=" ")
+            if name in ts_fields:
+                if v.tzinfo is None:
+                    from zoneinfo import ZoneInfo
+
+                    v = v.replace(tzinfo=ZoneInfo(session_tz))
+                d = v - epoch
+                raw = str(
+                    (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
+                )
+            else:  # timestamp_ntz: wall-clock string, timezone-free cast
+                if v.tzinfo is not None:
+                    v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+                raw = v.isoformat(sep=" ")
         elif isinstance(v, datetime.date):
             raw = v.isoformat()
         else:
@@ -136,7 +167,7 @@ def _encode_staged_lines(table, pad_bytes: int) -> bytes:
         return base64.b64encode(raw.encode("utf-8")).decode("ascii")
 
     lines = [
-        ",".join(fmt(v) for v in row.values()) + ","
+        ",".join(fmt(k, v) for k, v in row.items()) + ","
         for row in table.to_pylist()
     ]
     data = ("\n".join(lines) + "\n").encode("utf-8") if lines else b""
@@ -155,8 +186,20 @@ def _serving_session(spark):
     """The isolated serving session: a ``newSession()`` clone sharing the
     SparkContext, catalog and cache manager but owning its conf — AQE off
     and a tiny shuffle fan-out are set ONCE here instead of swapped on
-    the shared session per serve (see ``FAST_CONFS_CONF``)."""
+    the shared session per serve (see ``FAST_CONFS_CONF``). ``newSession``
+    does NOT inherit runtime-set confs (session timezone, ANSI flags, …
+    would silently reset and change serve SEMANTICS), so the engine
+    session's conf state is copied first, then the two serving overrides
+    applied."""
     clone = spark.newSession()
+    for k, v in spark.conf.getAll.items():
+        if v is None:
+            continue
+        try:
+            if clone.conf.get(k, None) != v:
+                clone.conf.set(k, v)
+        except Exception:  # non-modifiable/static conf: context-level anyway
+            pass
     clone.conf.set("spark.sql.adaptive.enabled", "false")
     clone.conf.set(
         "spark.sql.shuffle.partitions",
@@ -317,7 +360,16 @@ class CompiledRequestPlan:
         tmp = self._staged + ".tmp"
         if self._jvm_mode:
             with open(tmp, "wb") as f:
-                f.write(_encode_staged_lines(table, self._pad))
+                f.write(
+                    _encode_staged_lines(
+                        table,
+                        self._pad,
+                        self.dep.input_schema,
+                        self.spark.conf.get(
+                            "spark.sql.session.timeZone", "UTC"
+                        ),
+                    )
+                )
         else:
             import pyarrow as pa
 
@@ -326,7 +378,23 @@ class CompiledRequestPlan:
         os.replace(tmp, self._staged)
 
     def serve(self, requests: DataFrame) -> DataFrame:
-        self._write_staged(requests.toArrow())
+        """Stage a request DataFrame and return a fresh serve Dataset.
+        One job evaluates the caller's request plan (unavoidable — it is
+        usually an RDD-backed ``createDataFrame``); in JVM staging mode
+        the collected rows encode driver-side exactly like
+        :meth:`serve_rows` (skipping the extra JVM->Arrow->driver
+        conversion ``toArrow`` would add). Driver-held rows should use
+        ``run_request_rows``, which skips the staging job entirely."""
+        if self._jvm_mode:
+            from pyspark.sql.conversion import LocalDataToArrowConversion
+
+            self._write_staged(
+                LocalDataToArrowConversion.convert(
+                    requests.collect(), self.dep.input_schema, False
+                )
+            )
+        else:
+            self._write_staged(requests.toArrow())
         return self._fresh_serve_df()
 
     def serve_rows(self, rows: list) -> list:

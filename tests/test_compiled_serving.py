@@ -504,3 +504,35 @@ def test_materialized_join_side_cache_hits_from_serving_clone(spark):
     assert sdf.sparkSession is cp._serve_spark
     plan = sdf._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_jvm_staging_timestamps_survive_non_utc_session(spark):
+    """ADVICE r11: timestamps stage as epoch-micros (timezone-free on the
+    wire, decoded by timestamp_micros), so a non-UTC session timezone no
+    longer shifts every staged value. Pin: compiled JVM serving equals
+    the uncompiled path under America/New_York for the same request
+    DataFrame (the old wall-clock-string staging failed this by 4-5h)."""
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        eng = _engine(spark)
+        dep = eng.execute(f"DEPLOY dtz {SQL}")
+        req = _req(spark, dep, [(9, "aa", 40, 1590738995000)])
+        compiled = sorted(map(tuple, dep.run_request(req).collect()))
+        assert dep._compiled is not None and dep._compiled._jvm_mode
+        # the serving clone inherited the engine session's timezone
+        assert (
+            dep._compiled._serve_spark.conf.get("spark.sql.session.timeZone")
+            == "America/New_York"
+        )
+        dep.use_compiled = False
+        plain = sorted(map(tuple, dep.run_request(req).collect()))
+        dep.use_compiled = True
+        assert compiled == plain, (compiled, plain)
+        # rows arm agrees with the DataFrame arm too
+        via_rows = sorted(
+            map(tuple, dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)])))
+        )
+        assert via_rows == compiled
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
