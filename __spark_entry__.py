@@ -864,6 +864,41 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
 
 
+def q_embedding_ivf_index_probe(spark: SparkSession, sf: str) -> DataFrame:
+    """Persisted-IVF-index probe (pipeline/annindex.py, r12): the same
+    md5-sampled centroids / assignment / sequential-JVM-fold scoring as
+    ivf_topk_join, but routed through the persistable (centroid table,
+    cidx-bucketed corpus index) layout — the continual-ingestion ANN
+    shape (embed once, append batches, probe with file-level partition
+    pruning). The index is built in-memory here so the gate stays
+    side-effect-free; the parquet round-trip, partition-prune plan pin,
+    and incremental-append==rebuild equality live in
+    tests/test_annindex.py. Full rows+schema+hash DuckDB oracle."""
+    from openmldb_spark.pipeline.annindex import (
+        ivf_centroids,
+        ivf_corpus_index,
+        ivf_probe,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    cent = ivf_centroids(
+        emb, corpus_id="vec_id", corpus_vec="embedding",
+        n_centroids=16, seed=42,
+    )
+    idx = ivf_corpus_index(
+        emb, cent, corpus_id="vec_id", corpus_vec="embedding"
+    )
+    out = ivf_probe(
+        queries, idx, cent, query_id="vec_id", query_vec="embedding",
+        k=4, nprobe=3,
+    )
+    return out.select(
+        "query_id", "neighbor_id",
+        (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank",
+    )
+
+
 def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
     """Training-instance formatters (feature_signature_def.cc): libsvm +
     csv instances from signed columns."""
@@ -1134,6 +1169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk_join": q_embedding_lsh_topk_join,
         "embedding_ivf_topk_join": q_embedding_ivf_topk_join,
+        "embedding_ivf_index_probe": q_embedding_ivf_index_probe,
     }
 
 
@@ -1435,6 +1471,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
+        """,
+        "embedding_ivf_index_probe": """
+            WITH hashed AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     ('0x' || substr(md5('42|' || vec_id), 1, 15))::BIGINT AS h
+              FROM embeddings
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv
+              FROM (SELECT h, vec_id, v FROM hashed ORDER BY h, vec_id LIMIT 16)
+            ), ev AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+              FROM hashed
+            ), cn AS (
+              SELECT cidx, cv,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm
+              FROM cent
+            ), paired AS (
+              SELECT e.vec_id, c.cidx,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(e.v, c.cv),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                         (a, b) -> a + b) / (e.nrm * c.cnrm) AS ccos
+              FROM ev e CROSS JOIN cn c
+            ), ca AS (
+              SELECT vec_id, cidx FROM paired
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cidx ASC) = 1
+            ), qa AS (
+              SELECT vec_id, cidx FROM paired WHERE vec_id < 20
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cidx ASC) <= 3
+            ), scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(eq.v, ec.v),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                         (a, b) -> a + b) / (eq.nrm * ec.nrm) AS cos
+              FROM qa q JOIN ca c USING (cidx)
+              JOIN ev eq ON eq.vec_id = q.vec_id
+              JOIN ev ec ON ec.vec_id = c.vec_id
+              WHERE q.vec_id <> c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM scored QUALIFY rank <= 4
         """,
         "udaf_where": """
             SELECT l_returnflag,

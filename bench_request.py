@@ -31,11 +31,21 @@ through the serving path and publishes, per arm:
   ~200 ms on this host, the dominant r10 term), history-only LAST JOIN
   dedupe sides persist at compile time (``engine/servingmat.py``, the
   tablet-resident-state analog), and the serve job runs under
-  serving-tuned confs (AQE off + 2 shuffle partitions, scoped+restored —
-  serve shuffles carry request-row-sized data, so data-sized planning
-  machinery only adds latency). Net: row_p50 681 -> ~370 ms.
+  serving-tuned confs (AQE off + 2 shuffle partitions — serve shuffles
+  carry request-row-sized data, so data-sized planning machinery only
+  adds latency). Net: row_p50 681 -> ~370 ms. r12 moved those confs onto
+  an ISOLATED ``newSession()`` clone (engine runtime confs copied, the
+  two serving overrides set once; each serve re-roots the analyzed plan
+  via ``Dataset.ofRows``) — same latency, and the engine session's confs
+  are never touched, so concurrently planned batch queries keep AQE.
 - ``batch_amortized_ms``: one BATCH-row request through ``run_request``
-  divided by the batch size — the Spark-native serving shape.
+  divided by the batch size — the Spark-native serving shape. The
+  DataFrame arms pay one extra job the rows arm does not: evaluating the
+  caller's request DataFrame (a 1-row ``createDataFrame`` is an
+  RDD-backed plan spread over defaultParallelism Python-worker tasks,
+  ~250-350 ms on this host — the caller's plan, not the serve path;
+  r12 at least encodes the collected rows driver-side in JVM mode
+  instead of a second JVM->Arrow->driver conversion).
 
 Honest framing: each request is still a full Spark local job; the
 reference's tablet serves the same shape in single-digit ms from a

@@ -719,6 +719,47 @@ def ivf_topk(
     )
 
 
+def _centroid_array(cent: DataFrame) -> DataFrame:
+    """Collapse a ``(__cidx, __cent_v)`` centroid table to ONE row holding
+    an array of (index, vector) structs. Broadcasting that row and picking
+    each data row's centroids with a per-row array sort makes assignment
+    zero-shuffle — no ×n_centroids crossJoin fan-out, no row_number window
+    keyed by row id over the full (id, vector) payload (round-4's
+    scale-killer). Shared by :func:`ivf_topk_join` and the persisted-index
+    path (:mod:`openmldb_spark.pipeline.annindex`)."""
+    return cent.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("__cidx").alias("i"), F.col("__cent_v").alias("v")))
+        ).alias("__cents")
+    )
+
+
+def _assign_by_centroids(
+    df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int,
+    cent_arr: DataFrame,
+) -> DataFrame:
+    """``(out_id, __v, __cidx)`` — each row's ``keep`` nearest centroids by
+    (cos desc, centroid index asc), the same total order the old
+    row_number window used, so picks and ties are unchanged."""
+    proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    ranked = F.array_sort(
+        F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                cosine(F.col("__v"), c["v"]).alias("c"), c["i"].alias("i")
+            ),
+        ),
+        lambda x, y: F.when(x["c"] > y["c"], F.lit(-1))
+        .when(x["c"] < y["c"], F.lit(1))
+        .otherwise(x["i"].cast("int") - y["i"].cast("int")),
+    )
+    return (
+        proj.crossJoin(F.broadcast(cent_arr))
+        .select(out_id, "__v", F.explode(F.slice(ranked, 1, keep)).alias("__pick"))
+        .select(out_id, "__v", F.col("__pick.i").alias("__cidx"))
+    )
+
+
 def ivf_topk_join(
     corpus: DataFrame,
     queries: DataFrame,
@@ -787,37 +828,10 @@ def ivf_topk_join(
             .select("__cidx", "__cent_v")
         )
 
-    # Collapse the centroid table to ONE row holding an array of
-    # (index, vector) structs, broadcast it, and pick each row's centroids
-    # with a per-row array sort — the ×n_centroids crossJoin fan-out and the
-    # row_number shuffle of the full (id, vector) payload keyed by row id
-    # (round-4's scale-killer) are gone: assignment is now zero-shuffle.
-    cent_arr = cent.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("__cidx").alias("i"), F.col("__cent_v").alias("v")))
-        ).alias("__cents")
-    )
+    cent_arr = _centroid_array(cent)
 
     def assign(df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int) -> DataFrame:
-        proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
-        # (cos desc, centroid index asc) — same total order the old
-        # row_number window used, so picks and ties are unchanged.
-        ranked = F.array_sort(
-            F.transform(
-                F.col("__cents"),
-                lambda c: F.struct(
-                    cosine(F.col("__v"), c["v"]).alias("c"), c["i"].alias("i")
-                ),
-            ),
-            lambda x, y: F.when(x["c"] > y["c"], F.lit(-1))
-            .when(x["c"] < y["c"], F.lit(1))
-            .otherwise(x["i"].cast("int") - y["i"].cast("int")),
-        )
-        return (
-            proj.crossJoin(F.broadcast(cent_arr))
-            .select(out_id, "__v", F.explode(F.slice(ranked, 1, keep)).alias("__pick"))
-            .select(out_id, "__v", F.col("__pick.i").alias("__cidx"))
-        )
+        return _assign_by_centroids(df, id_col, vec_col, out_id, keep, cent_arr)
 
     ca = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1).withColumnRenamed("__v", "__cv")
     qa = assign(queries, query_id, query_vec, "query_id", min(int(nprobe), int(n_centroids)))
