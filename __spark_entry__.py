@@ -261,7 +261,19 @@ def q_window_exclude(spark: SparkSession, sf: str) -> DataFrame:
     """EXCLUDE CURRENT_ROW on a RANGE frame (peers stay — DuckDB EXCLUDE
     CURRENT ROW, physical_op.h:1174-1187) + EXCLUDE CURRENT_TIME
     (kExcludeCurrentTime: same-ts peers out, current row in — DuckDB
-    EXCLUDE TIES) in one query, two chained window_aggs."""
+    EXCLUDE TIES) in one query, two chained window_aggs — plus, r12, the
+    SKEW-MITIGATED window arm (operators/window_skew.py, the
+    WindowAggPlan.windowPartitionWithSkewOpt analog,
+    java/openmldb-batch/.../WindowAggPlan.scala:201-323: per-key
+    percentile_approx time cuts, bounded replication, window over
+    (key, bucket), keep own-bucket rows — EXACT results at #keys ×
+    #buckets parallelism): sv_skew/cnt_skew are the plain 10m RANGE
+    window computed through the skew path, oracled against the plain
+    window SQL. One row per operator family would blow the driver's
+    50-row gate cap, so the window-engine variants share this entry
+    (the dedup_exact+simhash folding precedent)."""
+    from openmldb_spark.operators.window_skew import window_agg_skewed
+
     e = (
         load_table(spark, sf, "events")
         .withColumn("ts_ms", _ts_ms("ts"))
@@ -277,10 +289,18 @@ def q_window_exclude(spark: SparkSession, sf: str) -> DataFrame:
         partition_by=["user_id"], order_by="ts_sec", rows_range=3600, exclude_current_time=True
     )
     out = window_agg(out, wd_xt, {"sv_xt": A.sum_("value"), "cnt_xt": A.count_("value")})
-    return out.select(
+    wd_sk = WindowDef(partition_by=["user_id"], order_by="ts_ms", rows_range="10m")
+    skew = window_agg_skewed(
+        e.select("event_id", "user_id", "ts_ms", "value"),
+        wd_sk,
+        {"sv_skew": A.sum_("value"), "cnt_skew": A.count_all()},
+        buckets=4,
+    ).select("event_id", "sv_skew", "cnt_skew")
+    return out.join(skew, "event_id").select(
         "event_id", "user_id",
         F.round("sv_xr", 4).alias("sv_xr"), "cnt_xr",
         F.round("sv_xt", 4).alias("sv_xt"), "cnt_xt",
+        F.round("sv_skew", 4).alias("sv_skew"), "cnt_skew",
     )
 
 
@@ -679,12 +699,38 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     default 1 GB local heap; the reformulation completes there). Same
     output contract; the DuckDB oracle (distinct string shingles) is
     matched exactly up to the house xxhash64 set-over-hash convention."""
+    from openmldb_spark.pipeline.clusters import (
+        dedup_clusters,
+        pick_representatives,
+    )
+
     d = S._spread(load_table(spark, sf, "documents"), 32)
     pairs = D.overlap_jaccard_pairs(
         d, "doc_id", "text",
         shingle_n=3, min_overlap=5, threshold=0.2, max_token_df=50,
     )
-    return pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+    # r12 arm (same entry — the driver gate caps at 50 rows): duplicate-
+    # CLUSTER assignment + quality-aware representatives over these exact
+    # pairs (pipeline/clusters.py: min-label propagation to the fixpoint,
+    # max-n_chars member with min-id ties), previously pytest-only. The
+    # oracle recomputes the components with a recursive transitive-
+    # closure CTE, so cluster_id and rep_id are fully value-hashed.
+    clusters = dedup_clusters(pairs)
+    docs = d.select("doc_id", F.col("n_chars").cast("double").alias("q"))
+    reps = pick_representatives(docs, clusters, "doc_id", score_col="q")
+    rep_per_cluster = clusters.join(
+        reps.select("doc_id"), clusters["id"] == reps["doc_id"]
+    ).select(F.col("cluster_id"), F.col("id").alias("rep_id"))
+    labeled = (
+        pairs.join(
+            clusters.select(F.col("id").alias("a"), "cluster_id"), "a"
+        )
+        .join(rep_per_cluster, "cluster_id")
+    )
+    return labeled.select(
+        "a", "b", F.round("jaccard", 4).alias("jaccard"),
+        "cluster_id", "rep_id",
+    )
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
@@ -861,39 +907,29 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
         query_id="vec_id", query_vec="embedding", k=5, n_centroids=16,
         nprobe=4, seed=42,
     )
-    return out.select("query_id", "neighbor_id", (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank")
-
-
-def q_embedding_ivf_index_probe(spark: SparkSession, sf: str) -> DataFrame:
-    """Persisted-IVF-index probe (pipeline/annindex.py, r12): the same
-    md5-sampled centroids / assignment / sequential-JVM-fold scoring as
-    ivf_topk_join, but routed through the persistable (centroid table,
-    cidx-bucketed corpus index) layout — the continual-ingestion ANN
-    shape (embed once, append batches, probe with file-level partition
-    pruning). The index is built in-memory here so the gate stays
-    side-effect-free; the parquet round-trip, partition-prune plan pin,
-    and incremental-append==rebuild equality live in
-    tests/test_annindex.py. Full rows+schema+hash DuckDB oracle."""
+    # r12 arm (same entry — the driver gate caps at 50 rows): the SAME
+    # ranking through the PERSISTED-IVF-INDEX path (pipeline/annindex.py:
+    # centroid table + cidx-bucketed corpus index + literal-IN probe; the
+    # parquet round-trip, partition-prune pin, and append==rebuild
+    # equality live in tests/test_annindex.py). A DISJOINT query set
+    # (30 <= vec_id < 50, k=4, nprobe=3) keeps the union schema-stable
+    # and both arms independently value-hashed by the oracle.
     from openmldb_spark.pipeline.annindex import (
         ivf_centroids,
         ivf_corpus_index,
         ivf_probe,
     )
 
-    emb = load_table(spark, sf, "embeddings")
-    queries = emb.where(F.col("vec_id") < 20)
     cent = ivf_centroids(
         emb, corpus_id="vec_id", corpus_vec="embedding",
         n_centroids=16, seed=42,
     )
-    idx = ivf_corpus_index(
-        emb, cent, corpus_id="vec_id", corpus_vec="embedding"
+    idx = ivf_corpus_index(emb, cent, corpus_id="vec_id", corpus_vec="embedding")
+    probe = ivf_probe(
+        emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 50)),
+        idx, cent, query_id="vec_id", query_vec="embedding", k=4, nprobe=3,
     )
-    out = ivf_probe(
-        queries, idx, cent, query_id="vec_id", query_vec="embedding",
-        k=4, nprobe=3,
-    )
-    return out.select(
+    return out.unionByName(probe).select(
         "query_id", "neighbor_id",
         (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank",
     )
@@ -1169,7 +1205,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": q_embedding_topk,
         "embedding_lsh_topk_join": q_embedding_lsh_topk_join,
         "embedding_ivf_topk_join": q_embedding_ivf_topk_join,
-        "embedding_ivf_index_probe": q_embedding_ivf_index_probe,
     }
 
 
@@ -1309,14 +1344,18 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER wxr, 4) AS sv_xr,
                    count(value) OVER wxr AS cnt_xr,
                    round(sum(value) OVER wxt, 4) AS sv_xt,
-                   count(value) OVER wxt AS cnt_xt
+                   count(value) OVER wxt AS cnt_xt,
+                   round(sum(value) OVER wsk, 4) AS sv_skew,
+                   count(*) OVER wsk AS cnt_skew
             FROM events
             WINDOW wxr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                            RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
                            EXCLUDE CURRENT ROW),
                    wxt AS (PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
-                           EXCLUDE TIES)
+                           EXCLUDE TIES),
+                   wsk AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                           RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
         """,
         "window_maxsize": """
             WITH framed AS (
@@ -1471,8 +1510,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 5
-        """,
-        "embedding_ivf_index_probe": """
+        
+            UNION ALL
+            SELECT * FROM (
+
             WITH hashed AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
                      ('0x' || substr(md5('42|' || vec_id), 1, 15))::BIGINT AS h
@@ -1502,7 +1543,7 @@ def oracle_sql() -> dict[str, str]:
               QUALIFY row_number() OVER (PARTITION BY vec_id
                        ORDER BY ccos DESC, cidx ASC) = 1
             ), qa AS (
-              SELECT vec_id, cidx FROM paired WHERE vec_id < 20
+              SELECT vec_id, cidx FROM paired WHERE vec_id >= 30 AND vec_id < 50
               QUALIFY row_number() OVER (PARTITION BY vec_id
                        ORDER BY ccos DESC, cidx ASC) <= 3
             ), scored AS (
@@ -1520,7 +1561,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 4
-        """,
+        
+            )""",
         "udaf_where": """
             SELECT l_returnflag,
                    round(sum(CASE WHEN l_quantity > 25 THEN l_extendedprice END), 2) AS sum_w,
@@ -1716,7 +1758,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id NOT IN (SELECT b FROM losers)
         """,
         "dedup_ngram_jaccard": """
-            WITH toks AS (
+            WITH RECURSIVE toks AS (
               SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS t
@@ -1739,14 +1781,37 @@ def oracle_sql() -> dict[str, str]:
               WHERE x.doc_id < y.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 5
             )
-            SELECT a, b,
-                   round(CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
-                         / array_length(list_distinct(gx.g || gy.g)), 4) AS jaccard
-            FROM cand
-            JOIN grams gx ON gx.doc_id = a
-            JOIN grams gy ON gy.doc_id = b
-            WHERE CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
-                  / array_length(list_distinct(gx.g || gy.g)) >= 0.2
+            , pairs AS (
+              SELECT a, b,
+                     CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
+                       / array_length(list_distinct(gx.g || gy.g)) AS jaccard
+              FROM cand
+              JOIN grams gx ON gx.doc_id = a
+              JOIN grams gy ON gy.doc_id = b
+              WHERE CAST(array_length(list_intersect(gx.g, gy.g)) AS DOUBLE)
+                    / array_length(list_distinct(gx.g || gy.g)) >= 0.2
+            ), edges AS (
+              SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+            ), closure(src, dst) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT c.src, e.b FROM closure c JOIN edges e ON e.a = c.dst
+            ), labels AS (
+              SELECT src AS id, least(src, min(dst)) AS cluster_id
+              FROM closure GROUP BY src
+            ), reps AS (
+              SELECT cluster_id, id AS rep_id FROM (
+                SELECT l.cluster_id, l.id,
+                       row_number() OVER (PARTITION BY l.cluster_id
+                         ORDER BY d.n_chars DESC, l.id ASC) AS rn
+                FROM labels l JOIN documents d ON d.doc_id = l.id)
+              WHERE rn = 1
+            )
+            SELECT p.a, p.b, round(p.jaccard, 4) AS jaccard,
+                   l.cluster_id, r.rep_id
+            FROM pairs p
+            JOIN labels l ON l.id = p.a
+            JOIN reps r USING (cluster_id)
         """,
         "dedup_embedding": """
             SELECT e.vec_id FROM embeddings e

@@ -144,3 +144,53 @@ def test_max_bucket_and_self_exclusion_parity(spark):
         assert got == want, kw
     # self-pairs present when not excluded (cos 1.0, rank 1)
     assert any(q == n and c == 1.0 for q, n, c, _ in got)
+
+
+def test_probe_serves_through_ann_stream(spark, tmp_path):
+    """The serving story: query vectors stream in, each micro-batch probes
+    the PERSISTED (cidx-partitioned parquet) index via ann_serving_stream
+    — stream results equal the batch probe (same plan per micro-batch,
+    partition pruning included)."""
+    import time
+
+    from openmldb_spark.streaming import ann_serving_stream
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select("vec_id", "embedding")
+    cent = ivf_centroids(emb, n_centroids=16, seed=42, **IDK)
+    p = str(tmp_path / "ivf_index")
+    ivf_corpus_index(emb, cent, **IDK).write.partitionBy("cidx").parquet(p)
+    stored = spark.read.parquet(p)
+
+    def topk(index, qs):
+        return ivf_probe(qs, index, cent, k=3, nprobe=2, **QK)
+    expected = _rows(topk(stored, queries))
+    assert expected
+
+    qdir = tmp_path / "queries"
+    qdir.mkdir()
+    queries.coalesce(1).write.parquet(str(qdir / "batch0"))
+    stream = (
+        spark.readStream.schema(queries.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(qdir))
+    )
+    got: list = []
+    q = ann_serving_stream(
+        stream,
+        stored,
+        topk,
+        sink=lambda df, bid: got.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        trigger_seconds=1,
+    )
+    try:
+        deadline = time.time() + 60
+        while not got and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in got
+    ) == expected
