@@ -203,7 +203,10 @@ def _serving_session(spark):
     clone.conf.set("spark.sql.adaptive.enabled", "false")
     clone.conf.set(
         "spark.sql.shuffle.partitions",
-        spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "2"),
+        # default 1: serve shuffles carry request-row-sized data (history
+        # is key-pruned), so even the 2-task fan-out only adds scheduling
+        # latency — measured ~25% p50 on a two-window deploy (r12 A/B)
+        spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "1"),
     )
     return clone
 

@@ -355,7 +355,7 @@ def test_serving_session_isolated_from_batch_confs(spark):
     cp = dep._compiled
     assert cp is not None and cp._serve_spark is not None
     assert cp._serve_spark.conf.get("spark.sql.adaptive.enabled") == "false"
-    assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "1"
     # the serve's own physical plan is non-AQE and clone-rooted...
     sdf = cp._fresh_serve_df()
     assert sdf.sparkSession is cp._serve_spark
