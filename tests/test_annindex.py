@@ -194,3 +194,16 @@ def test_probe_serves_through_ann_stream(spark, tmp_path):
         (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
         for r in got
     ) == expected
+
+
+def test_probe_empty_queries_and_empty_index(spark):
+    """Degenerate inputs stay well-formed: no queries -> empty result
+    (the probed-bucket IN-list is empty); empty index -> empty result."""
+    emb = load_table(spark, SF, "embeddings")
+    cent = ivf_centroids(emb, n_centroids=8, seed=42, **IDK)
+    idx = ivf_corpus_index(emb, cent, **IDK)
+    none = emb.where(F.lit(False))
+    assert ivf_probe(none, idx, cent, k=3, nprobe=2, **QK).count() == 0
+    empty_idx = idx.where(F.lit(False))
+    some = emb.where(F.col("vec_id") < 3)
+    assert ivf_probe(some, empty_idx, cent, k=3, nprobe=2, **QK).count() == 0

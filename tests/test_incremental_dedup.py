@@ -242,3 +242,21 @@ def test_collision_join_shuffles_no_arrays(spark):
         assert "minhash" not in inp and "__sa" not in inp and "__sb" not in inp, (
             args, inp,
         )
+
+
+def test_empty_batch_and_empty_index(spark):
+    """Degenerate inputs stay well-formed: an empty new batch or an empty
+    index produce zero pairs without erroring (the metadata validator
+    skips an empty index — first() returns None)."""
+    from pyspark.sql import functions as F
+
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    idx, sigs = _index_pair(spark, OLD)
+    empty_docs = new.where(F.lit(False))
+    assert incremental_near_dups(
+        empty_docs, idx, "doc_id", "text", signatures=sigs, **KW
+    ).count() == 0
+    assert incremental_near_dups(
+        new, idx.where(F.lit(False)), "doc_id", "text",
+        signatures=sigs, **KW
+    ).count() == 0
