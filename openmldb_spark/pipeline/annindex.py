@@ -172,3 +172,82 @@ def ivf_probe(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+class IvfIndexStore:
+    """Parquet-backed lifecycle for the persisted IVF index: centroids
+    written once at :meth:`build`, corpus vectors appended in
+    cidx-partitioned parquet (:meth:`ingest` — no re-clustering; Spark's
+    dynamic ``mode("append")`` adds files under the existing bucket
+    directories), probes via :func:`ivf_probe` with file-level partition
+    pruning. Centroid drift is an offline decision: re-train and
+    :meth:`build` a fresh root.
+
+    Layout under ``root``: ``centroids/`` (``(cidx, centroid)``) and
+    ``index/`` partitioned by ``cidx``."""
+
+    def __init__(self, spark, root: str):
+        import os
+
+        self.spark = spark
+        self.root = root
+        self.centroids_path = os.path.join(root, "centroids")
+        self.index_path = os.path.join(root, "index")
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.centroids_path)
+
+    def centroids(self) -> DataFrame:
+        return self.spark.read.parquet(self.centroids_path)
+
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.index_path)
+
+    def build(
+        self,
+        corpus: DataFrame,
+        *,
+        corpus_id: str,
+        corpus_vec: str,
+        n_centroids: int = 16,
+        seed: int = 42,
+        centroids=None,
+    ) -> None:
+        """Write the centroid table (md5 sample of ``corpus``, or a
+        trained matrix via ``centroids=``) and the corpus's bucketed
+        index (errorifexists — rebuilds are explicit)."""
+        cent = ivf_centroids(
+            corpus, corpus_id=corpus_id, corpus_vec=corpus_vec,
+            n_centroids=n_centroids, seed=seed, centroids=centroids,
+        )
+        cent.write.parquet(self.centroids_path)
+        ivf_corpus_index(
+            corpus, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
+        ).write.partitionBy("cidx").parquet(self.index_path)
+
+    def ingest(self, batch: DataFrame, *, corpus_id: str, corpus_vec: str) -> None:
+        """Assign a new batch against the STORED centroids and append its
+        rows under the existing bucket partitions."""
+        ivf_corpus_index(
+            batch, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
+        ).write.partitionBy("cidx").mode("append").parquet(self.index_path)
+
+    def probe(
+        self,
+        queries: DataFrame,
+        *,
+        query_id: str,
+        query_vec: str,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+        max_bucket: int | None = None,
+    ) -> DataFrame:
+        return ivf_probe(
+            queries, self.index(), self.centroids(),
+            query_id=query_id, query_vec=query_vec,
+            k=k, nprobe=nprobe, exclude_self=exclude_self,
+            max_bucket=max_bucket,
+        )

@@ -296,3 +296,132 @@ def incremental_near_dups(
         .filter(F.col("jaccard_est") >= min_jaccard_est)
         .select("new_id", "corpus_id", "jaccard_est")
     )
+
+
+class MinhashIndexStore:
+    """Parquet-backed lifecycle for the two-table incremental index — the
+    piece a continual-ingestion pipeline would otherwise hand-roll, with
+    the two ordering mistakes it usually hand-rolls wrong:
+
+    - :meth:`ingest` detects a batch's duplicates against the CURRENT
+      index and MATERIALIZES the result BEFORE appending the batch's own
+      rows (append-first would make every batch row its own near-dup;
+      lazy-return-then-append would re-plan the probe over the already-
+      appended index);
+    - parameters live in the index rows (see :func:`minhash_index`), so
+      re-opening the store at different parameters raises on the first
+      probe instead of silently returning near-nothing.
+
+    Layout under ``root``: ``bands/`` (skinny band rows) and ``sigs/``
+    (one signature row per doc), both plain parquet — readable by any
+    engine, appended with dynamic-partition-free ``mode("append")``.
+    :meth:`compact` rewrites both tables deduplicated (safe after a
+    replayed ingestion; see :func:`compact_index`)."""
+
+    def __init__(
+        self,
+        spark,
+        root: str,
+        *,
+        num_hashes: int = 32,
+        bands: int = 8,
+        shingle_n: int = 5,
+    ):
+        import os
+
+        _check_banding(num_hashes, bands)
+        self.spark = spark
+        self.root = root
+        self.bands_path = os.path.join(root, "bands")
+        self.sigs_path = os.path.join(root, "sigs")
+        self.params = dict(
+            num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+        )
+
+    def exists(self) -> bool:
+        import os
+
+        return os.path.isdir(self.bands_path)
+
+    def index(self) -> DataFrame:
+        return self.spark.read.parquet(self.bands_path)
+
+    def signatures(self) -> DataFrame:
+        return self.spark.read.parquet(self.sigs_path)
+
+    def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
+        """Write the initial index of a corpus (errorifexists — a rebuild
+        is an explicit decision: pass a fresh root or remove the old)."""
+        minhash_index(corpus, id_col, text_col, **self.params).write.parquet(
+            self.bands_path
+        )
+        minhash_signature_table(
+            corpus, id_col, text_col,
+            num_hashes=self.params["num_hashes"],
+            shingle_n=self.params["shingle_n"],
+        ).write.parquet(self.sigs_path)
+
+    def near_dups(
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        min_jaccard_est: float = 0.0,
+        max_bucket: int = 1000,
+    ) -> DataFrame:
+        """Probe WITHOUT ingesting (read-only against the stored index)."""
+        return incremental_near_dups(
+            new_docs, self.index(), id_col, text_col,
+            signatures=self.signatures(),
+            min_jaccard_est=min_jaccard_est, max_bucket=max_bucket,
+            **self.params,
+        )
+
+    def ingest(
+        self,
+        new_docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        *,
+        min_jaccard_est: float = 0.0,
+        max_bucket: int = 1000,
+    ) -> DataFrame:
+        """Detect the batch's near-dups against the current index, THEN
+        append the batch's own rows so the next batch matches against it.
+        Returns the materialized ``(new_id, corpus_id, jaccard_est)``
+        pairs (``localCheckpoint`` — safe to use after the append)."""
+        dups = self.near_dups(
+            new_docs, id_col, text_col,
+            min_jaccard_est=min_jaccard_est, max_bucket=max_bucket,
+        ).localCheckpoint()
+        minhash_index(new_docs, id_col, text_col, **self.params).write.mode(
+            "append"
+        ).parquet(self.bands_path)
+        minhash_signature_table(
+            new_docs, id_col, text_col,
+            num_hashes=self.params["num_hashes"],
+            shingle_n=self.params["shingle_n"],
+        ).write.mode("append").parquet(self.sigs_path)
+        return dups
+
+    def compact(self) -> None:
+        """Rewrite both tables deduplicated — repairs a replayed ingestion
+        (duplicate (id, band) rows inflate state and hot-bucket counts).
+        The rewrite stages into a sibling directory and swaps atomically
+        at the filesystem level."""
+        import os
+        import shutil
+
+        for path, dedup in (
+            (self.bands_path, lambda df: compact_index(df)),
+            (self.sigs_path, lambda df: df.dropDuplicates(["id"])),
+        ):
+            tmp = path + ".compact.tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            dedup(self.spark.read.parquet(path)).write.parquet(tmp)
+            old = path + ".compact.old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(path, old)
+            os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)

@@ -207,3 +207,40 @@ def test_probe_empty_queries_and_empty_index(spark):
     empty_idx = idx.where(F.lit(False))
     some = emb.where(F.col("vec_id") < 3)
     assert ivf_probe(some, empty_idx, cent, k=3, nprobe=2, **QK).count() == 0
+
+
+def test_ivf_index_store_lifecycle(spark, tmp_path):
+    """IvfIndexStore: build (centroids + bucketed index) -> ingest a
+    batch against the stored centroids -> probe equals ivf_topk_join
+    over the rebuilt corpus; bucket partitions still prune."""
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") < 12)
+
+    from openmldb_spark.pipeline.annindex import IvfIndexStore
+
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    assert not store.exists()
+    store.build(old, n_centroids=16, seed=42, **IDK)
+    assert store.exists()
+    store.ingest(new, **IDK)
+
+    got = _rows(store.probe(queries, k=4, nprobe=3, **QK))
+    cent_rows = sorted(
+        (r["cidx"], r["centroid"]) for r in store.centroids().collect()
+    )
+    M = [c for _, c in cent_rows]
+    want = _rows(
+        S.ivf_topk_join(
+            emb, queries, corpus_id="vec_id", corpus_vec="embedding",
+            query_id="vec_id", query_vec="embedding",
+            k=4, nprobe=3, centroids=M,
+        )
+    )
+    assert got == want and len(got) > 0
+    # the appended rows landed under the existing cidx partitions
+    import os
+
+    parts = [d for d in os.listdir(str(tmp_path / "ivf" / "index")) if d.startswith("cidx=")]
+    assert parts and store.index().count() == emb.count()

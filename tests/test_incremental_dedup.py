@@ -260,3 +260,51 @@ def test_empty_batch_and_empty_index(spark):
         new, idx.where(F.lit(False)), "doc_id", "text",
         signatures=sigs, **KW
     ).count() == 0
+
+
+def test_index_store_lifecycle(spark, tmp_path):
+    """MinhashIndexStore: build -> ingest (detect BEFORE append) ->
+    next batch matches the previous one -> compact repairs a replay."""
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    store = MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
+    assert not store.exists()
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    assert store.exists()
+
+    b1 = spark.createDataFrame(NEW, "doc_id int, text string")
+    dups1 = store.ingest(b1, "doc_id", "text", min_jaccard_est=0.5)
+    # detected against the PRE-append index: no self-matches
+    got1 = {(r["new_id"], r["corpus_id"]) for r in dups1.collect()}
+    assert got1 == {(11, 1), (12, 2)}, got1
+    # batch 2 duplicates a batch-1 doc -> the append made it visible
+    b2 = spark.createDataFrame(
+        [(21, "totally different words with no overlap at all whatsoever")],
+        "doc_id int, text string",
+    )
+    dups2 = store.ingest(b2, "doc_id", "text", min_jaccard_est=0.9)
+    assert {(r["new_id"], r["corpus_id"]) for r in dups2.collect()} == {(21, 13)}
+
+    # replay batch 2 (its self-copy now matches), then compact: row
+    # counts return to one-per-(id, band) and probes are unchanged
+    store.ingest(b2, "doc_id", "text")
+    n_docs = len(OLD) + len(NEW) + 2  # b2 ingested twice
+    assert store.index().count() == n_docs * KW["bands"]
+    store.compact()
+    assert store.index().count() == (n_docs - 1) * KW["bands"]
+    assert store.signatures().count() == n_docs - 1
+    probe = store.near_dups(b1, "doc_id", "text", min_jaccard_est=0.99)
+    got = {(r["new_id"], r["corpus_id"]) for r in probe.collect()}
+    # doc 11's own ingested copy shares its id (same-id pairs are
+    # excluded by design); its corpus twin still matches, and doc 13
+    # now matches its batch-2 copy (21) through the ingested index
+    assert got == {(11, 1), (13, 21)}, got
+
+    # a store opened at different parameters raises on the first probe
+    wrong = MinhashIndexStore(
+        spark, str(tmp_path / "mh"), num_hashes=32, bands=4, shingle_n=3
+    )
+    with pytest.raises(ValueError, match="same banding"):
+        wrong.near_dups(b1, "doc_id", "text").collect()
