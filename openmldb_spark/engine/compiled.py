@@ -111,15 +111,16 @@ def _jvm_source(spark, path: str, schema) -> DataFrame:
     return raw.where(F.length("value") > 0).select(*cols)
 
 
-def _encode_staged_lines(
-    table, pad_bytes: int, schema=None, session_tz: str = "UTC"
-) -> bytes:
+def _encode_staged_lines(table, pad_bytes: int, schema=None) -> bytes:
     """Encode an Arrow table of request rows into the fixed-size staged
     text payload (base64 cells, "~" nulls, trailing comma, newline pad).
     ``timestamp``-typed fields encode as epoch-MICROS (decoded by
-    ``timestamp_micros`` — timezone-free on the wire); naive datetimes
-    are interpreted in ``session_tz``, matching what
-    ``LocalDataToArrowConversion``/``toArrow`` meant by them."""
+    ``timestamp_micros`` — timezone-free on the wire). Both staging
+    producers (``toArrow`` and ``LocalDataToArrowConversion``) emit
+    TZ-AWARE datetimes for timestamp columns, so the epoch math is
+    exact; a naive value (defensive only) is interpreted in the
+    driver-local zone via ``astimezone`` — the same reading
+    ``LocalDataToArrowConversion`` itself applies."""
     import base64
     import datetime
 
@@ -148,11 +149,7 @@ def _encode_staged_lines(
                 raw = repr(v)  # shortest exact round-trip
         elif isinstance(v, datetime.datetime):
             if name in ts_fields:
-                if v.tzinfo is None:
-                    from zoneinfo import ZoneInfo
-
-                    v = v.replace(tzinfo=ZoneInfo(session_tz))
-                d = v - epoch
+                d = v.astimezone(datetime.timezone.utc) - epoch
                 raw = str(
                     (d.days * 86400 + d.seconds) * 1_000_000 + d.microseconds
                 )
@@ -347,15 +344,28 @@ class CompiledRequestPlan:
         )
         return DataFrame(jdf, session)
 
+    #: runtime confs that change serve SEMANTICS (not just planning) and
+    #: may legitimately change after compile — re-synced from the engine
+    #: session onto the clone before every serve (two gets, rarely a set)
+    _SEMANTIC_CONFS = ("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+
     def _fresh_serve_df(self) -> DataFrame:
         """A fresh Dataset over the compiled plan for one serve — on the
         serving clone when enabled (serve-time opt-out honored), else the
         engine session (``.where(lit(True))`` forces a new physical plan
-        there; see the class docstring's stale-shuffle note)."""
+        there; see the class docstring's stale-shuffle note). The clone's
+        conf snapshot froze at compile time; the semantics-bearing confs
+        are re-synced per serve so a post-deploy ``SET`` of the session
+        timezone or ANSI mode reaches compiled serves like it reaches the
+        uncompiled path (planning confs intentionally stay pinned)."""
         if (
             self._serve_spark is not None
             and self.spark.conf.get(FAST_CONFS_CONF, "true") == "true"
         ):
+            for k in self._SEMANTIC_CONFS:
+                v = self.spark.conf.get(k, None)
+                if v is not None and self._serve_spark.conf.get(k, None) != v:
+                    self._serve_spark.conf.set(k, v)
             return self._reroot(self._serve_spark)
         return self.plan.where(F.lit(True))
 
@@ -364,14 +374,7 @@ class CompiledRequestPlan:
         if self._jvm_mode:
             with open(tmp, "wb") as f:
                 f.write(
-                    _encode_staged_lines(
-                        table,
-                        self._pad,
-                        self.dep.input_schema,
-                        self.spark.conf.get(
-                            "spark.sql.session.timeZone", "UTC"
-                        ),
-                    )
+                    _encode_staged_lines(table, self._pad, self.dep.input_schema)
                 )
         else:
             import pyarrow as pa
@@ -383,21 +386,13 @@ class CompiledRequestPlan:
     def serve(self, requests: DataFrame) -> DataFrame:
         """Stage a request DataFrame and return a fresh serve Dataset.
         One job evaluates the caller's request plan (unavoidable — it is
-        usually an RDD-backed ``createDataFrame``); in JVM staging mode
-        the collected rows encode driver-side exactly like
-        :meth:`serve_rows` (skipping the extra JVM->Arrow->driver
-        conversion ``toArrow`` would add). Driver-held rows should use
-        ``run_request_rows``, which skips the staging job entirely."""
-        if self._jvm_mode:
-            from pyspark.sql.conversion import LocalDataToArrowConversion
-
-            self._write_staged(
-                LocalDataToArrowConversion.convert(
-                    requests.collect(), self.dep.input_schema, False
-                )
-            )
-        else:
-            self._write_staged(requests.toArrow())
+        usually an RDD-backed ``createDataFrame``); ``toArrow`` keeps the
+        values exact in both staging modes (a collect()-then-reconvert
+        round trip would pass timestamps through NAIVE driver-local
+        datetimes, which cannot represent the repeated DST hour).
+        Driver-held rows should use ``run_request_rows``, which skips
+        the staging job entirely."""
+        self._write_staged(requests.toArrow())
         return self._fresh_serve_df()
 
     def serve_rows(self, rows: list) -> list:

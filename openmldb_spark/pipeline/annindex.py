@@ -136,11 +136,15 @@ def ivf_probe(
     ranks per query. ``max_bucket`` drops degenerate buckets via a tiny
     count-agg, same stance as ``ivf_topk_join``."""
     cent_arr = _cent_arr(centroids)
-    n_cent = centroids.count()
+    # the assignment is evaluated ONCE (checkpoint): the probed-bucket
+    # literal and the join side must come from the SAME evaluation, or a
+    # nondeterministic/growing query source could assign a query to a
+    # bucket missing from the frozen IN-list and silently under-return.
+    # F.slice caps at the array length, so nprobe > n_centroids needs no
+    # count() probe.
     qa = _assign_by_centroids(
-        queries, query_id, query_vec, "query_id",
-        min(int(nprobe), int(n_cent)), cent_arr,
-    ).withColumnRenamed("__v", "__qv")
+        queries, query_id, query_vec, "query_id", int(nprobe), cent_arr
+    ).withColumnRenamed("__v", "__qv").localCheckpoint()
     # serving shape: queries are the bounded side; their probed buckets
     # become plan literals so the index scan partition-prunes
     probed = sorted(r["__cidx"] for r in qa.select("__cidx").distinct().collect())

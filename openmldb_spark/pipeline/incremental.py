@@ -242,10 +242,14 @@ def incremental_near_dups(
     the batch≡incremental equality holds at the boundary too."""
     _check_banding(num_hashes, bands)
     _validate_index_params(index, num_hashes, bands, shingle_n)
+    # the batch signs itself ONCE: the signature plan has three consumers
+    # (the hot-bucket count, the candidate join, the estimate join) that
+    # partition differently, so without the checkpoint the shingle+hash
+    # stage — the dominant cost — would re-run per consumer
     new_sigs = minhash_signatures(
         new_docs.select(id_col, text_col), text_col,
         id_col=id_col, num_hashes=num_hashes, shingle_n=shingle_n,
-    )
+    ).localCheckpoint()
     nb = _band_buckets(new_sigs, id_col, "minhash", bands)
     idx = index.select("id", "band", "bucket")  # prune metadata pre-join
     # hot-bucket guard over old ∪ new — the batch pipeline counts the
@@ -330,6 +334,16 @@ class MinhashIndexStore:
         import os
 
         _check_banding(num_hashes, bands)
+        if "://" in root and not root.startswith("file:"):
+            raise ValueError(
+                f"MinhashIndexStore root {root!r} is a remote URI; the "
+                "store's exists/compact lifecycle uses local-filesystem "
+                "operations (atomic directory swap), so the root must be "
+                "a local or shared-mounted (NFS/EFS/Lustre) path — for "
+                "object stores, manage the two parquet tables directly "
+                "with minhash_index/minhash_signature_table + "
+                "incremental_near_dups"
+            )
         self.spark = spark
         self.root = root
         self.bands_path = os.path.join(root, "bands")
@@ -349,17 +363,35 @@ class MinhashIndexStore:
     def signatures(self) -> DataFrame:
         return self.spark.read.parquet(self.sigs_path)
 
+    def _tables(self, docs: DataFrame, id_col: str, text_col: str):
+        """(sigs_df, bands_df) computed from ONE signing of ``docs``
+        (checkpointed — minhash_index + minhash_signature_table would
+        each re-run the shingle+hash stage over the full input)."""
+        sig = minhash_signatures(
+            docs.select(id_col, text_col), text_col,
+            id_col=id_col,
+            num_hashes=self.params["num_hashes"],
+            shingle_n=self.params["shingle_n"],
+        ).localCheckpoint()
+        sigs_df = sig.select(F.col(id_col).alias("id"), F.col("minhash"))
+        bands_df = _band_buckets(
+            sig, id_col, "minhash", self.params["bands"]
+        ).select(
+            F.col("__id").alias("id"),
+            F.col("__band").alias("band"),
+            F.col("__bucket").alias("bucket"),
+            F.lit(self.params["num_hashes"]).alias("num_hashes"),
+            F.lit(self.params["bands"]).alias("bands"),
+            F.lit(self.params["shingle_n"]).alias("shingle_n"),
+        )
+        return sigs_df, bands_df
+
     def build(self, corpus: DataFrame, id_col: str, text_col: str) -> None:
         """Write the initial index of a corpus (errorifexists — a rebuild
         is an explicit decision: pass a fresh root or remove the old)."""
-        minhash_index(corpus, id_col, text_col, **self.params).write.parquet(
-            self.bands_path
-        )
-        minhash_signature_table(
-            corpus, id_col, text_col,
-            num_hashes=self.params["num_hashes"],
-            shingle_n=self.params["shingle_n"],
-        ).write.parquet(self.sigs_path)
+        sigs_df, bands_df = self._tables(corpus, id_col, text_col)
+        sigs_df.write.parquet(self.sigs_path)
+        bands_df.write.parquet(self.bands_path)
 
     def near_dups(
         self,
@@ -395,14 +427,15 @@ class MinhashIndexStore:
             new_docs, id_col, text_col,
             min_jaccard_est=min_jaccard_est, max_bucket=max_bucket,
         ).localCheckpoint()
-        minhash_index(new_docs, id_col, text_col, **self.params).write.mode(
-            "append"
-        ).parquet(self.bands_path)
-        minhash_signature_table(
-            new_docs, id_col, text_col,
-            num_hashes=self.params["num_hashes"],
-            shingle_n=self.params["shingle_n"],
-        ).write.mode("append").parquet(self.sigs_path)
+        # SIGNATURES append first: the two appends are not atomic, and a
+        # failure between them must leave the batch ABSENT (sig rows
+        # without band rows never collide — harmless, re-ingestable)
+        # rather than half-visible (band rows without signatures collide
+        # but vanish at the estimate join, silently dropping pairs).
+        # compact() clears either kind of orphan.
+        sigs_df, bands_df = self._tables(new_docs, id_col, text_col)
+        sigs_df.write.mode("append").parquet(self.sigs_path)
+        bands_df.write.mode("append").parquet(self.bands_path)
         return dups
 
     def compact(self) -> None:
@@ -413,8 +446,16 @@ class MinhashIndexStore:
         import os
         import shutil
 
+        sig_ids = self.signatures().select("id").distinct()
+
+        def _bands(df):
+            # drop orphan band rows (no signature — a torn ingest under
+            # the pre-r12 bands-first order, or manual edits): they
+            # collide but produce no pairs, and they inflate hot buckets
+            return compact_index(df).join(sig_ids, "id", "left_semi")
+
         for path, dedup in (
-            (self.bands_path, lambda df: compact_index(df)),
+            (self.bands_path, _bands),
             (self.sigs_path, lambda df: df.dropDuplicates(["id"])),
         ):
             tmp = path + ".compact.tmp"

@@ -536,3 +536,40 @@ def test_jvm_staging_timestamps_survive_non_utc_session(spark):
         assert via_rows == compiled
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_empty_request_dataframe_serves_empty(spark):
+    """An empty request DataFrame through the compiled JVM path stages an
+    empty batch and returns zero rows (r12 code-review regression: the
+    driver-side encode crashed on zero rows where toArrow staging did
+    not)."""
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dempty {SQL}")
+    empty = spark.createDataFrame([], dep.input_schema)
+    assert dep.run_request(empty).collect() == []
+    assert dep._compiled is not None and dep._compiled._jvm_mode
+    # and a non-empty serve right after still works (staged file intact)
+    got = dep.run_request(_req(spark, dep, [(9, "aa", 40, 1590738995000)]))
+    assert got.collect()[0]["s"] == 30 + 31 + 40
+
+
+def test_semantic_confs_resync_to_serving_clone(spark):
+    """The clone's conf snapshot froze at compile; a post-deploy SET of a
+    semantics-bearing conf (session timezone) must reach compiled serves
+    like it reaches the uncompiled path."""
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dsync {SQL}")
+    dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    cp = dep._compiled
+    assert cp is not None and cp._serve_spark is not None
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Tokyo")
+    try:
+        sdf = cp._fresh_serve_df()
+        assert (
+            cp._serve_spark.conf.get("spark.sql.session.timeZone")
+            == "Asia/Tokyo"
+        )
+        assert sdf.sparkSession is cp._serve_spark
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)

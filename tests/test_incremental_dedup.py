@@ -308,3 +308,41 @@ def test_index_store_lifecycle(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="same banding"):
         wrong.near_dups(b1, "doc_id", "text").collect()
+
+
+def test_store_rejects_remote_uri_and_compact_repairs_orphans(spark, tmp_path):
+    """Lifecycle hardening (r12 code review): a remote-URI root raises at
+    construction (the compact swap is local-filesystem), and compact()
+    drops orphan band rows that have no signature (a torn ingest) so
+    their collisions stop inflating hot buckets."""
+    from openmldb_spark.pipeline.incremental import (
+        MinhashIndexStore,
+        minhash_index,
+    )
+
+    with pytest.raises(ValueError, match="remote URI"):
+        MinhashIndexStore(spark, "s3a://bucket/idx", **KW)
+
+    store = MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    # orphan band rows: an id (99) present in bands/ but absent from sigs/
+    orphan = spark.createDataFrame(
+        [(99, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        "doc_id int, text string",
+    )
+    minhash_index(orphan, "doc_id", "text", **KW).write.mode("append").parquet(
+        store.bands_path
+    )
+    assert store.index().where("id = 99").count() == KW["bands"]
+    store.compact()
+    assert store.index().where("id = 99").count() == 0
+    assert store.index().count() == len(OLD) * KW["bands"]
+    # probes over the repaired store are intact
+    b1 = spark.createDataFrame(NEW, "doc_id int, text string")
+    got = {
+        (r["new_id"], r["corpus_id"])
+        for r in store.near_dups(b1, "doc_id", "text", min_jaccard_est=0.5).collect()
+    }
+    assert got == {(11, 1), (12, 2)}, got
