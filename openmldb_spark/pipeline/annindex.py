@@ -193,6 +193,14 @@ class IvfIndexStore:
     def __init__(self, spark, root: str):
         import os
 
+        if "://" in root and not root.startswith("file:"):
+            raise ValueError(
+                f"IvfIndexStore root {root!r} is a remote URI; the store's "
+                "exists() check is a local-filesystem operation, so the "
+                "root must be a local or shared-mounted path — for object "
+                "stores, manage the two parquet tables directly with "
+                "ivf_centroids/ivf_corpus_index + ivf_probe"
+            )
         self.spark = spark
         self.root = root
         self.centroids_path = os.path.join(root, "centroids")

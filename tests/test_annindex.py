@@ -218,8 +218,12 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
     new = emb.where(F.col("vec_id") % 3 == 0)
     queries = emb.where(F.col("vec_id") < 12)
 
+    import pytest
+
     from openmldb_spark.pipeline.annindex import IvfIndexStore
 
+    with pytest.raises(ValueError, match="remote URI"):
+        IvfIndexStore(spark, "s3a://bucket/ivf")
     store = IvfIndexStore(spark, str(tmp_path / "ivf"))
     assert not store.exists()
     store.build(old, n_centroids=16, seed=42, **IDK)
