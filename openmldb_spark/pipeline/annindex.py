@@ -188,28 +188,26 @@ class IvfIndexStore:
     :meth:`build` a fresh root.
 
     Layout under ``root``: ``centroids/`` (``(cidx, centroid)``) and
-    ``index/`` partitioned by ``cidx``."""
+    ``index/`` partitioned by ``cidx``.
+
+    Filesystem contract: lifecycle checks resolve ``root`` through the
+    Hadoop FileSystem API — the same resolution Spark's parquet
+    reader/writer applies — so bare paths under an HDFS/object-store
+    ``fs.defaultFS``, ``file:`` URIs, and remote URIs all keep the
+    lifecycle and the data on ONE filesystem (r12 verdict: the ``os.*``
+    lifecycle silently split them on any non-``file:`` defaultFS)."""
 
     def __init__(self, spark, root: str):
-        import os
+        from ._hadoopfs import HadoopFs
 
-        if "://" in root and not root.startswith("file:"):
-            raise ValueError(
-                f"IvfIndexStore root {root!r} is a remote URI; the store's "
-                "exists() check is a local-filesystem operation, so the "
-                "root must be a local or shared-mounted path — for object "
-                "stores, manage the two parquet tables directly with "
-                "ivf_centroids/ivf_corpus_index + ivf_probe"
-            )
         self.spark = spark
         self.root = root
-        self.centroids_path = os.path.join(root, "centroids")
-        self.index_path = os.path.join(root, "index")
+        self.centroids_path = root.rstrip("/") + "/centroids"
+        self.index_path = root.rstrip("/") + "/index"
+        self._fs = HadoopFs(spark, root)
 
     def exists(self) -> bool:
-        import os
-
-        return os.path.isdir(self.centroids_path)
+        return self._fs.is_dir(self.centroids_path)
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_path)

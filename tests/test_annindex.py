@@ -218,12 +218,16 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
     new = emb.where(F.col("vec_id") % 3 == 0)
     queries = emb.where(F.col("vec_id") < 12)
 
-    import pytest
-
     from openmldb_spark.pipeline.annindex import IvfIndexStore
 
-    with pytest.raises(ValueError, match="remote URI"):
-        IvfIndexStore(spark, "s3a://bucket/ivf")
+    # r13: lifecycle runs through the Hadoop FileSystem API, so URI roots
+    # (refused in r12 while the lifecycle was os.*) work end-to-end
+    uri_store = IvfIndexStore(spark, "file://" + str(tmp_path / "ivf_uri"))
+    assert not uri_store.exists()
+    uri_store.build(old.limit(20), n_centroids=4, seed=42, **IDK)
+    assert uri_store.exists()
+    assert uri_store.probe(queries.limit(3), k=2, nprobe=2, **QK).count() > 0
+
     store = IvfIndexStore(spark, str(tmp_path / "ivf"))
     assert not store.exists()
     store.build(old, n_centroids=16, seed=42, **IDK)

@@ -310,9 +310,13 @@ def test_index_store_lifecycle(spark, tmp_path):
         wrong.near_dups(b1, "doc_id", "text").collect()
 
 
-def test_store_rejects_remote_uri_and_compact_repairs_orphans(spark, tmp_path):
-    """Lifecycle hardening (r12 code review): a remote-URI root raises at
-    construction (the compact swap is local-filesystem), and compact()
+def test_store_hadoop_fs_lifecycle_and_compact_repairs_orphans(spark, tmp_path):
+    """Lifecycle hardening (r13: Hadoop-FS lifecycle): a ``file:`` URI
+    root — refused in r12 because the lifecycle was ``os.*`` — now runs
+    the full build/ingest/compact cycle through the Hadoop FileSystem
+    API (the same path resolution Spark's parquet IO applies, so bare
+    paths on a non-``file:`` ``fs.defaultFS`` cluster cannot split
+    between driver-local and Spark-side filesystems), and compact()
     drops orphan band rows that have no signature (a torn ingest) so
     their collisions stop inflating hot buckets."""
     from openmldb_spark.pipeline.incremental import (
@@ -320,8 +324,22 @@ def test_store_rejects_remote_uri_and_compact_repairs_orphans(spark, tmp_path):
         minhash_index,
     )
 
-    with pytest.raises(ValueError, match="remote URI"):
-        MinhashIndexStore(spark, "s3a://bucket/idx", **KW)
+    uri_store = MinhashIndexStore(
+        spark, "file://" + str(tmp_path / "mh_uri"), **KW
+    )
+    assert not uri_store.exists()
+    uri_store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    assert uri_store.exists()
+    b1u = spark.createDataFrame(NEW, "doc_id int, text string")
+    got_uri = {
+        (r["new_id"], r["corpus_id"])
+        for r in uri_store.ingest(b1u, "doc_id", "text", min_jaccard_est=0.5).collect()
+    }
+    assert got_uri == {(11, 1), (12, 2)}, got_uri
+    uri_store.compact()
+    assert uri_store.index().count() == (len(OLD) + len(NEW)) * KW["bands"]
 
     store = MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
     store.build(
@@ -345,4 +363,118 @@ def test_store_rejects_remote_uri_and_compact_repairs_orphans(spark, tmp_path):
         (r["new_id"], r["corpus_id"])
         for r in store.near_dups(b1, "doc_id", "text", min_jaccard_est=0.5).collect()
     }
+    assert got == {(11, 1), (12, 2)}, got
+
+
+def test_torn_compact_self_heals_on_open(spark, tmp_path):
+    """A crash between compact()'s two renames leaves the table parked in
+    <table>.compact.old with the live path missing; the next store open
+    renames it back (HadoopFs.recover), so a torn swap costs nothing but
+    the compaction itself (ADVICE r12: the old docstring over-claimed one
+    atomic swap; the swap is two renames)."""
+    import os
+
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    root = str(tmp_path / "mh")
+    store = MinhashIndexStore(spark, root, **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    n = store.index().count()
+    # simulate the torn state: live table parked, nothing renamed back yet
+    os.rename(store.bands_path, store.bands_path + ".compact.old")
+    assert not os.path.isdir(store.bands_path)
+
+    healed = MinhashIndexStore(spark, root, **KW)
+    assert healed.exists()
+    assert healed.index().count() == n
+    assert not os.path.isdir(store.bands_path + ".compact.old")
+
+
+def test_replayed_uncompacted_probe_has_no_duplicate_pairs(spark, tmp_path):
+    """r12 verdict #2: a replayed-but-uncompacted ingestion leaves
+    duplicate (id) SIGNATURE rows, and the probe's estimate join then
+    multiplied each candidate pair. The signature read now restores the
+    one-row-per-doc invariant, so a probe between replay and compact()
+    returns the same pair SET (no duplicates) as the compacted store."""
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    store = MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    b2 = spark.createDataFrame(
+        [(21, "totally different words with no overlap at all whatsoever")],
+        "doc_id int, text string",
+    )
+    store.ingest(b2, "doc_id", "text")
+    store.ingest(b2, "doc_id", "text")  # replay, NOT compacted
+
+    probe_df = store.near_dups(
+        spark.createDataFrame(NEW, "doc_id int, text string"),
+        "doc_id", "text", min_jaccard_est=0.5,
+    )
+    rows = [(r["new_id"], r["corpus_id"]) for r in probe_df.collect()]
+    assert len(rows) == len(set(rows)), f"duplicate pairs: {sorted(rows)}"
+    got_uncompacted = set(rows)
+    assert (13, 21) in got_uncompacted  # the replayed doc still matches
+
+    store.compact()
+    got_compacted = {
+        (r["new_id"], r["corpus_id"])
+        for r in store.near_dups(
+            spark.createDataFrame(NEW, "doc_id int, text string"),
+            "doc_id", "text", min_jaccard_est=0.5,
+        ).collect()
+    }
+    assert got_uncompacted == got_compacted
+
+
+def test_mixed_parameter_index_raises(spark):
+    """ADVICE r12: an index accidentally unioned from builds with
+    different MinHash parameters must RAISE, not silently under-return
+    collisions for the mismatched portion (a first()-row check passed
+    whichever half it sampled)."""
+    old = spark.createDataFrame(OLD, "doc_id int, text string")
+    idx_a = minhash_index(old, "doc_id", "text", **KW)
+    idx_b = minhash_index(
+        old.withColumn("doc_id", F.col("doc_id") + 100),
+        "doc_id", "text", num_hashes=32, bands=4, shingle_n=3,
+    )
+    mixed = idx_a.unionByName(idx_b)
+    sigs = minhash_signature_table(
+        old, "doc_id", "text", num_hashes=32, shingle_n=3
+    )
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    with pytest.raises(ValueError, match="mixes MinHash parameter tuples"):
+        incremental_near_dups(
+            new, mixed, "doc_id", "text", signatures=sigs, **KW
+        )
+
+
+def test_ingest_signs_the_batch_exactly_once(spark, tmp_path):
+    """ADVICE r12 (medium): ingest used to run the shingle+MinHash stage
+    twice — once for detection, once for the append — so a
+    nondeterministic source could index different signatures than it
+    detected against. Pin: one ingest = exactly ONE minhash_signatures
+    call (the checkpointed signing feeds both consumers)."""
+    from openmldb_spark.pipeline import incremental as inc
+
+    store = inc.MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    calls = []
+    real = inc.minhash_signatures
+    inc.minhash_signatures = lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    try:
+        dups = store.ingest(
+            spark.createDataFrame(NEW, "doc_id int, text string"),
+            "doc_id", "text", min_jaccard_est=0.5,
+        )
+        assert len(calls) == 1, f"batch signed {len(calls)} times"
+    finally:
+        inc.minhash_signatures = real
+    got = {(r["new_id"], r["corpus_id"]) for r in dups.collect()}
     assert got == {(11, 1), (12, 2)}, got
