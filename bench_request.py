@@ -38,14 +38,20 @@ through the serving path and publishes, per arm:
   two serving overrides set once; each serve re-roots the analyzed plan
   via ``Dataset.ofRows``) — same latency, and the engine session's confs
   are never touched, so concurrently planned batch queries keep AQE.
+- ``local_p50/local_p95/local_p99`` (r13): the same requests as
+  DRIVER-LOCAL DataFrames — ``createDataFrame(pyarrow.Table)``, the
+  shape Spark Connect clients produce — through ``run_request``. The
+  request plan collapses to a ``LocalRelation``, so staging is job-free
+  (``CompiledRequestPlan._local_request_table``) and the serve runs the
+  SAME job count as the rows arm; the target is local_p50 ≈ row_p50
+  plus only the DataFrame-wrapping overhead.
 - ``batch_amortized_ms``: one BATCH-row request through ``run_request``
   divided by the batch size — the Spark-native serving shape. The
-  DataFrame arms pay one extra job the rows arm does not: evaluating the
-  caller's request DataFrame (a 1-row ``createDataFrame`` is an
-  RDD-backed plan spread over defaultParallelism Python-worker tasks,
-  ~250-350 ms on this host — the caller's plan, not the serve path;
-  r12 at least encodes the collected rows driver-side in JVM mode
-  instead of a second JVM->Arrow->driver conversion).
+  RDD-backed DataFrame arm pays one extra job the rows and local arms do
+  not: evaluating the caller's request DataFrame (a 1-row
+  ``createDataFrame`` from tuples is an RDD-backed plan spread over
+  defaultParallelism Python-worker tasks, ~250-350 ms on this host — the
+  caller's plan, not the serve path).
 
 Honest framing: each request is still a full Spark local job; the
 reference's tablet serves the same shape in single-digit ms from a
@@ -151,6 +157,23 @@ def main() -> None:
         print(f"row req {len(row_lat)}: {row_lat[-1]:.1f} ms", file=sys.stderr)
     row_lat.sort()
 
+    # driver-local (arrow-backed) request frames: LocalRelation plans,
+    # job-free staging — the Spark Connect createDataFrame shape
+    local_single = [
+        spark.createDataFrame(df.toArrow(), schema) for df in single
+    ]
+    local_lat = []
+    for req in local_single:
+        t0 = time.perf_counter()
+        rows = dep.run_request(req).collect()
+        local_lat.append((time.perf_counter() - t0) * 1000.0)
+        assert len(rows) == 1
+        print(
+            f"local req {len(local_lat)}: {local_lat[-1]:.1f} ms",
+            file=sys.stderr,
+        )
+    local_lat.sort()
+
     t0 = time.perf_counter()
     got = dep.run_request(batch).collect()
     batch_ms = (time.perf_counter() - t0) * 1000.0
@@ -162,6 +185,8 @@ def main() -> None:
         "p50": pct(lat, 50), "p95": pct(lat, 95), "p99": pct(lat, 99),
         "row_p50": pct(row_lat, 50), "row_p95": pct(row_lat, 95),
         "row_p99": pct(row_lat, 99),
+        "local_p50": pct(local_lat, 50), "local_p95": pct(local_lat, 95),
+        "local_p99": pct(local_lat, 99),
         "n": n_reqs,
         "batch_rows": batch_rows,
         "batch_amortized_ms": round(batch_ms / batch_rows, 2),

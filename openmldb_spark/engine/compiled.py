@@ -179,6 +179,65 @@ def _encode_staged_lines(table, pad_bytes: int, schema=None) -> bytes:
     return data + b"\n" * (pad_bytes - len(data))
 
 
+def _exact_collect_plan(df: DataFrame, schema):
+    """``(projected_df, ts_field_indices)`` for a timezone-exact one-job
+    collect: top-level tz-aware ``timestamp`` columns are projected to
+    epoch-micros (a plain ``collect`` would round-trip them through NAIVE
+    driver-local datetimes, which cannot represent the repeated DST
+    hour); every other type collects exactly as-is. Returns ``(None,
+    None)`` when the schema defeats the projection — duplicate column
+    names (un-addressable by name) or timestamps buried in nested types —
+    and the caller should use the ``toArrow`` fallback instead."""
+    names = [f.name for f in schema.fields]
+    if len(set(names)) != len(names):
+        return None, None
+    ts_idx = []
+    for i, f in enumerate(schema.fields):
+        tn = f.dataType.typeName()
+        if tn == "timestamp":
+            ts_idx.append(i)
+        elif tn != "timestamp_ntz" and "timestamp" in f.dataType.simpleString():
+            return None, None  # nested timestamps (array/map/struct)
+    if not ts_idx:
+        return df, ts_idx
+    keep = set(ts_idx)
+    return (
+        df.select(
+            *[
+                F.unix_micros(F.col(n)).alias(n) if i in keep else F.col(n)
+                for i, n in enumerate(names)
+            ]
+        ),
+        ts_idx,
+    )
+
+
+def _rows_to_arrow(rows, ts_idx, schema):
+    """Rebuild collected rows (timestamps as epoch-micros per
+    ``_exact_collect_plan``) into Spark's Arrow encoding of ``schema`` —
+    ``LocalDataToArrowConversion`` emits the same layout ``toArrow``
+    would, so both directions of the driver-local fast path are
+    bit-identical with the job-paying paths."""
+    import datetime
+
+    from pyspark.sql.conversion import LocalDataToArrowConversion
+
+    if not rows:  # the conversion asserts a non-empty batch
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        return pa.Table.from_pylist([], schema=to_arrow_schema(schema))
+    epoch = datetime.datetime(1970, 1, 1, tzinfo=datetime.timezone.utc)
+    out = []
+    for r in rows:
+        vals = list(r)
+        for i in ts_idx:
+            if vals[i] is not None:
+                vals[i] = epoch + datetime.timedelta(microseconds=vals[i])
+        out.append(tuple(vals))
+    return LocalDataToArrowConversion.convert(out, schema, False)
+
+
 def _serving_session(spark):
     """The isolated serving session: a ``newSession()`` clone sharing the
     SparkContext, catalog and cache manager but owning its conf — AQE off
@@ -258,12 +317,12 @@ class CompiledRequestPlan:
       the plan captured: any DML epoch bump / TTL pin / mode change makes
       ``run_request`` drop and recompile.
 
-    The serve contract is collect-before-next-serve (the returned
-    DataFrame reads the staged file at collect time); ``Engine``'s serving
-    surfaces collect eagerly. :meth:`serve_rows` additionally holds a lock
-    across stage+collect, so concurrent callers (the ThreadingHTTPServer
-    RESTful handler routes through it) serialize per deployment instead of
-    overwriting each other's staged rows.
+    Both serve arms are EAGER and hold the per-plan lock across
+    stage+collect, so concurrent callers (the ThreadingHTTPServer RESTful
+    handler, parallel ``run_request`` calls) serialize per deployment
+    instead of overwriting each other's staged rows: :meth:`serve_rows`
+    returns collected rows; :meth:`serve` returns the collected result
+    re-wrapped as a driver-local DataFrame (job-free to collect).
     """
 
     def __init__(self, dep: "SqlDeployment", key: tuple):
@@ -344,10 +403,26 @@ class CompiledRequestPlan:
         )
         return DataFrame(jdf, session)
 
-    #: runtime confs that change serve SEMANTICS (not just planning) and
-    #: may legitimately change after compile — re-synced from the engine
-    #: session onto the clone before every serve (two gets, rarely a set)
-    _SEMANTIC_CONFS = ("spark.sql.session.timeZone", "spark.sql.ansi.enabled")
+    #: REGISTRY CONTRACT: any runtime conf that changes serve RESULT
+    #: VALUES (not merely plan shape) and can legitimately be SET after a
+    #: deployment compiles MUST be listed here — it is re-synced from the
+    #: engine session onto the serving clone before every serve (a few
+    #: gets, rarely a set), so a post-deploy ``SET`` reaches compiled
+    #: serves exactly like uncompiled ones. Planning confs (AQE, shuffle
+    #: fan-out) intentionally stay pinned to the serving profile; the
+    #: serve-time shuffle fan-out itself is the one planning knob that
+    #: re-syncs (SERVING_SHUFFLE_PARTITIONS_CONF below), since it is this
+    #: module's own documented surface. Anything semantics-bearing left
+    #: off this list silently diverges between the two paths (ADVICE r12
+    #: named caseSensitive / timeParserPolicy / mapKeyDedupPolicy — now
+    #: listed).
+    _SEMANTIC_CONFS = (
+        "spark.sql.session.timeZone",
+        "spark.sql.ansi.enabled",
+        "spark.sql.caseSensitive",
+        "spark.sql.legacy.timeParserPolicy",
+        "spark.sql.mapKeyDedupPolicy",
+    )
 
     def _fresh_serve_df(self) -> DataFrame:
         """A fresh Dataset over the compiled plan for one serve — on the
@@ -366,6 +441,12 @@ class CompiledRequestPlan:
                 v = self.spark.conf.get(k, None)
                 if v is not None and self._serve_spark.conf.get(k, None) != v:
                     self._serve_spark.conf.set(k, v)
+            # the serving fan-out knob is re-read per serve so a later
+            # SET takes effect without redeploying (ADVICE r12: it froze
+            # at compile time)
+            fan = self.spark.conf.get(SERVING_SHUFFLE_PARTITIONS_CONF, "1")
+            if self._serve_spark.conf.get("spark.sql.shuffle.partitions") != fan:
+                self._serve_spark.conf.set("spark.sql.shuffle.partitions", fan)
             return self._reroot(self._serve_spark)
         return self.plan.where(F.lit(True))
 
@@ -383,17 +464,59 @@ class CompiledRequestPlan:
                 w.write_table(table)
         os.replace(tmp, self._staged)
 
+    def _local_request_table(self, requests: DataFrame):
+        """The request batch as an Arrow table WITHOUT a Spark job, when
+        the caller's plan collapses to a ``LocalRelation`` (arrow- or
+        pandas-created frames; the optimizer folds deterministic
+        projections into the relation, and ``LocalTableScanExec``'s
+        collect is job-free) — else ``None`` and the caller pays the one
+        evaluation job via ``toArrow``. Tuple-list ``createDataFrame``
+        output is RDD-backed in classic PySpark, so it does NOT take this
+        path (use :meth:`serve_rows` for driver-held rows)."""
+        schema = self.dep.input_schema
+        proj, ts_idx = _exact_collect_plan(requests, schema)
+        if proj is None:
+            return None
+        try:
+            qe = proj._jdf.queryExecution()
+            if qe.optimizedPlan().getClass().getSimpleName() != "LocalRelation":
+                return None
+            rows = proj.collect()  # LocalTableScanExec: no job
+        except Exception:  # non-classic backend / unexpected plan surface
+            return None
+        return _rows_to_arrow(rows, ts_idx, schema)
+
     def serve(self, requests: DataFrame) -> DataFrame:
-        """Stage a request DataFrame and return a fresh serve Dataset.
-        One job evaluates the caller's request plan (unavoidable — it is
-        usually an RDD-backed ``createDataFrame``); ``toArrow`` keeps the
-        values exact in both staging modes (a collect()-then-reconvert
-        round trip would pass timestamps through NAIVE driver-local
-        datetimes, which cannot represent the repeated DST hour).
-        Driver-held rows should use ``run_request_rows``, which skips
-        the staging job entirely."""
-        self._write_staged(requests.toArrow())
-        return self._fresh_serve_df()
+        """Stage a request DataFrame, run the serve, and return the result
+        as a driver-local DataFrame. Staging AND the serve's collect run
+        under the per-plan lock (the same discipline as
+        :meth:`serve_rows`), so two concurrent ``run_request(df)`` calls
+        on one deployment can no longer interleave stage/collect and
+        serve each other's rows (r12 verdict #3) — the old contract
+        ("collect the returned Dataset before the next serve") is now
+        enforced by construction instead of documented.
+
+        Cost shape: driver-local request plans (``LocalRelation`` — see
+        :meth:`_local_request_table`) stage with ZERO extra Spark jobs;
+        RDD-backed plans pay one ``toArrow`` evaluation job. The serve
+        itself collects through the timestamp-exact projection (ONE job —
+        ``toArrow`` on the result would run two) and is handed back as a
+        ``LocalRelation``-backed DataFrame (job-free to collect again),
+        so a driver-local request round-trips in a single Spark job,
+        matching the rows arm's job count."""
+        table = self._local_request_table(requests)
+        if table is None:
+            table = requests.toArrow()
+        out_schema = self.plan.schema
+        with self._lock:
+            self._write_staged(table)
+            sdf = self._fresh_serve_df()
+            proj, ts_idx = _exact_collect_plan(sdf, out_schema)
+            if proj is None:  # nested/duplicate-name timestamps: exact, 2 jobs
+                out = sdf.toArrow()
+            else:
+                out = _rows_to_arrow(proj.collect(), ts_idx, out_schema)
+        return self.spark.createDataFrame(out, schema=out_schema)
 
     def serve_rows(self, rows: list) -> list:
         """Driver-side staging + eager collect: no Spark job other than

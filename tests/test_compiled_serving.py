@@ -573,3 +573,114 @@ def test_semantic_confs_resync_to_serving_clone(spark):
         assert sdf.sparkSession is cp._serve_spark
     finally:
         spark.conf.set("spark.sql.session.timeZone", tz0)
+
+
+def test_concurrent_serve_df_no_cross_talk(spark):
+    """r13 (r12 verdict #3): the DataFrame serve arm now stages AND
+    collects under the per-plan lock and returns an eager driver-local
+    result, so two concurrent run_request(df) calls on one deployment
+    each get THEIR OWN rows instead of interleaving stage/collect."""
+    import concurrent.futures
+
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dcdf {SQL}")
+    dep.run_request(_req(spark, dep, [(0, "aa", 0, 1590738995000)])).collect()
+
+    def call(i):
+        key = "aa" if i % 2 == 0 else "bb"
+        df = dep.run_request(
+            _req(spark, dep, [(100 + i, key, i, 1590738995000)])
+        )
+        rows = df.collect()
+        assert len(rows) == 1
+        return rows[0]["id"], rows[0]["s"], key, i
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        results = list(ex.map(call, range(16)))
+    for rid, s, key, i in results:
+        hist = 30 + 31 if key == "aa" else 50
+        assert rid == 100 + i and s == hist + i, (rid, s, key, i)
+
+
+def test_local_relation_requests_stage_without_a_job(spark):
+    """r13 (r12 verdict #5): a driver-local request plan (arrow-table
+    createDataFrame -> LocalRelation) stages job-free, so the whole serve
+    runs exactly ONE Spark job (the serve itself); an RDD-backed request
+    frame pays the extra toArrow evaluation job. Values are pinned equal
+    across the local, RDD, and rows arms — including a timestamp."""
+    import pyarrow as pa
+
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dloc {SQL}")
+    dep.run_request_rows(_conv([(0, "aa", 0, 1590738995000)]))  # compile
+
+    row = (9, "aa", 40, 1590738995000)
+    rdd_req = _req(spark, dep, [row])
+    arrow_req = spark.createDataFrame(rdd_req.toArrow(), dep.input_schema)
+    assert (
+        arrow_req._jdf.queryExecution()
+        .optimizedPlan().getClass().getSimpleName()
+        == "LocalRelation"
+    )
+
+    def jobs_during(fn):
+        sc = spark.sparkContext
+        tracker = sc._jsc.sc().statusTracker()
+        before = len(tracker.getJobIdsForGroup(None))
+        out = fn()
+        return out, len(tracker.getJobIdsForGroup(None)) - before
+
+    got_local, n_local = jobs_during(
+        lambda: dep.run_request(arrow_req).collect()
+    )
+    got_rdd, n_rdd = jobs_during(lambda: dep.run_request(rdd_req).collect())
+    got_rows, n_rows = jobs_during(lambda: dep.run_request_rows(_conv([row])))
+    as_tuples = lambda rows: sorted(tuple(r) for r in rows)
+    assert as_tuples(got_local) == as_tuples(got_rdd) == as_tuples(got_rows)
+    assert got_local[0]["s"] == 30 + 31 + 40
+    # the serve plan itself may run >1 job (broadcast exchanges submit
+    # their own); the pin is RELATIVE: the local-relation arm matches the
+    # rows arm exactly (zero staging jobs, job-free result collect), and
+    # the RDD-backed arm pays exactly one extra toArrow evaluation job
+    assert n_local == n_rows, (n_local, n_rows)
+    assert n_rdd == n_rows + 1, (n_rdd, n_rows)
+
+
+def test_serving_shuffle_partitions_resyncs_per_serve(spark):
+    """ADVICE r12: SERVING_SHUFFLE_PARTITIONS_CONF was read once at
+    compile, so a later SET was silently ignored; it now re-syncs onto
+    the serving clone before every serve."""
+    from openmldb_spark.engine.compiled import SERVING_SHUFFLE_PARTITIONS_CONF
+
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dfan {SQL}")
+    dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    cp = dep._compiled
+    assert cp is not None and cp._serve_spark is not None
+    assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "1"
+    spark.conf.set(SERVING_SHUFFLE_PARTITIONS_CONF, "2")
+    try:
+        got = dep.run_request_rows(_conv([(10, "aa", 1, 1590738996000)]))
+        assert len(got) == 1
+        assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "2"
+    finally:
+        spark.conf.unset(SERVING_SHUFFLE_PARTITIONS_CONF)
+        dep.run_request_rows(_conv([(11, "aa", 1, 1590738997000)]))
+        assert cp._serve_spark.conf.get("spark.sql.shuffle.partitions") == "1"
+
+
+def test_case_sensitivity_conf_reaches_compiled_serves(spark):
+    """The broadened semantic-conf registry: a post-deploy SET of
+    spark.sql.caseSensitive reaches the serving clone (the registry
+    contract: semantics-bearing runtime confs re-sync per serve)."""
+    eng = _engine(spark)
+    dep = eng.execute(f"DEPLOY dcase {SQL}")
+    dep.run_request_rows(_conv([(9, "aa", 40, 1590738995000)]))
+    cp = dep._compiled
+    assert cp is not None and cp._serve_spark is not None
+    spark.conf.set("spark.sql.caseSensitive", "true")
+    try:
+        cp._fresh_serve_df()
+        assert cp._serve_spark.conf.get("spark.sql.caseSensitive") == "true"
+    finally:
+        spark.conf.set("spark.sql.caseSensitive", "false")
