@@ -296,11 +296,24 @@ def q_window_exclude(spark: SparkSession, sf: str) -> DataFrame:
         {"sv_skew": A.sum_("value"), "cnt_skew": A.count_all()},
         buckets=4,
     ).select("event_id", "sv_skew", "cnt_skew")
-    return out.join(skew, "event_id").select(
+    # r13: the ROWS (count-frame) skew arm — replication bounded by
+    # per-bucket row counts instead of a time range; tie order pinned by
+    # event_id so the DuckDB oracle's ORDER BY matches exactly
+    wd_rsk = WindowDef(
+        partition_by=["user_id"], order_by="ts_ms", rows=20, tiebreak="event_id"
+    )
+    rskew = window_agg_skewed(
+        e.select("event_id", "user_id", "ts_ms", "value"),
+        wd_rsk,
+        {"sv_rsk": A.sum_("value"), "cnt_rsk": A.count_all()},
+        buckets=4,
+    ).select("event_id", "sv_rsk", "cnt_rsk")
+    return out.join(skew, "event_id").join(rskew, "event_id").select(
         "event_id", "user_id",
         F.round("sv_xr", 4).alias("sv_xr"), "cnt_xr",
         F.round("sv_xt", 4).alias("sv_xt"), "cnt_xt",
         F.round("sv_skew", 4).alias("sv_skew"), "cnt_skew",
+        F.round("sv_rsk", 4).alias("sv_rsk"), "cnt_rsk",
     )
 
 
@@ -1346,7 +1359,9 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value) OVER wxt, 4) AS sv_xt,
                    count(value) OVER wxt AS cnt_xt,
                    round(sum(value) OVER wsk, 4) AS sv_skew,
-                   count(*) OVER wsk AS cnt_skew
+                   count(*) OVER wsk AS cnt_skew,
+                   round(sum(value) OVER wrk, 4) AS sv_rsk,
+                   count(*) OVER wrk AS cnt_rsk
             FROM events
             WINDOW wxr AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
                            RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW
@@ -1355,7 +1370,9 @@ def oracle_sql() -> dict[str, str]:
                            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
                            EXCLUDE TIES),
                    wsk AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
-                           RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW)
+                           RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW),
+                   wrk AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                           ROWS BETWEEN 20 PRECEDING AND CURRENT ROW)
         """,
         "window_maxsize": """
             WITH framed AS (

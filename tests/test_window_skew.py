@@ -63,3 +63,68 @@ def test_skew_split_preserves_end_bound(spark):
     plain = {r["ts"]: r["s"] for r in window_agg(df, wd, {"s": A.sum_("v")}).collect()}
     skewed = {r["ts"]: r["s"] for r in window_agg_skewed(df, wd, {"s": A.sum_("v")}, buckets=4).collect()}
     assert plain == skewed
+
+
+@pytest.mark.parametrize("buckets", [2, 4, 8])
+@pytest.mark.parametrize("n", [1, 5, 50])
+def test_rows_frame_equals_plain_window(spark, skewed, buckets, n):
+    """r13 (r12 verdict #4): plain ROWS (count) frames split exactly —
+    replication bounds come from per-bucket row counts, as in the
+    reference's count-frame skew opt (WindowAggPlan.scala:201-323).
+    Same-ts peers exist in the hot key (every 3 rows share a ts), so the
+    tie order is pinned with the unique id column."""
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows=n, tiebreak="id")
+    aggs = lambda: {"s": A.sum_("v"), "c": A.count_all(), "mx": A.max_("v")}
+    plain = {
+        r["id"]: (r["s"], r["c"], r["mx"])
+        for r in window_agg(skewed, wd, aggs()).collect()
+    }
+    skw = {
+        r["id"]: (r["s"], r["c"], r["mx"])
+        for r in window_agg_skewed(skewed, wd, aggs(), buckets=buckets).collect()
+    }
+    assert plain == skw
+
+
+def test_rows_frame_with_end_rows_and_open_preceding(spark, skewed):
+    """Bounded upper ends and OPEN lower bounds only narrow ROWS frames,
+    so the count-based replication stays sufficient."""
+    for kw in (dict(end_rows=2), dict(open_preceding=True)):
+        wd = WindowDef(
+            partition_by=["k"], order_by="ts", rows=6, tiebreak="id", **kw
+        )
+        plain = {
+            r["id"]: (r["s"], r["c"])
+            for r in window_agg(
+                skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}
+            ).collect()
+        }
+        skw = {
+            r["id"]: (r["s"], r["c"])
+            for r in window_agg_skewed(
+                skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}, buckets=4
+            ).collect()
+        }
+        assert plain == skw, kw
+
+
+def test_rows_frame_exclude_current_time(spark, skewed):
+    """EXCLUDE CURRENT_TIME over a ROWS frame widens the collected
+    lookback by lookback_slack; the replication lookback widens with it."""
+    wd = WindowDef(
+        partition_by=["k"], order_by="ts", rows=5,
+        exclude_current_time=True, tiebreak="id",
+    )
+    plain = {
+        r["id"]: (r["s"], r["c"])
+        for r in window_agg(
+            skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}
+        ).collect()
+    }
+    skw = {
+        r["id"]: (r["s"], r["c"])
+        for r in window_agg_skewed(
+            skewed, wd, {"s": A.sum_("v"), "c": A.count_("v")}, buckets=4
+        ).collect()
+    }
+    assert plain == skw
