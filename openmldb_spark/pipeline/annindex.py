@@ -178,14 +178,43 @@ def ivf_probe(
     )
 
 
+def ivf_assignment_stats(indexed: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Per-bucket assignment-quality stats over an already-assigned index
+    slice: ``(cidx, n, mean_cos, min_cos)`` — cosine of each vector to
+    its OWN centroid. Cost shape: one broadcast join on ``cidx`` (the
+    centroid table is ≤ n_centroids rows) + one map-side-combinable
+    ``groupBy(cidx)`` collapsing to ≤ n_centroids output rows — no
+    re-assignment, no extra pass over the vectors beyond the one scan.
+    This is the measured input the "re-train centroids?" decision needs:
+    compare a new batch's distribution against the build-time one
+    (:meth:`IvfIndexStore.drift_stats`) — a batch whose mean cosine to
+    its assigned centroids falls well below the build-time mean is
+    drifting out of the trained partitioning."""
+    c = centroids.select("cidx", "centroid")
+    cosv = cosine(F.col("vec"), F.col("centroid"))
+    return (
+        indexed.join(F.broadcast(c), "cidx")
+        .groupBy("cidx")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg(cosv).alias("mean_cos"),
+            F.min(cosv).alias("min_cos"),
+        )
+    )
+
+
 class IvfIndexStore:
     """Parquet-backed lifecycle for the persisted IVF index: centroids
     written once at :meth:`build`, corpus vectors appended in
     cidx-partitioned parquet (:meth:`ingest` — no re-clustering; Spark's
     dynamic ``mode("append")`` adds files under the existing bucket
     directories), probes via :func:`ivf_probe` with file-level partition
-    pruning. Centroid drift is an offline decision: re-train and
-    :meth:`build` a fresh root.
+    pruning. Centroid drift is an offline decision — re-train and
+    :meth:`build` a fresh root — but it is an OBSERVED one:
+    :meth:`drift_stats` (or ``ingest(return_drift=True)``) compares each
+    batch's per-bucket cosine distribution against the build-time
+    baseline persisted at :meth:`build`, reusing the ingest assignment
+    (zero extra shuffles beyond one tiny ≤ n_centroids-row aggregate).
 
     Layout under ``root``: ``centroids/`` (``(cidx, centroid)``) and
     ``index/`` partitioned by ``cidx``.
@@ -204,6 +233,7 @@ class IvfIndexStore:
         self.root = root
         self.centroids_path = root.rstrip("/") + "/centroids"
         self.index_path = root.rstrip("/") + "/index"
+        self.stats_path = root.rstrip("/") + "/stats"
         self._fs = HadoopFs(spark, root)
 
     def exists(self) -> bool:
@@ -233,16 +263,103 @@ class IvfIndexStore:
             n_centroids=n_centroids, seed=seed, centroids=centroids,
         )
         cent.write.parquet(self.centroids_path)
-        ivf_corpus_index(
+        indexed = ivf_corpus_index(
             corpus, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
-        ).write.partitionBy("cidx").parquet(self.index_path)
+        ).localCheckpoint()
+        indexed.write.partitionBy("cidx").parquet(self.index_path)
+        # build-time assignment-quality baseline for drift_stats — from
+        # the SAME assignment that was just written (one extra tiny agg)
+        ivf_assignment_stats(indexed, self.centroids()).write.parquet(
+            self.stats_path
+        )
 
-    def ingest(self, batch: DataFrame, *, corpus_id: str, corpus_vec: str) -> None:
+    def build_stats(self) -> DataFrame:
+        """The build-time assignment-quality baseline ``(cidx, n,
+        mean_cos, min_cos)``. Stores built before the stats table existed
+        recompute it from the stored index ON DEMAND and persist it —
+        one full index scan, explicit and once."""
+        if not self._fs.is_dir(self.stats_path):
+            ivf_assignment_stats(self.index(), self.centroids()).write.parquet(
+                self.stats_path
+            )
+        return self.spark.read.parquet(self.stats_path)
+
+    def ingest(
+        self,
+        batch: DataFrame,
+        *,
+        corpus_id: str,
+        corpus_vec: str,
+        return_drift: bool = False,
+    ) -> DataFrame | None:
         """Assign a new batch against the STORED centroids and append its
-        rows under the existing bucket partitions."""
-        ivf_corpus_index(
+        rows under the existing bucket partitions. With
+        ``return_drift=True`` the drift comparison is computed from the
+        SAME (checkpointed) assignment that was appended — zero extra
+        assignment passes — and returned (see :meth:`drift_stats`)."""
+        indexed = ivf_corpus_index(
             batch, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
-        ).write.partitionBy("cidx").mode("append").parquet(self.index_path)
+        )
+        if not return_drift:
+            indexed.write.partitionBy("cidx").mode("append").parquet(
+                self.index_path
+            )
+            return None
+        indexed = indexed.localCheckpoint()
+        indexed.write.partitionBy("cidx").mode("append").parquet(self.index_path)
+        return self._drift(ivf_assignment_stats(indexed, self.centroids()))
+
+    def drift_stats(
+        self, batch: DataFrame, *, corpus_id: str, corpus_vec: str
+    ) -> DataFrame:
+        """Centroid-drift check WITHOUT ingesting: assign ``batch`` to
+        the stored centroids (zero-shuffle broadcast assignment) and
+        compare its per-bucket cosine distribution to the build-time
+        baseline. Returns one row per bucket touched by either side:
+        ``(cidx, n_batch, mean_cos_batch, min_cos_batch, n_build,
+        mean_cos_build, min_cos_build, delta_mean_cos)`` —
+        ``delta_mean_cos`` < 0 means the batch sits farther from its
+        centroids than the build did; sustained strongly-negative deltas
+        are the measured signal that re-training (an offline rebuild
+        decision, see the class docstring) is due."""
+        return self._drift(
+            ivf_assignment_stats(
+                ivf_corpus_index(
+                    batch, self.centroids(),
+                    corpus_id=corpus_id, corpus_vec=corpus_vec,
+                ),
+                self.centroids(),
+            )
+        )
+
+    def _drift(self, batch_stats: DataFrame) -> DataFrame:
+        base = self.build_stats().select(
+            "cidx",
+            F.col("n").alias("n_build"),
+            F.col("mean_cos").alias("mean_cos_build"),
+            F.col("min_cos").alias("min_cos_build"),
+        )
+        b = batch_stats.select(
+            "cidx",
+            F.col("n").alias("n_batch"),
+            F.col("mean_cos").alias("mean_cos_batch"),
+            F.col("min_cos").alias("min_cos_batch"),
+        )
+        return (
+            b.join(base, "cidx", "full_outer")
+            .withColumn(
+                "n_batch", F.coalesce(F.col("n_batch"), F.lit(0).cast("long"))
+            )
+            .withColumn(
+                "delta_mean_cos",
+                F.col("mean_cos_batch") - F.col("mean_cos_build"),
+            )
+            .select(
+                "cidx", "n_batch", "mean_cos_batch", "min_cos_batch",
+                "n_build", "mean_cos_build", "min_cos_build",
+                "delta_mean_cos",
+            )
+        )
 
     def probe(
         self,

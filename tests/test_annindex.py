@@ -252,3 +252,61 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
 
     parts = [d for d in os.listdir(str(tmp_path / "ivf" / "index")) if d.startswith("cidx=")]
     assert parts and store.index().count() == emb.count()
+
+
+def test_drift_stats_baseline_and_identical_batch(spark, tmp_path):
+    """r13 (r12 verdict #6): drift observability. Build persists the
+    per-bucket assignment-quality baseline; a batch drawn from the SAME
+    distribution as the build (here: the build rows themselves) shows
+    delta_mean_cos == 0 per touched bucket, and the no-ingest
+    drift_stats equals the drift returned by ingest(return_drift=True)
+    computed from the ingest's own assignment."""
+    from openmldb_spark.pipeline.annindex import IvfIndexStore
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.build(old, n_centroids=8, seed=42, **IDK)
+
+    base = {r["cidx"]: r for r in store.build_stats().collect()}
+    assert base and all(r["n"] > 0 for r in base.values())
+    assert all(-1.0 <= r["min_cos"] <= r["mean_cos"] <= 1.0 for r in base.values())
+
+    same = {r["cidx"]: r for r in store.drift_stats(old, **IDK).collect()}
+    assert set(same) == set(base)
+    for cidx, r in same.items():
+        assert r["n_batch"] == r["n_build"] == base[cidx]["n"]
+        assert abs(r["delta_mean_cos"]) < 1e-12, (cidx, r["delta_mean_cos"])
+
+    # a disjoint batch through ingest(return_drift=True): same shape,
+    # stats computed from the ingested assignment itself
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    drift = store.ingest(new, return_drift=True, **IDK)
+    rows = {r["cidx"]: r for r in drift.collect()}
+    assert sum(r["n_batch"] for r in rows.values()) == new.count()
+    # build-side columns still reflect the BUILD baseline, not the append
+    for cidx, r in rows.items():
+        if r["n_build"] is not None:
+            assert r["n_build"] == base[cidx]["n"]
+    # and the probe path still works over the appended index
+    assert store.probe(emb.limit(3), k=2, nprobe=2, **QK).count() > 0
+
+
+def test_build_stats_backfills_pre_r13_store(spark, tmp_path):
+    """A store built before the stats table existed recomputes the
+    baseline from the stored index on demand and persists it."""
+    import os
+
+    from openmldb_spark.pipeline.annindex import IvfIndexStore
+
+    emb = load_table(spark, SF, "embeddings").limit(30)
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.build(emb, n_centroids=4, seed=42, **IDK)
+    # simulate a pre-r13 store: drop the stats table
+    import shutil
+
+    shutil.rmtree(store.stats_path)
+    assert not os.path.isdir(store.stats_path)
+    got = store.build_stats()
+    assert os.path.isdir(store.stats_path)
+    assert sum(r["n"] for r in got.collect()) == 30
