@@ -942,10 +942,33 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
         emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 50)),
         idx, cent, query_id="vec_id", query_vec="embedding", k=4, nprobe=3,
     )
+    # r13 arm: centroid-drift observability (pipeline/annindex.py
+    # ivf_assignment_stats — the measured input of the "re-train?"
+    # decision). Encoded into this entry's (query_id, neighbor_id, cos,
+    # rank) shape under a DISJOINT negative-query_id namespace: one
+    # mean-cos row (rank 0) and one min-cos row (rank 1) per bucket,
+    # query_id = -(cidx+1), neighbor_id = bucket row count — every value
+    # independently hashed by the oracle (the r12 fold precedent).
+    from openmldb_spark.pipeline.annindex import ivf_assignment_stats
+
+    stats = ivf_assignment_stats(idx, cent)
+    drift = stats.select(
+        (-(F.col("cidx") + 1)).cast("long").alias("query_id"),
+        F.col("n").alias("neighbor_id"),
+        (F.round("mean_cos", 4) + F.lit(0.0)).alias("cos"),
+        F.lit(0).alias("rank"),
+    ).unionByName(
+        stats.select(
+            (-(F.col("cidx") + 1)).cast("long").alias("query_id"),
+            F.col("n").alias("neighbor_id"),
+            (F.round("min_cos", 4) + F.lit(0.0)).alias("cos"),
+            F.lit(1).alias("rank"),
+        )
+    )
     return out.unionByName(probe).select(
         "query_id", "neighbor_id",
         (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank",
-    )
+    ).unionByName(drift)
 
 
 def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
@@ -1579,6 +1602,51 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
             FROM scored QUALIFY rank <= 4
         
+            )
+            UNION ALL
+            SELECT * FROM (
+
+            WITH hashed AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     ('0x' || substr(md5('42|' || vec_id), 1, 15))::BIGINT AS h
+              FROM embeddings
+            ), cent AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cidx, v AS cv
+              FROM (SELECT h, vec_id, v FROM hashed ORDER BY h, vec_id LIMIT 16)
+            ), ev AS (
+              SELECT vec_id, v,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(v, x -> x * x)), (a, b) -> a + b)) AS nrm
+              FROM hashed
+            ), cn AS (
+              SELECT cidx, cv,
+                     sqrt(list_reduce(list_prepend(0.0,
+                          list_transform(cv, x -> x * x)), (a, b) -> a + b)) AS cnrm
+              FROM cent
+            ), paired AS (
+              SELECT e.vec_id, c.cidx,
+                     list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(e.v, c.cv),
+                             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))),
+                         (a, b) -> a + b) / (e.nrm * c.cnrm) AS ccos
+              FROM ev e CROSS JOIN cn c
+            ), assigned AS (
+              SELECT vec_id, cidx, ccos FROM paired
+              QUALIFY row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, cidx ASC) = 1
+            ), stats AS (
+              SELECT cidx, CAST(count(*) AS BIGINT) AS n,
+                     avg(ccos) AS mean_cos, min(ccos) AS min_cos
+              FROM assigned GROUP BY cidx
+            )
+            SELECT CAST(-(cidx + 1) AS BIGINT) AS query_id, n AS neighbor_id,
+                   round(mean_cos, 4) + 0.0 AS cos, CAST(0 AS INT) AS rank
+            FROM stats
+            UNION ALL
+            SELECT CAST(-(cidx + 1) AS BIGINT) AS query_id, n AS neighbor_id,
+                   round(min_cos, 4) + 0.0 AS cos, CAST(1 AS INT) AS rank
+            FROM stats
+
             )""",
         "udaf_where": """
             SELECT l_returnflag,
