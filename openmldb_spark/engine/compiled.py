@@ -200,11 +200,15 @@ def _exact_collect_plan(df: DataFrame, schema):
             return None, None  # nested timestamps (array/map/struct)
     if not ts_idx:
         return df, ts_idx
+
+    def q(n: str):  # backtick-quote: dotted names must not parse as paths
+        return F.col("`" + n.replace("`", "``") + "`")
+
     keep = set(ts_idx)
     return (
         df.select(
             *[
-                F.unix_micros(F.col(n)).alias(n) if i in keep else F.col(n)
+                F.unix_micros(q(n)).alias(n) if i in keep else q(n)
                 for i, n in enumerate(names)
             ]
         ),
@@ -537,7 +541,13 @@ class CompiledRequestPlan:
             return self._fresh_serve_df().collect()
 
     def release(self) -> None:
-        for df in self._materialized:
-            df.unpersist()
-        self._materialized.clear()
-        shutil.rmtree(self._dir, ignore_errors=True)
+        """Drop the staged directory and resident join-side caches —
+        under the per-plan lock, so an epoch-bump recompile triggered by
+        one thread cannot yank the staged file / materialized state out
+        from under another thread's in-flight locked serve (the release
+        simply queues behind it)."""
+        with self._lock:
+            for df in self._materialized:
+                df.unpersist()
+            self._materialized.clear()
+            shutil.rmtree(self._dir, ignore_errors=True)

@@ -65,11 +65,44 @@ class HadoopFs:
                 f"{self.qualified(dst)}"
             )
 
-    def recover(self, p: str, suffix: str = ".compact.old") -> None:
-        """Self-heal a torn stage-and-swap: if ``p`` is missing but the
-        parked ``p + suffix`` exists (a crash landed between compact's
-        two renames), rename the parked directory back so the table is
-        readable again. No-op otherwise."""
-        parked = p + suffix
-        if not self.is_dir(p) and self.is_dir(parked):
-            self.rename(parked, p)
+    def is_complete_write(self, p: str) -> bool:
+        """True iff ``p`` is a directory holding a COMMITTED Spark write
+        (the ``_SUCCESS`` marker the Hadoop committer drops at job
+        commit). Distinguishes a finished staged rewrite from one whose
+        writing job died midway."""
+        return self.is_dir(p) and bool(
+            self._fs.exists(self._path(p.rstrip("/") + "/_SUCCESS"))
+        )
+
+    def recover_swap(
+        self,
+        p: str,
+        old_suffix: str = ".compact.old",
+        tmp_suffix: str = ".compact.tmp",
+    ) -> None:
+        """Self-heal a stage-and-swap (write ``p+tmp``; park ``p`` at
+        ``p+old``; rename ``p+tmp`` → ``p``; drop ``p+old``) torn at ANY
+        point, including mid-rename on a copy+delete object store:
+
+        - a COMMITTED staged rewrite (``tmp`` with ``_SUCCESS``)
+          supersedes whatever ``p`` holds — a partially-copied live
+          table from a torn ``rename(tmp, p)``, or the pre-swap
+          original — so the swap is rolled FORWARD (delete ``p``,
+          rename ``tmp`` in);
+        - an UNCOMMITTED ``tmp`` (its writing job died) is deleted —
+          the live/parked table is still the source of truth;
+        - a missing ``p`` with a parked ``old`` (crash between the two
+          renames, no usable ``tmp``) rolls BACK by renaming the parked
+          table in.
+
+        Single-writer contract: callers must not run recovery (store
+        open) concurrently with an in-flight compact."""
+        tmp, old = p + tmp_suffix, p + old_suffix
+        if self.is_complete_write(tmp):
+            self.delete(p)
+            self.rename(tmp, p)
+            self.delete(old)
+            return
+        self.delete(tmp)
+        if not self.is_dir(p) and self.is_dir(old):
+            self.rename(old, p)

@@ -263,22 +263,28 @@ class IvfIndexStore:
             n_centroids=n_centroids, seed=seed, centroids=centroids,
         )
         cent.write.parquet(self.centroids_path)
-        indexed = ivf_corpus_index(
+        ivf_corpus_index(
             corpus, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
-        ).localCheckpoint()
-        indexed.write.partitionBy("cidx").parquet(self.index_path)
-        # build-time assignment-quality baseline for drift_stats — from
-        # the SAME assignment that was just written (one extra tiny agg)
-        ivf_assignment_stats(indexed, self.centroids()).write.parquet(
+        ).write.partitionBy("cidx").parquet(self.index_path)
+        # build-time assignment-quality baseline for drift_stats — read
+        # back from the files just written (one extra columnar scan; a
+        # localCheckpoint of the assignment would pin a second full copy
+        # of the corpus in executor storage, which does not fly at the
+        # 100 TB design point) — the write streams straight to parquet
+        ivf_assignment_stats(self.index(), self.centroids()).write.parquet(
             self.stats_path
         )
 
     def build_stats(self) -> DataFrame:
         """The build-time assignment-quality baseline ``(cidx, n,
-        mean_cos, min_cos)``. Stores built before the stats table existed
-        recompute it from the stored index ON DEMAND and persist it —
-        one full index scan, explicit and once."""
-        if not self._fs.is_dir(self.stats_path):
+        mean_cos, min_cos)``. Stores built before the stats table
+        existed — or whose stats write was torn (no ``_SUCCESS`` commit
+        marker: a partial table would silently skew every drift
+        comparison) — recompute it from the stored index ON DEMAND and
+        persist it: one full index scan, explicit and once.
+        Single-writer, like the rest of the store lifecycle."""
+        if not self._fs.is_complete_write(self.stats_path):
+            self._fs.delete(self.stats_path)
             ivf_assignment_stats(self.index(), self.centroids()).write.parquet(
                 self.stats_path
             )
@@ -296,7 +302,9 @@ class IvfIndexStore:
         rows under the existing bucket partitions. With
         ``return_drift=True`` the drift comparison is computed from the
         SAME (checkpointed) assignment that was appended — zero extra
-        assignment passes — and returned (see :meth:`drift_stats`)."""
+        assignment passes; the checkpoint is BATCH-sized, bounded, unlike
+        a build-time corpus checkpoint — and returned (see
+        :meth:`drift_stats`)."""
         indexed = ivf_corpus_index(
             batch, self.centroids(), corpus_id=corpus_id, corpus_vec=corpus_vec
         )

@@ -161,11 +161,13 @@ def _validate_index_params(
     or if the index itself mixes parameter tuples (an accidental union of
     two differently-parameterized builds — a first()-only check passed it
     and silently under-returned collisions for the mismatched portion,
-    ADVICE r12). ``distinct()`` over the three constant columns stays
-    cheap even on a 100 TB index: the scan reads only three RLE'd
-    constant columns and the aggregate collapses map-side to one tuple
-    per task. Indexes written before the metadata columns existed are
-    accepted unchecked (docstring contract only)."""
+    ADVICE r12). ``distinct()`` over the three constant columns reads
+    only three RLE'd columns and collapses map-side to one tuple per
+    task — cheap, but still a per-call scan of the index's metadata
+    columns; repeated probes should go through
+    :class:`MinhashIndexStore`, which validates ONCE per instance.
+    Indexes written before the metadata columns existed are accepted
+    unchecked (docstring contract only)."""
     if not set(_META_COLS) <= set(index.columns):
         return
     stored = [
@@ -175,10 +177,13 @@ def _validate_index_params(
     if not stored:
         return
     if len(stored) > 1:
+        # key=repr: a legacy pre-metadata slice unioned in yields
+        # (None, None, None), which Python cannot order against ints
         raise ValueError(
             "incremental_near_dups: index mixes MinHash parameter tuples "
-            f"{sorted(stored)} — it was unioned from builds with different "
-            "(num_hashes, bands, shingle_n); rebuild or split the index"
+            f"{sorted(stored, key=repr)} — it was unioned from builds with "
+            "different (num_hashes, bands, shingle_n); rebuild or split "
+            "the index"
         )
     given = (num_hashes, bands, shingle_n)
     if stored[0] != given:
@@ -334,6 +339,14 @@ def _near_dups_presigned(
         .withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= min_jaccard_est)
         .select("new_id", "corpus_id", "jaccard_est")
+        # final pair-level dedupe (r12 verdict #2): a REPLAYED-but-
+        # uncompacted ingestion leaves duplicate (id) signature rows, and
+        # the estimate join above would multiply each pair. Deduping HERE
+        # costs a pairs-sized exchange of three scalars — never the
+        # full-table signature-array shuffle a dedupe of the sigs read
+        # itself would pay (duplicate rows carry identical signatures —
+        # deterministic signing — so any survivor is the right one).
+        .dropDuplicates(["new_id", "corpus_id"])
     )
 
 
@@ -390,10 +403,15 @@ class MinhashIndexStore:
             num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
         )
         self._fs = HadoopFs(spark, root)
-        # self-heal a compact() torn between its two renames: the data
-        # survives parked in <table>.compact.old; rename it back
-        self._fs.recover(self.bands_path)
-        self._fs.recover(self.sigs_path)
+        # parameter validation runs once per instance (the distinct scan
+        # over the index's metadata columns is cheap but not free per
+        # probe at the 100 TB design point)
+        self._params_validated = False
+        # self-heal a compact() torn at any point (between the renames,
+        # or mid rename on a copy+delete object store): finish a swap
+        # whose staged rewrite completed, else roll back the parked table
+        self._fs.recover_swap(self.bands_path)
+        self._fs.recover_swap(self.sigs_path)
 
     def exists(self) -> bool:
         return self._fs.is_dir(self.bands_path)
@@ -402,13 +420,18 @@ class MinhashIndexStore:
         return self.spark.read.parquet(self.bands_path)
 
     def signatures(self) -> DataFrame:
-        # dropDuplicates: a replayed-but-uncompacted ingestion leaves
-        # duplicate (id) signature rows, and the probe's estimate join
-        # would then MULTIPLY each candidate pair (r12 verdict #2) — the
-        # band-side replay only inflates state, but the sig-side replay
-        # corrupts probe output shape, so the read itself restores the
-        # one-row-per-doc invariant until compact() rewrites the table
-        return self.spark.read.parquet(self.sigs_path).dropDuplicates(["id"])
+        """The raw stored signature table — ONE row per doc in a
+        compacted store; a replayed-but-uncompacted ingestion leaves
+        duplicate (id) rows here (probe OUTPUT stays duplicate-free: the
+        probe dedupes at the final pair level, which costs a pairs-sized
+        exchange instead of a full-table signature-array shuffle).
+        Document ids must be unique and immutable across ingestions."""
+        return self.spark.read.parquet(self.sigs_path)
+
+    def _validate_once(self) -> None:
+        if not self._params_validated:
+            _validate_index_params(self.index(), **self.params)
+            self._params_validated = True
 
     def _tables(self, docs: DataFrame, id_col: str, text_col: str):
         """(sigs_df, bands_df) computed from ONE signing of ``docs``
@@ -449,12 +472,20 @@ class MinhashIndexStore:
         min_jaccard_est: float = 0.0,
         max_bucket: int = 1000,
     ) -> DataFrame:
-        """Probe WITHOUT ingesting (read-only against the stored index)."""
-        return incremental_near_dups(
-            new_docs, self.index(), id_col, text_col,
-            signatures=self.signatures(),
+        """Probe WITHOUT ingesting (read-only against the stored index).
+        Parameter validation is memoized per store instance."""
+        self._validate_once()
+        sig = minhash_signatures(
+            new_docs.select(id_col, text_col), text_col,
+            id_col=id_col,
+            num_hashes=self.params["num_hashes"],
+            shingle_n=self.params["shingle_n"],
+        ).localCheckpoint()
+        return _near_dups_presigned(
+            sig.select(F.col(id_col).alias("id"), F.col("minhash")),
+            "id", self.index(), self.signatures(),
+            bands=self.params["bands"],
             min_jaccard_est=min_jaccard_est, max_bucket=max_bucket,
-            **self.params,
         )
 
     def ingest(
@@ -474,7 +505,7 @@ class MinhashIndexStore:
         and what was indexed, ADVICE r12). Returns the materialized
         ``(new_id, corpus_id, jaccard_est)`` pairs (``localCheckpoint`` —
         safe to use after the append)."""
-        _validate_index_params(self.index(), **self.params)
+        self._validate_once()
         sigs_df, bands_df = self._tables(new_docs, id_col, text_col)
         dups = _near_dups_presigned(
             sigs_df, "id", self.index(), self.signatures(),
@@ -498,10 +529,13 @@ class MinhashIndexStore:
         in ``<table>.compact.old``, and renames the staged rewrite into
         place — two renames, each atomic only at the filesystem's
         directory-rename level (HDFS/local: atomic; object stores:
-        copy+delete), NOT one atomic unit. A crash between the renames
-        leaves the data parked; the next store open self-heals it
-        (``HadoopFs.recover``). Concurrent probes during the swap window
-        can observe a missing table — compaction is an offline op."""
+        copy+delete), NOT one atomic unit. A crash anywhere in the swap —
+        between the renames, or mid-copy on an object store — is
+        self-healed on the next store open (``HadoopFs.recover_swap``:
+        a COMMITTED staged rewrite rolls the swap forward, an
+        uncommitted one is dropped, a parked table rolls back).
+        Concurrent probes during the swap window can observe a missing
+        table — compaction is an offline, single-writer op."""
         sig_ids = self.signatures().select("id").distinct()
 
         def _bands(df):

@@ -684,3 +684,43 @@ def test_case_sensitivity_conf_reaches_compiled_serves(spark):
         assert cp._serve_spark.conf.get("spark.sql.caseSensitive") == "true"
     finally:
         spark.conf.set("spark.sql.caseSensitive", "false")
+
+
+def test_exact_collect_plan_handles_dotted_and_nested_names(spark):
+    """_exact_collect_plan must backtick-quote column names (a dotted
+    name would otherwise resolve as a struct path and fail analysis) and
+    decline schemas with nested timestamps or duplicate names (toArrow
+    fallback)."""
+    import datetime
+
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from openmldb_spark.engine.compiled import _exact_collect_plan
+
+    schema = StructType(
+        [
+            StructField("a.b", LongType()),
+            StructField("t", TimestampType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2020, 5, 29, 8, 0, 0))], schema
+    )
+    proj, ts_idx = _exact_collect_plan(df, schema)
+    assert proj is not None and ts_idx == [1]
+    rows = proj.collect()
+    assert rows[0]["a.b"] == 1 and isinstance(rows[0]["t"], int)
+
+    nested = StructType([StructField("ts_arr", ArrayType(TimestampType()))])
+    assert _exact_collect_plan(spark.createDataFrame([], nested), nested) == (
+        None,
+        None,
+    )
+    dup = StructType([StructField("x", LongType()), StructField("x", LongType())])
+    assert _exact_collect_plan(spark.createDataFrame([], dup), dup) == (None, None)

@@ -478,3 +478,84 @@ def test_ingest_signs_the_batch_exactly_once(spark, tmp_path):
         inc.minhash_signatures = real
     got = {(r["new_id"], r["corpus_id"]) for r in dups.collect()}
     assert got == {(11, 1), (12, 2)}, got
+
+
+def test_recover_swap_rolls_forward_committed_rewrite(spark, tmp_path):
+    """A compact torn DURING the tmp->live rename (the object-store
+    copy+delete case: live table left partially copied, committed tmp
+    still present) must roll FORWARD on open — the committed rewrite
+    supersedes whatever the live path holds. An UNCOMMITTED tmp (its
+    writing job died: no _SUCCESS) is dropped instead and the live
+    table stays authoritative."""
+    import os
+    import shutil
+
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    root = str(tmp_path / "mh")
+    store = MinhashIndexStore(spark, root, **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    n = store.index().count()
+
+    # committed tmp (full copy incl. _SUCCESS) + partially-copied live
+    tmp = store.bands_path + ".compact.tmp"
+    shutil.copytree(store.bands_path, tmp)
+    assert os.path.exists(os.path.join(tmp, "_SUCCESS"))
+    for f in sorted(os.listdir(store.bands_path)):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(store.bands_path, f))  # simulate tear
+            break
+    healed = MinhashIndexStore(spark, root, **KW)
+    assert healed.index().count() == n
+    assert not os.path.isdir(tmp)
+
+    # uncommitted tmp: dropped, live untouched
+    os.makedirs(tmp)
+    open(os.path.join(tmp, "part-zzz.parquet"), "wb").close()  # no _SUCCESS
+    healed2 = MinhashIndexStore(spark, root, **KW)
+    assert not os.path.isdir(tmp)
+    assert healed2.index().count() == n
+
+
+def test_legacy_union_mixed_with_metadata_raises_cleanly(spark):
+    """A pre-metadata index slice unioned in (allowMissingColumns) yields
+    a (None, None, None) parameter tuple; the mixed-params error must be
+    the informative ValueError, not a TypeError from ordering None
+    against int."""
+    old = spark.createDataFrame(OLD, "doc_id int, text string")
+    idx_a = minhash_index(old, "doc_id", "text", **KW)
+    legacy = idx_a.select("id", "band", "bucket")
+    mixed = idx_a.unionByName(legacy, allowMissingColumns=True)
+    sigs = minhash_signature_table(
+        old, "doc_id", "text", num_hashes=32, shingle_n=3
+    )
+    new = spark.createDataFrame(NEW, "doc_id int, text string")
+    with pytest.raises(ValueError, match="mixes MinHash parameter tuples"):
+        incremental_near_dups(
+            new, mixed, "doc_id", "text", signatures=sigs, **KW
+        )
+
+
+def test_store_validates_params_once(spark, tmp_path):
+    """The store memoizes parameter validation (the distinct scan is
+    cheap but not free per probe at the design point): N probes = one
+    _validate_index_params call."""
+    from openmldb_spark.pipeline import incremental as inc
+
+    store = inc.MinhashIndexStore(spark, str(tmp_path / "mh"), **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    calls = []
+    real = inc._validate_index_params
+    inc._validate_index_params = lambda *a, **k: (calls.append(1), real(*a, **k))[1]
+    try:
+        b1 = spark.createDataFrame(NEW, "doc_id int, text string")
+        store.near_dups(b1, "doc_id", "text").collect()
+        store.near_dups(b1, "doc_id", "text").collect()
+        store.ingest(b1, "doc_id", "text")
+        assert len(calls) == 1, f"validated {len(calls)} times"
+    finally:
+        inc._validate_index_params = real

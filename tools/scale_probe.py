@@ -264,6 +264,28 @@ def probes():
             num_hashes=32, bands=8, shingle_n=3, min_jaccard_est=0.5,
         )
 
+    def ivf_drift_stats(spark, sf):
+        # r13 arm (annindex drift-observability claim-check): the
+        # build-time baseline pass — zero-shuffle assignment + per-bucket
+        # stats over the FULL corpus. Claim: one linear corpus scan; the
+        # stats exchange collapses map-side to <= n_centroids rows per
+        # task, so shuffle records stay ~constant while the scan grows 10x.
+        from openmldb_spark.pipeline.annindex import (
+            ivf_assignment_stats,
+            ivf_centroids,
+            ivf_corpus_index,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        cent = ivf_centroids(
+            emb, corpus_id="vec_id", corpus_vec="embedding",
+            n_centroids=16, seed=42,
+        )
+        idx = ivf_corpus_index(
+            emb, cent, corpus_id="vec_id", corpus_vec="embedding"
+        )
+        return ivf_assignment_stats(idx, cent)
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "contamination_fixed_bench": contamination_fixed_bench,
@@ -276,6 +298,7 @@ def probes():
         "budget_chunks_global": budget_global,
         "clusters_reps": clusters_reps,
         "incremental_dedup": incremental_dedup,
+        "ivf_drift_stats": ivf_drift_stats,
     }
 
 
