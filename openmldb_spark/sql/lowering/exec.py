@@ -417,24 +417,28 @@ class Lowerer:
                 )
             elif (
                 skew_buckets >= 2
-                and wdef.rows_range is not None
+                and (wdef.rows_range is not None or wdef.rows is not None)
                 and all(len(p) == 1 and p[0].kind == "name" for p in w.partition_by)
                 and w.order_by is not None
                 and len(w.order_by) == 1
                 and w.order_by[0].kind == "name"
             ):
                 # CONFIG (skew_buckets='N'): hot-key time-bucket splitting
-                # (ref knob: enableWindowSkewOpt, OpenmldbBatchConfig.scala:54-74)
+                # (ref knob: enableWindowSkewOpt, OpenmldbBatchConfig.scala:
+                # 54-74 — the reference's opt covers count frames too, so
+                # since r13 plain ROWS windows route here as well)
                 from openmldb_spark.operators.window_skew import window_agg_skewed
 
                 named = WindowDef(
                     partition_by=[p[0].text for p in w.partition_by],
                     order_by=w.order_by[0].text,
+                    rows=wdef.rows,
                     rows_range=wdef.rows_range,
                     open_preceding=wdef.open_preceding,
                     exclude_current_row=wdef.exclude_current_row,
                     exclude_current_time=wdef.exclude_current_time,
                     maxsize=wdef.maxsize,
+                    end_rows=wdef.end_rows,
                     end_range=wdef.end_range,
                 )
                 df = window_agg_skewed(df, named, aggs, buckets=skew_buckets)

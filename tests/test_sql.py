@@ -233,6 +233,17 @@ def test_window_config_skew_buckets(spark, t1):
         sql(spark, base + " CONFIG (skew_buckets='3')", {"t1": t1}), "s"
     )
     assert plain == skewed
+    # r13: plain ROWS (count) frames route through the skew path too
+    base_rows = (
+        "SELECT id, sum(col1) OVER w1 AS s FROM t1 WINDOW w1 AS "
+        "(PARTITION BY pk1 ORDER BY ts ROWS BETWEEN 2 PRECEDING "
+        "AND CURRENT ROW)"
+    )
+    plain_r = by_id(sql(spark, base_rows, {"t1": t1}), "s")
+    skewed_r = by_id(
+        sql(spark, base_rows + " CONFIG (skew_buckets='3')", {"t1": t1}), "s"
+    )
+    assert plain_r == skewed_r
 
 
 def test_window_cate(spark, t1):
