@@ -106,3 +106,7 @@ class HadoopFs:
         self.delete(tmp)
         if not self.is_dir(p) and self.is_dir(old):
             self.rename(old, p)
+        elif self.is_dir(p):
+            # a swap that finished its rename but crashed before dropping
+            # the parked copy leaves an orphan — recovery is idempotent
+            self.delete(old)

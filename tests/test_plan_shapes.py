@@ -213,7 +213,10 @@ def test_request_serving_history_is_key_pruned(spark):
         [(9, "a", 40, datetime.datetime.utcfromtimestamp(1590738995))],
         dep.input_schema,
     )
-    out = dep.run_request(reqs)
+    dep.run_request(reqs).collect()  # compile (r13: serves are eager)
+    # the pin targets the COMPILED SERVE PLAN — run_request now returns
+    # an eager driver-local result, so inspect the plan the serve runs
+    out = dep._compiled._fresh_serve_df()
     analyzed = out._jdf.queryExecution().analyzed().toString()
     assert "__rq_m0" in analyzed, "history key-prune marker missing"
     assert "BroadcastHashJoin" in _plan(out)
@@ -276,9 +279,11 @@ def test_same_spec_union_windows_fuse_to_one_union(spark):
         [(9, "a", 40, datetime.datetime.utcfromtimestamp(1590738995))],
         dep.input_schema,
     )
-    out = dep.run_request(reqs)
-    got = {tuple(r) for r in out.collect()}
+    got = {tuple(r) for r in dep.run_request(reqs).collect()}
     assert got == {(9, 10 + 20 + 40, 3)}, got
+    # the pin targets the COMPILED SERVE PLAN (r13: run_request returns
+    # an eager driver-local result, not the serve Dataset)
+    out = dep._compiled._fresh_serve_df()
     analyzed = out._jdf.queryExecution().analyzed().toString()
     import re
 
