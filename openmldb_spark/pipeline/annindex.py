@@ -237,7 +237,16 @@ class IvfIndexStore:
         self._fs = HadoopFs(spark, root)
 
     def exists(self) -> bool:
-        return self._fs.is_dir(self.centroids_path)
+        """True iff BOTH the centroid table and the corpus index hold
+        COMMITTED writes (``_SUCCESS`` markers): a build that crashed
+        between the centroid write and the index write (or mid index
+        write) must read as "no store" — probing centroids-only state
+        fails confusingly, and ``build()`` is errorifexists, so the
+        caller's signal for "remove the root and rebuild" is exists()
+        going False while the directories linger."""
+        return self._fs.is_complete_write(
+            self.centroids_path
+        ) and self._fs.is_complete_write(self.index_path)
 
     def centroids(self) -> DataFrame:
         return self.spark.read.parquet(self.centroids_path)

@@ -414,7 +414,14 @@ class MinhashIndexStore:
         self._fs.recover_swap(self.sigs_path)
 
     def exists(self) -> bool:
-        return self._fs.is_dir(self.bands_path)
+        """True iff the band table holds a COMMITTED write (``_SUCCESS``
+        marker — a build that crashed mid-write leaves a partial
+        directory that must read as "no index", not as a truncated one;
+        the sigs-first ingest order means a committed band table always
+        has its signature companion). A crash mid-APPEND leaves the
+        previous commit's marker and possibly orphan rows —
+        :meth:`compact` clears those, per the ingest docstring."""
+        return self._fs.is_complete_write(self.bands_path)
 
     def index(self) -> DataFrame:
         return self.spark.read.parquet(self.bands_path)

@@ -310,3 +310,26 @@ def test_build_stats_backfills_pre_r13_store(spark, tmp_path):
     got = store.build_stats()
     assert os.path.isdir(store.stats_path)
     assert sum(r["n"] for r in got.collect()) == 30
+
+
+def test_ivf_exists_requires_both_committed_tables(spark, tmp_path):
+    """A torn build (centroids committed, index missing or uncommitted)
+    must read as 'no store' — the caller's signal to remove the root and
+    rebuild (build() is errorifexists)."""
+    import os
+    import shutil
+
+    from openmldb_spark.pipeline.annindex import IvfIndexStore
+
+    root = str(tmp_path / "ivf")
+    store = IvfIndexStore(spark, root)
+    store.build(
+        load_table(spark, SF, "embeddings").limit(20), n_centroids=4, **IDK
+    )
+    assert store.exists()
+    # torn: index never written
+    shutil.rmtree(store.index_path)
+    assert not IvfIndexStore(spark, root).exists()
+    # torn: index partial (no commit marker)
+    os.makedirs(store.index_path)
+    assert not IvfIndexStore(spark, root).exists()

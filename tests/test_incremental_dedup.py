@@ -559,3 +559,76 @@ def test_store_validates_params_once(spark, tmp_path):
         assert len(calls) == 1, f"validated {len(calls)} times"
     finally:
         inc._validate_index_params = real
+
+
+def test_recover_swap_state_machine(spark, tmp_path):
+    """Every crash point of compact()'s stage-and-swap, simulated as an
+    on-disk state, must recover to a committed, probe-able table on the
+    next open — with no .compact.tmp/.compact.old leftovers:
+
+    1. tmp UNCOMMITTED (writer died), live intact  -> tmp dropped
+    2. tmp COMMITTED, live intact (pre-park crash) -> roll forward
+    3. tmp COMMITTED, live missing, parked present -> roll forward
+    4. no tmp, live missing, parked present        -> roll back
+    5. no tmp, live intact, parked orphan          -> orphan dropped
+    """
+    import os
+    import shutil
+
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    base = str(tmp_path / "mh0")
+    store0 = MinhashIndexStore(spark, base, **KW)
+    store0.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    n = store0.index().count()
+
+    def scratch(tag, mutate):
+        root = str(tmp_path / f"mh_{tag}")
+        shutil.copytree(base, root)
+        bands = os.path.join(root, "bands")
+        mutate(bands)
+        st = MinhashIndexStore(spark, root, **KW)
+        assert st.exists(), tag
+        assert st.index().count() == n, tag
+        assert not os.path.exists(bands + ".compact.tmp"), tag
+        assert not os.path.exists(bands + ".compact.old"), tag
+
+    def s1(bands):
+        os.makedirs(bands + ".compact.tmp")
+        open(os.path.join(bands + ".compact.tmp", "part-x.parquet"), "wb").close()
+
+    def s2(bands):
+        shutil.copytree(bands, bands + ".compact.tmp")
+
+    def s3(bands):
+        shutil.copytree(bands, bands + ".compact.tmp")
+        os.rename(bands, bands + ".compact.old")
+
+    def s4(bands):
+        os.rename(bands, bands + ".compact.old")
+
+    def s5(bands):
+        shutil.copytree(bands, bands + ".compact.old")
+
+    for tag, mut in [("s1", s1), ("s2", s2), ("s3", s3), ("s4", s4), ("s5", s5)]:
+        scratch(tag, mut)
+
+
+def test_exists_requires_committed_build(spark, tmp_path):
+    """A build that crashed mid band-table write (partial directory, no
+    _SUCCESS) must read as 'no index' — exists() keys on the commit
+    marker, not directory presence."""
+    import os
+
+    from openmldb_spark.pipeline.incremental import MinhashIndexStore
+
+    root = str(tmp_path / "mh")
+    store = MinhashIndexStore(spark, root, **KW)
+    store.build(
+        spark.createDataFrame(OLD, "doc_id int, text string"), "doc_id", "text"
+    )
+    assert store.exists()
+    os.remove(os.path.join(store.bands_path, "_SUCCESS"))
+    assert not MinhashIndexStore(spark, root, **KW).exists()
