@@ -236,3 +236,47 @@ def test_property_fused_list_aggs(spark, rows):
                 pieces.extend(sv.split(","))
             exp = (" ".join(pieces), len(pieces), len(set(pieces)))
             assert got[i] == exp, (i, got[i], exp, frame)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    data=ROWS,
+    nrows=st.integers(0, 6),
+    buckets=st.integers(2, 5),
+)
+def test_rows_skew_split_matches_python(sp, data, nrows, buckets):
+    """r13 ROWS-frame skew splitting vs the pure-Python oracle: random
+    dense-ts data (heavy ties), random frame length and bucket count —
+    the count-based replication must be exact at every boundary."""
+    from openmldb_spark.operators.window_skew import window_agg_skewed
+
+    rows = [(k, t, v, i) for i, (k, t, v) in enumerate(data)]
+    df = sp.createDataFrame(rows, "k string, ts long, v long, uid long")
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows=nrows, tiebreak="uid")
+    got = {
+        r["uid"]: r["x"]
+        for r in window_agg_skewed(df, wd, {"x": A.sum_("v")}, buckets=buckets).collect()
+    }
+    want = {uid: _agg(v, "sum") for uid, v in _py_frames(rows, nrows=nrows).items()}
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(data=ROWS, rng=st.integers(1, 8), buckets=st.integers(2, 5))
+def test_range_skew_split_matches_python(sp, data, rng, buckets):
+    """ROWS_RANGE skew splitting vs the pure-Python oracle on random
+    tie-heavy data (the hand-written family pins equality vs window_agg;
+    this pins equality vs the independent semantics oracle)."""
+    from openmldb_spark.operators.window_skew import window_agg_skewed
+
+    rows = [(k, t, v, i) for i, (k, t, v) in enumerate(data)]
+    df = sp.createDataFrame(rows, "k string, ts long, v long, uid long")
+    wd = WindowDef(partition_by=["k"], order_by="ts", rows_range=rng, tiebreak="uid")
+    got = {
+        r["uid"]: r["x"]
+        for r in window_agg_skewed(df, wd, {"x": A.sum_("v")}, buckets=buckets).collect()
+    }
+    want = {
+        uid: _agg(v, "sum") for uid, v in _py_frames(rows, range_ms=rng).items()
+    }
+    assert got == want
