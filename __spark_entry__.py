@@ -965,10 +965,38 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(1).alias("rank"),
         )
     )
-    return out.unionByName(probe).select(
+    # r13 arm: PORTABLE product quantization (pipeline/pq.py — the
+    # memory-bounded ANN layout): the md5-sampled codebook (no training
+    # state — the k smallest-hash corpus rows donate their normalized
+    # subvectors), Arrow-batched argmin encode, and ADC scoring are all
+    # deterministic argmin/dot arithmetic, so DuckDB recomputes the
+    # encode AND the approximate ranking bit-for-bit. Disjoint query set
+    # (50 <= vec_id < 65) keeps every arm independently value-hashed;
+    # trained codebooks (pq_train) stay pytest-pinned (distributed
+    # Lloyd's is not SQL-expressible). Folded HERE (not embedding_topk)
+    # because this entry is outside bench.py's r2-comparable set.
+    from openmldb_spark.pipeline.pq import (
+        pq_encode,
+        pq_sampled_codebooks,
+        pq_topk,
+    )
+
+    CB = pq_sampled_codebooks(
+        emb, corpus_id="vec_id", corpus_vec="embedding", m=8, k=16, seed=42
+    )
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    pq = pq_topk(
+        enc, emb.where((F.col("vec_id") >= 50) & (F.col("vec_id") < 65)),
+        corpus_id="vec_id", code_col="pq_code",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=5,
+    )
+    sel = lambda df: df.select(
         "query_id", "neighbor_id",
         (F.round("cos", 4) + F.lit(0.0)).alias("cos"), "rank",
-    ).unionByName(drift)
+    )
+    return (
+        sel(out.unionByName(probe)).unionByName(drift).unionByName(sel(pq))
+    )
 
 
 def q_feature_signature(spark: SparkSession, sf: str) -> DataFrame:
@@ -1646,6 +1674,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(-(cidx + 1) AS BIGINT) AS query_id, n AS neighbor_id,
                    round(min_cos, 4) + 0.0 AS cos, CAST(1 AS INT) AS rank
             FROM stats
+
+            )
+            UNION ALL
+            SELECT * FROM (
+
+            WITH raw AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                     ('0x' || substr(md5('42|' || vec_id), 1, 15))::BIGINT AS h
+              FROM embeddings
+            ), normed AS (
+              SELECT vec_id, h,
+                     list_transform(v, x -> x / CASE WHEN n = 0 THEN 1 ELSE n END) AS u
+              FROM (SELECT vec_id, h, v,
+                      sqrt(list_reduce(list_prepend(0.0,
+                           list_transform(v, x -> x * x)), (a, b) -> a + b)) AS n
+                    FROM raw)
+            ), cb_src AS (
+              SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS c, u
+              FROM (SELECT h, vec_id, u FROM normed ORDER BY h, vec_id LIMIT 16)
+            ), cb AS (
+              SELECT t.j, c, u[t.j * 8 + 1 : t.j * 8 + 8] AS cv
+              FROM cb_src, range(8) t(j)
+            ), sub AS (
+              SELECT vec_id, t.j, u[t.j * 8 + 1 : t.j * 8 + 8] AS x
+              FROM normed, range(8) t(j)
+            ), enc AS (
+              SELECT s.vec_id, s.j, cb.c AS code
+              FROM sub s JOIN cb ON cb.j = s.j
+              QUALIFY row_number() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+                  list_reduce(list_prepend(0.0,
+                      list_transform(list_zip(s.x, cb.cv),
+                          p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                               * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))),
+                      (a, b) -> a + b) ASC, cb.c ASC) = 1
+            ), qsub AS (
+              SELECT vec_id AS qid, t.j, u[t.j * 8 + 1 : t.j * 8 + 8] AS qx
+              FROM normed, range(8) t(j)
+              WHERE vec_id >= 50 AND vec_id < 65
+            ), adc AS (
+              SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                     sum(list_reduce(list_prepend(0.0,
+                         list_transform(list_zip(q.qx, cb.cv),
+                             p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),
+                         (a, b) -> a + b)) AS cos
+              FROM qsub q
+              JOIN enc e ON e.j = q.j
+              JOIN cb ON cb.j = e.j AND cb.c = e.code
+              GROUP BY q.qid, e.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 4) + 0.0 AS cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+            FROM adc WHERE query_id <> neighbor_id
+            QUALIFY rank <= 5
 
             )""",
         "udaf_where": """

@@ -150,7 +150,15 @@ class SqlDeployment(PreaggServing):
         per call (``engine.cc:453-496``, ``sql_cluster_router.h:116-190``
         CallProcedure). DML on any table the query reads bumps its epoch
         and the next call recompiles. Explicit-history and parameterized
-        calls build their plan per call, as before."""
+        calls build their plan per call, as before.
+
+        r13: compiled serves are EAGER — the serve runs (stage + collect)
+        under the deployment's plan lock and the returned DataFrame is a
+        driver-local snapshot of the result (job-free to collect), so
+        concurrent ``run_request`` calls on one deployment cannot serve
+        each other's staged rows. Driver-local request plans
+        (arrow/pandas-created frames) stage without any extra Spark job;
+        RDD-backed frames pay one ``toArrow`` evaluation job."""
         if self.input_schema is not None and requests.schema != self.input_schema:
             raise ValueError(
                 f"deployment {self.name!r}: request schema "

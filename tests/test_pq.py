@@ -1,0 +1,170 @@
+"""Product quantization (pipeline/pq.py): codebook determinism, encode
+exactness vs a numpy oracle, ADC top-k vs a python oracle, Lloyd's error
+monotonicity, and recall against the exact brute-force ranking."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from openmldb_spark.pipeline import similarity as S
+from openmldb_spark.pipeline.pq import (
+    pq_encode,
+    pq_sampled_codebooks,
+    pq_topk,
+    pq_train,
+)
+from openmldb_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+IDK = dict(corpus_id="vec_id", corpus_vec="embedding")
+
+
+def _norm(V):
+    V = np.asarray(V, dtype=np.float64)
+    n = np.linalg.norm(V, axis=1, keepdims=True)
+    n[n == 0.0] = 1.0
+    return V / n
+
+
+def _py_encode(V, CB):
+    V = _norm(V)
+    m, k, ds = CB.shape
+    codes = np.empty((V.shape[0], m), dtype=np.int64)
+    for j in range(m):
+        X = V[:, j * ds:(j + 1) * ds]
+        d2 = (CB[j] ** 2).sum(axis=1)[None, :] - 2.0 * (X @ CB[j].T)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def test_sampled_codebooks_shape_and_determinism(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a = pq_sampled_codebooks(emb, m=8, k=16, seed=42, **IDK)
+    b = pq_sampled_codebooks(emb, m=8, k=16, seed=42, **IDK)
+    dim = len(emb.select("embedding").first()[0])
+    assert a.shape == (8, 16, dim // 8)
+    assert np.array_equal(a, b)
+    c = pq_sampled_codebooks(emb, m=8, k=16, seed=7, **IDK)
+    assert not np.array_equal(a, c)
+
+    with pytest.raises(ValueError, match="must divide"):
+        pq_sampled_codebooks(emb, m=7, k=16, **IDK)
+
+
+def test_encode_matches_numpy_oracle_and_passes_columns(spark):
+    emb = load_table(spark, SF, "embeddings")
+    CB = pq_sampled_codebooks(emb, m=8, k=16, **IDK)
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    assert set(enc.columns) == set(emb.columns) | {"pq_code"}
+    rows = enc.select("vec_id", "embedding", "pq_code").collect()
+    V = [r["embedding"] for r in rows]
+    want = _py_encode(V, CB)
+    got = np.asarray([r["pq_code"] for r in rows])
+    assert np.array_equal(got, want)
+    # partitioning-invariant (per-row op)
+    rows2 = (
+        pq_encode(emb.repartition(7), vec_col="embedding", codebooks=CB)
+        .select("vec_id", "pq_code")
+        .collect()
+    )
+    assert {r["vec_id"]: tuple(r["pq_code"]) for r in rows2} == {
+        r["vec_id"]: tuple(r["pq_code"]) for r in rows
+    }
+
+
+def test_adc_topk_matches_python_oracle(spark):
+    emb = load_table(spark, SF, "embeddings")
+    CB = pq_sampled_codebooks(emb, m=8, k=16, **IDK)
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    queries = emb.where(F.col("vec_id") < 10)
+    out = pq_topk(
+        enc, queries, corpus_id="vec_id", code_col="pq_code",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=5,
+    )
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in out.collect()
+    )
+
+    # independent python ADC over collected data
+    crows = enc.select("vec_id", "pq_code").collect()
+    cids = np.asarray([r["vec_id"] for r in crows])
+    codes = np.asarray([r["pq_code"] for r in crows], dtype=np.int64)
+    qrows = queries.select("vec_id", "embedding").collect()
+    m, k_, ds = CB.shape
+    want = []
+    for qr in qrows:
+        qn = _norm([qr["embedding"]])[0].reshape(m, ds)
+        LUT = np.einsum("jd,jkd->jk", qn, CB)
+        s = np.zeros(len(cids))
+        for j in range(m):
+            s += LUT[j, codes[:, j]]
+        order = np.lexsort((cids, -s))
+        kept = [i for i in order if cids[i] != qr["vec_id"]][:5]
+        want.extend(
+            (qr["vec_id"], int(cids[i]), round(float(s[i]), 9), r + 1)
+            for r, i in enumerate(kept)
+        )
+    assert got == sorted(want) and len(got) == 10 * 5
+
+
+def test_train_reduces_quantization_error(spark):
+    emb = load_table(spark, SF, "embeddings").limit(200)
+    CB0 = pq_sampled_codebooks(emb, m=8, k=8, **IDK)
+    CB1 = pq_train(emb, m=8, k=8, iters=3, **IDK)
+    assert CB1.shape == CB0.shape
+
+    V = _norm([r["embedding"] for r in emb.select("embedding").collect()])
+
+    def err(CB):
+        codes = _py_encode(V, CB)
+        m, k_, ds = CB.shape
+        rec = np.concatenate(
+            [CB[j][codes[:, j]] for j in range(m)], axis=1
+        )
+        return float(((V - rec) ** 2).sum())
+
+    assert err(CB1) <= err(CB0) + 1e-9
+    assert err(CB1) < err(CB0)  # Lloyd's actually moved on this data
+
+
+def test_pq_recall_against_brute_force(spark):
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    # random unit vectors are PQ's WORST case (no cluster structure to
+    # exploit); m=16 x k=256 (16 bytes/vector — a 16x cut vs float32[64],
+    # far more at production dims) measures recall@10 ~0.84 here, pinned
+    # with margin. Real embedding corpora sit well above this floor.
+    CB = pq_train(emb, m=16, k=256, iters=2, **IDK)
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    approx = pq_topk(
+        enc, queries, corpus_id="vec_id", code_col="pq_code",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=10,
+    )
+    exact = S.brute_force_topk(
+        emb, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=10,
+    )
+    a = {}
+    for r in approx.collect():
+        a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = tot = 0
+    for r in exact.collect():
+        tot += 1
+        hits += r["neighbor_id"] in a.get(r["query_id"], set())
+    recall = hits / tot
+    assert recall >= 0.7, f"recall@10 {recall:.3f}"
+
+
+def test_empty_queries_and_compression_shape(spark):
+    emb = load_table(spark, SF, "embeddings")
+    CB = pq_sampled_codebooks(emb, m=8, k=16, **IDK)
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    none = emb.where(F.lit(False))
+    assert pq_topk(
+        enc, none, corpus_id="vec_id", code_col="pq_code",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=3,
+    ).count() == 0
+    # the compression story: m ints per row instead of dim floats
+    row = enc.select("pq_code", "embedding").first()
+    assert len(row["pq_code"]) == 8 and len(row["embedding"]) == 64

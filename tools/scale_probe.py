@@ -286,6 +286,30 @@ def probes():
         )
         return ivf_assignment_stats(idx, cent)
 
+    def pq_adc_topk(spark, sf):
+        # r13 arm (pipeline/pq.py claim-check): portable codebook +
+        # encode + ADC top-k over the full corpus. Claim: the code table
+        # streams once (linear scan), queries broadcast as LUTs, and the
+        # only shuffle is the O(k x queries) local-top-k union — constant
+        # as the corpus grows.
+        from openmldb_spark.pipeline.pq import (
+            pq_encode,
+            pq_sampled_codebooks,
+            pq_topk,
+        )
+
+        emb = load_table(spark, sf, "embeddings")
+        CB = pq_sampled_codebooks(
+            emb, corpus_id="vec_id", corpus_vec="embedding",
+            m=8, k=16, seed=42,
+        )
+        enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+        return pq_topk(
+            enc, emb.where(F.col("vec_id") < 15),
+            corpus_id="vec_id", code_col="pq_code",
+            query_id="vec_id", query_vec="embedding", codebooks=CB, k=5,
+        )
+
     return {
         "dedup_minhash": qs["dedup_minhash"],
         "contamination_fixed_bench": contamination_fixed_bench,
@@ -299,6 +323,7 @@ def probes():
         "clusters_reps": clusters_reps,
         "incremental_dedup": incremental_dedup,
         "ivf_drift_stats": ivf_drift_stats,
+        "pq_adc_topk": pq_adc_topk,
     }
 
 
