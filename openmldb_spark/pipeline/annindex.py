@@ -35,6 +35,7 @@ pipeline tooling (SURVEY §6 pipeline additions).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -178,6 +179,113 @@ def ivf_probe(
     )
 
 
+def ivf_pq_corpus_index(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    *,
+    corpus_id: str,
+    corpus_vec: str,
+) -> DataFrame:
+    """The IVF-PQ index row set: ``(id, pq_code, cidx)`` — nearest-centroid
+    bucket assignment (zero-shuffle, broadcast centroids) composed with PQ
+    encoding (zero-shuffle, broadcast codebooks). This is the full 100 TB
+    layout: write it ``.partitionBy("cidx")`` and the stored row is
+    ``m`` small ints + an id — probes partition-prune to nprobe buckets
+    at the FILE level AND never read a float vector (ADC scores the
+    codes). Float vectors exist only transiently inside the encode scan."""
+    from .pq import pq_encode
+
+    assigned = ivf_corpus_index(
+        corpus, centroids, corpus_id=corpus_id, corpus_vec=corpus_vec
+    )
+    return pq_encode(assigned, vec_col="vec", codebooks=codebooks).select(
+        "id", "pq_code", "cidx"
+    )
+
+
+def ivf_pq_probe(
+    queries: DataFrame,
+    index_codes: DataFrame,
+    centroids: DataFrame,
+    codebooks,
+    *,
+    query_id: str,
+    query_vec: str,
+    k: int = 10,
+    nprobe: int = 4,
+    exclude_self: bool = True,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k against an IVF-PQ index:
+    ``(query_id, neighbor_id, cos, rank)`` with ``cos`` the ADC (PQ)
+    approximation — :func:`ivf_probe`'s bucket mechanics (checkpointed
+    assignment, literal ``cidx IN (...)`` for file-level partition
+    pruning, broadcast query side, (cos desc, id asc) ranking) with PQ
+    codes in place of vectors: candidates score via per-query ``m × k``
+    lookup tables in an Arrow-batched pandas UDF, so the probe reads
+    nprobe/n_centroids of the index files and ZERO float vectors."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from .pq import _check_split, _normalize
+
+    cent_arr = _cent_arr(centroids)
+    CB = np.asarray(codebooks, dtype=np.float64)
+    mm, kk, ds = CB.shape
+    qa = _assign_by_centroids(
+        queries, query_id, query_vec, "query_id", int(nprobe), cent_arr
+    ).withColumnRenamed("__v", "__qv").localCheckpoint()
+    probed = sorted(r["__cidx"] for r in qa.select("__cidx").distinct().collect())
+    # per-query ADC lookup tables, broadcast once (bounded query side)
+    qrows = qa.select("query_id", "__qv").dropDuplicates(["query_id"]).collect()
+    qids = [r["query_id"] for r in qrows]
+    if qids:
+        Qn = _normalize([r["__qv"] for r in qrows])
+        _check_split(Qn.shape[1], mm)
+        LUT = np.einsum("qjd,jkd->qjk", Qn.reshape(len(qids), mm, ds), CB)
+    else:
+        LUT = np.zeros((0, mm, kk))
+    spark = queries.sparkSession
+    bc = spark.sparkContext.broadcast(({q: i for i, q in enumerate(qids)}, LUT))
+
+    @pandas_udf("double")
+    def adc(qid: pd.Series, code: pd.Series) -> pd.Series:
+        pos, LUT_l = bc.value
+        qi = qid.map(pos).to_numpy()
+        codes = np.asarray(list(code), dtype=np.int64)
+        s = np.zeros(len(qi))
+        for j in range(LUT_l.shape[1]):
+            s += LUT_l[qi, j, codes[:, j]]
+        return pd.Series(s)
+
+    ca = index_codes.where(F.col("cidx").isin(probed)).select(
+        F.col("id").alias("neighbor_id"),
+        F.col("pq_code").alias("__code"),
+        F.col("cidx").alias("__cidx"),
+    )
+    if max_bucket is not None:
+        bsize = ca.groupBy("__cidx").agg(F.count(F.lit(1)).alias("__bsize"))
+        ca = (
+            ca.join(F.broadcast(bsize), "__cidx")
+            .filter(F.col("__bsize") <= max_bucket)
+            .drop("__bsize")
+        )
+    scored = ca.join(
+        F.broadcast(qa.select("query_id", "__cidx")), "__cidx"
+    ).select(
+        "query_id", "neighbor_id", adc(F.col("query_id"), F.col("__code")).alias("cos")
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 def ivf_assignment_stats(indexed: DataFrame, centroids: DataFrame) -> DataFrame:
     """Per-bucket assignment-quality stats over an already-assigned index
     slice: ``(cidx, n, mean_cos, min_cos)`` — cosine of each vector to
@@ -234,6 +342,8 @@ class IvfIndexStore:
         self.centroids_path = root.rstrip("/") + "/centroids"
         self.index_path = root.rstrip("/") + "/index"
         self.stats_path = root.rstrip("/") + "/stats"
+        self.pq_index_path = root.rstrip("/") + "/pq_index"
+        self.pq_codebooks_path = root.rstrip("/") + "/pq_codebooks"
         self._fs = HadoopFs(spark, root)
 
     def exists(self) -> bool:
@@ -298,6 +408,81 @@ class IvfIndexStore:
                 self.stats_path
             )
         return self.spark.read.parquet(self.stats_path)
+
+    def build_pq(
+        self,
+        corpus: DataFrame,
+        *,
+        corpus_id: str,
+        corpus_vec: str,
+        codebooks,
+    ) -> None:
+        """Add the IVF-PQ layer to an existing store: persist the
+        codebooks (``pq_codebooks/`` — ``(j, c, centroid)`` rows) and the
+        code-only bucketed index (``pq_index/`` — ``(id, pq_code)``
+        partitioned by ``cidx``; ``m`` small ints per vector, no floats).
+        ``codebooks`` is a numpy ``(m, k, dsub)`` array from
+        :func:`~openmldb_spark.pipeline.pq.pq_train` or
+        :func:`~openmldb_spark.pipeline.pq.pq_sampled_codebooks`.
+        Requires :meth:`build` to have written the centroids first."""
+        import numpy as np
+
+        CB = np.asarray(codebooks, dtype=np.float64)
+        mm, kk, _ = CB.shape
+        self.spark.createDataFrame(
+            [
+                (j, c, CB[j][c].tolist())
+                for j in range(mm)
+                for c in range(kk)
+            ],
+            "j int, c int, centroid array<double>",
+        ).write.parquet(self.pq_codebooks_path)
+        ivf_pq_corpus_index(
+            corpus, self.centroids(), CB,
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        ).write.partitionBy("cidx").parquet(self.pq_index_path)
+
+    def pq_codebooks(self):
+        """The stored codebooks as numpy ``(m, k, dsub)``."""
+        import numpy as np
+
+        rows = self.spark.read.parquet(self.pq_codebooks_path).collect()
+        mm = 1 + max(r["j"] for r in rows)
+        kk = 1 + max(r["c"] for r in rows)
+        ds = len(rows[0]["centroid"])
+        CB = np.zeros((mm, kk, ds))
+        for r in rows:
+            CB[r["j"], r["c"]] = r["centroid"]
+        return CB
+
+    def ingest_pq(self, batch: DataFrame, *, corpus_id: str, corpus_vec: str) -> None:
+        """Encode a new batch against the STORED centroids + codebooks and
+        append its code rows under the existing bucket partitions."""
+        ivf_pq_corpus_index(
+            batch, self.centroids(), self.pq_codebooks(),
+            corpus_id=corpus_id, corpus_vec=corpus_vec,
+        ).write.partitionBy("cidx").mode("append").parquet(self.pq_index_path)
+
+    def probe_pq(
+        self,
+        queries: DataFrame,
+        *,
+        query_id: str,
+        query_vec: str,
+        k: int = 10,
+        nprobe: int = 4,
+        exclude_self: bool = True,
+        max_bucket: int | None = None,
+    ) -> DataFrame:
+        """ADC top-k against the stored code-only index — file-level
+        partition pruning to the probed buckets, zero float vectors read."""
+        return ivf_pq_probe(
+            queries, self.spark.read.parquet(self.pq_index_path),
+            self.centroids(), self.pq_codebooks(),
+            query_id=query_id, query_vec=query_vec,
+            k=k, nprobe=nprobe, exclude_self=exclude_self,
+            max_bucket=max_bucket,
+        )
 
     def ingest(
         self,

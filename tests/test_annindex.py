@@ -333,3 +333,146 @@ def test_ivf_exists_requires_both_committed_tables(spark, tmp_path):
     # torn: index partial (no commit marker)
     os.makedirs(store.index_path)
     assert not IvfIndexStore(spark, root).exists()
+
+
+def _py_ivf_pq_oracle(spark, emb, queries, CB, n_centroids, nprobe, k):
+    """Independent python oracle: md5-sampled centroid assignment (via
+    the pinned ivf primitives) + ADC scoring of the probed buckets."""
+    import numpy as np
+
+    cent = ivf_centroids(emb, n_centroids=n_centroids, seed=42, **IDK)
+    assigned = {
+        r["id"]: r["cidx"]
+        for r in ivf_corpus_index(emb, cent, **IDK).collect()
+    }
+    # query -> nprobe buckets via the probe's own assignment path
+    from openmldb_spark.pipeline.similarity import _assign_by_centroids
+    from openmldb_spark.pipeline.annindex import _cent_arr
+
+    qa = _assign_by_centroids(
+        queries, "vec_id", "embedding", "query_id", nprobe, _cent_arr(cent)
+    ).collect()
+    qbuckets = {}
+    for r in qa:
+        qbuckets.setdefault(r["query_id"], set()).add(r["__cidx"])
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+
+    def norm(v):
+        v = np.asarray(v, dtype=np.float64)
+        n = np.linalg.norm(v)
+        return v / (n or 1.0)
+
+    m, k_, ds = CB.shape
+    codes = {}
+    for vid, v in vecs.items():
+        u = norm(v)
+        codes[vid] = [
+            int(
+                np.argmin(
+                    ((CB[j] - u[j * ds:(j + 1) * ds]) ** 2).sum(axis=1)
+                )
+            )
+            for j in range(m)
+        ]
+    want = []
+    for qid, buckets in qbuckets.items():
+        u = norm(vecs[qid]).reshape(m, ds)
+        LUT = np.einsum("jd,jkd->jk", u, CB)
+        cand = [
+            (nid, float(sum(LUT[j, codes[nid][j]] for j in range(m))))
+            for nid, cx in assigned.items()
+            if cx in buckets and nid != qid
+        ]
+        cand.sort(key=lambda t: (-t[1], t[0]))
+        want.extend(
+            (qid, nid, round(s, 9), r + 1)
+            for r, (nid, s) in enumerate(cand[:k])
+        )
+    return sorted(want)
+
+
+def test_ivf_pq_probe_matches_python_oracle(spark):
+    from openmldb_spark.pipeline.annindex import (
+        ivf_pq_corpus_index,
+        ivf_pq_probe,
+    )
+    from openmldb_spark.pipeline.pq import pq_sampled_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    CB = pq_sampled_codebooks(emb, m=8, k=16, seed=42, **IDK)
+    cent = ivf_centroids(emb, n_centroids=8, seed=42, **IDK)
+    idx = ivf_pq_corpus_index(emb, cent, CB, **IDK)
+    assert set(idx.columns) == {"id", "pq_code", "cidx"}  # codes only
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_pq_probe(
+            queries, idx, cent, CB,
+            query_id="vec_id", query_vec="embedding", k=4, nprobe=3,
+        ).collect()
+    )
+    want = _py_ivf_pq_oracle(spark, emb, queries, CB, 8, 3, 4)
+    assert got == want and len(got) > 0
+
+
+def test_ivf_pq_store_lifecycle_and_pruning(spark, tmp_path):
+    """build_pq -> probe_pq == direct ivf_pq_probe; ingest_pq append ==
+    rebuilt index; the code-only probe partition-prunes at the file
+    level like the float probe."""
+    from openmldb_spark.pipeline.annindex import (
+        IvfIndexStore,
+        ivf_pq_corpus_index,
+        ivf_pq_probe,
+    )
+    from openmldb_spark.pipeline.pq import pq_sampled_codebooks
+
+    emb = load_table(spark, SF, "embeddings")
+    old = emb.where(F.col("vec_id") % 3 != 0)
+    new = emb.where(F.col("vec_id") % 3 == 0)
+    queries = emb.where(F.col("vec_id") < 8)
+    CB = pq_sampled_codebooks(old, m=8, k=16, seed=42, **IDK)
+
+    store = IvfIndexStore(spark, str(tmp_path / "ivf"))
+    store.build(old, n_centroids=16, seed=42, **IDK)
+    store.build_pq(old, codebooks=CB, **IDK)
+    store.ingest_pq(new, **IDK)
+
+    out = store.probe_pq(queries, k=4, nprobe=3, **QK)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in out.collect()
+    )
+    direct = ivf_pq_corpus_index(emb, store.centroids(), CB, **IDK)
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in ivf_pq_probe(
+            queries, direct, store.centroids(), CB,
+            query_id="vec_id", query_vec="embedding", k=4, nprobe=3,
+        ).collect()
+    )
+    assert got == want and len(got) > 0
+
+    # file-level pruning: the executed scan reads <= probed partitions
+    plan = out._jdf.queryExecution().executedPlan()
+    stack, read = [plan], None
+    while stack:
+        n = stack.pop()
+        cls = n.getClass().getSimpleName()
+        if "FileSourceScan" in cls:
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numPartitions":
+                    read = kv._2().value()
+        if "AdaptiveSparkPlan" in cls:
+            stack.append(n.executedPlan())
+        elif "QueryStage" in cls:
+            stack.append(n.plan())
+        for i in range(n.children().size()):
+            stack.append(n.children().apply(i))
+    n_buckets = store.spark.read.parquet(store.pq_index_path).select(
+        "cidx"
+    ).distinct().count()
+    assert read is not None and 0 < read <= 8 * 3 and read < n_buckets, (
+        read, n_buckets,
+    )
