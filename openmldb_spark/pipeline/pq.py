@@ -327,3 +327,63 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def pq_topk_rerank(
+    corpus_codes: DataFrame,
+    corpus_vecs: DataFrame,
+    queries: DataFrame,
+    *,
+    corpus_id: str,
+    code_col: str,
+    vec_col: str,
+    query_id: str,
+    query_vec: str,
+    codebooks,
+    k: int = 10,
+    rerank_factor: int = 4,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage retrieval: ADC over the codes produces a
+    ``k × rerank_factor`` shortlist per query (the cheap stage — no float
+    vectors read), then EXACT cosine re-scores only the shortlist rows
+    and re-ranks to the final ``k`` — the standard PQ recall recovery
+    (approximation error only matters if it reorders across the
+    shortlist boundary).
+
+    Cost shape: stage one is :func:`pq_topk` (code scan + bounded
+    shuffle); stage two joins the shortlist — ``k × rerank_factor ×
+    n_queries`` ids, broadcastable — against the vector table, so the
+    exact scoring reads the float column for shortlist rows only (a
+    broadcast-semi-joined scan, never an all-pairs product). With
+    ``rerank_factor`` large enough to cover the corpus this equals
+    ``brute_force_topk`` exactly (pinned in tests)."""
+    from .similarity import cosine
+
+    short = pq_topk(
+        corpus_codes, queries,
+        corpus_id=corpus_id, code_col=code_col,
+        query_id=query_id, query_vec=query_vec,
+        codebooks=codebooks, k=int(k) * int(rerank_factor),
+        exclude_self=exclude_self,
+    ).select("query_id", "neighbor_id")
+    vecs = corpus_vecs.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv")
+    )
+    scored = (
+        short.join(vecs, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -168,3 +168,50 @@ def test_empty_queries_and_compression_shape(spark):
     # the compression story: m ints per row instead of dim floats
     row = enc.select("pq_code", "embedding").first()
     assert len(row["pq_code"]) == 8 and len(row["embedding"]) == 64
+
+
+def test_rerank_full_factor_equals_brute_force(spark):
+    """With a shortlist covering the whole corpus, exact re-rank must
+    equal brute_force_topk row for row; at the default factor, recall is
+    at least plain ADC's (re-ordering within the shortlist can only fix
+    approximation inversions)."""
+    emb = load_table(spark, SF, "embeddings")
+    queries = emb.where(F.col("vec_id") < 10)
+    CB = pq_sampled_codebooks(emb, m=8, k=16, **IDK)
+    enc = pq_encode(emb, vec_col="embedding", codebooks=CB)
+    n = emb.count()
+
+    from openmldb_spark.pipeline.pq import pq_topk_rerank
+
+    kw = dict(
+        corpus_id="vec_id", code_col="pq_code", vec_col="embedding",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=5,
+    )
+    full = pq_topk_rerank(enc, emb, queries, rerank_factor=n, **kw)
+    exact = S.brute_force_topk(
+        emb, queries, corpus_id="vec_id", corpus_vec="embedding",
+        query_id="vec_id", query_vec="embedding", k=5,
+    )
+    key = lambda df: sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos"], 9), r["rank"])
+        for r in df.collect()
+    )
+    assert key(full) == key(exact) and len(key(full)) == 50
+
+    adc = pq_topk(
+        enc, queries, corpus_id="vec_id", code_col="pq_code",
+        query_id="vec_id", query_vec="embedding", codebooks=CB, k=5,
+    )
+    rr = pq_topk_rerank(enc, emb, queries, rerank_factor=4, **kw)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        hits = tot = 0
+        for r in df.collect():
+            tot += 1
+            hits += r["neighbor_id"] in truth[r["query_id"]]
+        return hits / tot
+
+    assert recall(rr) >= recall(adc)
