@@ -339,6 +339,18 @@ def _band_seeds(seed, bands: int) -> list:
     return [seed] if bands <= 1 else [f"{seed}|{t}" for t in range(bands)]
 
 
+def _lit_double_array(vals) -> Column:
+    """One-parse array<double> literal. ``F.array(*[F.lit(v) ...])`` costs a
+    py4j round-trip per element — at 8 planes x 64 dims x 2 join sides that
+    is ~1000 driver calls per plan build, and plan BUILD (not execution)
+    measured as the dominant cost of the portable LSH bench query (guide
+    §1: 1.3-1.7s build vs 0.5-0.7s exec at sf0.1). A single ``F.expr``
+    parse builds the same CreateArray(double literals) JVM-side.
+    ``repr(float)`` is the shortest round-trip form and Spark parses
+    double literals correctly rounded, so values are bit-identical."""
+    return F.expr("array(" + ",".join(f"{float(v)!r}D" for v in vals) + ")")
+
+
 def _portable_bucket(
     df: DataFrame,
     id_col: str,
@@ -356,16 +368,29 @@ def _portable_bucket(
     offset by ``t * 2**planes`` so the downstream equi-join stays a single
     long-column join."""
     proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    # each band's bucket id is ONE F.expr parse instead of a Column chain of
+    # planes x (zip_with + aggregate + when) higher-order-function builders:
+    # every pyspark HOF lambda costs a burst of py4j round-trips, and plan
+    # BUILD (not execution) profiled as the dominant cost of the portable
+    # bucketize (guide §1: ~3.5k driver round-trips, ~1.1s of a 1.5s build
+    # at 8 planes). The SQL text analyzes to the identical expression tree
+    # (CASE WHEN aggregate(zip_with(...)) >= 0, left-fold sum from 0.0D), so
+    # bucket ids — and the DuckDB oracle contract — are bit-unchanged.
     band_cols = []
     for t, s in enumerate(_band_seeds(seed, bands)):
         coeffs = _portable_planes(dim, planes, s)
-        b = F.lit(t * (1 << planes)).cast("long")
+        terms = [f"CAST({t * (1 << planes)} AS BIGINT)"]
         for p in range(planes):
-            arr = F.array(*[F.lit(c) for c in coeffs[p]])
-            b = b + F.when(
-                dot(F.col("__v"), arr) >= 0, F.lit(1 << p).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        band_cols.append(b)
+            arr = "array(" + ",".join(f"{float(c)!r}D" for c in coeffs[p]) + ")"
+            d = (
+                f"aggregate(zip_with(__v, {arr}, (x, y) -> "
+                "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+            )
+            terms.append(
+                f"(CASE WHEN ({d}) >= 0 THEN CAST({1 << p} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        band_cols.append(F.expr(" + ".join(terms)))
     if bands <= 1:
         return proj.withColumn("__bucket", band_cols[0])
     return proj.withColumn("__bucket", F.explode(F.array(*band_cols)))
