@@ -109,13 +109,14 @@ def shingles(text: Column, n: int = 5, *, words: bool = True) -> Column:
     return F.array_distinct(grams)
 
 
-def _hash_shingles_exploded(
+def _hash_shingles_array(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: int
 ) -> DataFrame:
-    """Exploded (``__dd_id``, ``__dd_h``) hash-space word shingles: hash
-    words once into an array, then combine n SHIFTED SLICES with zip_with —
-    linear work per row, no shingle strings ever materialize. The combined
-    hash is position-independent (same word n-gram -> same hash in any doc).
+    """Per-row (``__dd_id``, ``__dd_sh`` array<bigint>) hash-space word
+    shingles: hash words once into an array, then combine n SHIFTED SLICES
+    with zip_with — linear work per row, no shingle strings ever
+    materialize. The combined hash is position-independent (same word
+    n-gram -> same hash in any doc).
 
     (NB: element_at(h, i+j) inside a positional transform would re-inline
     the word-hash transform per element — O(len^2); and a ``cj=cj`` lambda
@@ -141,7 +142,17 @@ def _hash_shingles_exploded(
         )
     # valid shingle starts: len - n + 1 (short docs keep position 1)
     sh_arr = F.slice(acc, 1, F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1)))
-    return wh.select("__dd_id", F.explode(sh_arr).alias("__dd_h"))
+    return wh.select("__dd_id", sh_arr.alias("__dd_sh"))
+
+
+def _hash_shingles_exploded(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: int
+) -> DataFrame:
+    """Exploded (``__dd_id``, ``__dd_h``) form of
+    :func:`_hash_shingles_array` (one row per shingle occurrence)."""
+    return _hash_shingles_array(df, id_col, text_col, shingle_n, n_part).select(
+        "__dd_id", F.explode("__dd_sh").alias("__dd_h")
+    )
 
 
 def minhash_signatures(
@@ -468,14 +479,19 @@ def jaccard_dedup(
     """
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ex = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
     if exact:
         t = float(threshold)
         cap = int(max_token_df) if max_token_df is not None else None
         # per-doc distinct shingle-hash set: prefix source + exact verify.
+        # r13 (guide §2.4): computed as a PURE PROJECTION —
+        # array_sort(array_distinct(...)) over each row's own shingle-hash
+        # array — instead of explode + groupBy(collect_set), which shuffled
+        # every (doc, shingle-occurrence) pair just to rebuild a per-row
+        # set. Removes the pipeline's widest shuffle outright; identical
+        # output (same distinct set, same ascending sort).
         # persisted — it feeds the prefix index and both verify sides.
-        per_doc = ex.groupBy("__dd_id").agg(
-            F.array_sort(F.collect_set("__dd_h")).alias("__hset")
+        per_doc = _hash_shingles_array(df, id_col, text_col, shingle_n, n_part).select(
+            "__dd_id", F.array_sort(F.array_distinct("__dd_sh")).alias("__hset")
         ).persist()
         if eager_materialize:
             # materialize NOW: three branches (prefix index, both verify
@@ -493,19 +509,29 @@ def jaccard_dedup(
         )
         dfreq = exd.groupBy("__dd_h").agg(F.count(F.lit(1)).alias("__df"))
         # prefix membership via in-doc rank under the global (df asc, hash)
-        # order — no second per-doc array rebuild. The df filters run AFTER
-        # rank assignment, so dropping a token never promotes a non-prefix
-        # token into the index (the order stays the global total order).
-        rn = F.row_number().over(
-            Window.partitionBy("__dd_id").orderBy(F.col("__df").asc(), F.col("__dd_h").asc())
+        # order. r13 (guide §2.3): only REPEATED tokens (df > 1) can enter
+        # the index, and under ascending-df order every df=1 token ranks
+        # strictly before every repeated one — so inner-join only the
+        # repeated tokens (the join, shuffle and window shrink to the
+        # repeated subset) and reconstruct each survivor's global rank as
+        # (#df=1 tokens in the doc) + its rank among the joined rows:
+        # __n - count_over_partition + local row_number. The df<=cap filter
+        # still runs AFTER rank assignment, so a capped hot token keeps
+        # occupying its rank slot and never promotes a non-prefix token.
+        wp = Window.partitionBy("__dd_id").orderBy(
+            F.col("__df").asc(), F.col("__dd_h").asc()
+        )
+        rn_local = F.row_number().over(wp)
+        m_rep = F.count(F.lit(1)).over(
+            wp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
         plen = (F.col("__n") - F.ceil(F.lit(t) * F.col("__n")) + 1).cast("int")
-        filt = (F.col("__rn") <= plen) & (F.col("__df") > 1)
+        filt = F.col("__rn") <= plen
         if cap is not None:
             filt = filt & (F.col("__df") <= F.lit(cap))
         pref = (
-            exd.join(dfreq, "__dd_h")
-            .withColumn("__rn", rn)
+            exd.join(dfreq.filter(F.col("__df") > 1), "__dd_h")
+            .withColumn("__rn", F.col("__n") - m_rep + rn_local)
             .filter(filt)
             .select("__dd_id", "__n", F.col("__dd_h").alias("__ph"))
         )
@@ -532,6 +558,7 @@ def jaccard_dedup(
             .distinct()
         )
     else:
+        ex = _hash_shingles_exploded(df, id_col, text_col, shingle_n, n_part)
         mins = [
             F.min(F.col("__dd_h") * F.lit(_PERM_A[i]) + F.lit(_PERM_B[i])).alias(f"__m{i}")
             for i in range(num_hashes)
