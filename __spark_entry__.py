@@ -40,6 +40,17 @@ def _ts_ms(col):
     return F.unix_millis(F.col(col).cast("timestamp"))
 
 
+def _nspread(spark: SparkSession) -> int:
+    """Parallelism target for the conditional CPU-spread of single-split
+    document/media scans: the session's shuffle-partition count (which
+    tracks the core count) instead of a constant tuned for local[32] —
+    the driver also benches at lower core counts, and a hard-coded 32
+    would pay 2x the tasks there for no parallelism gain (guide §2:
+    scale-adaptive partitioning). At real scale the file count makes
+    ``_spread`` a no-op either way."""
+    return int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+
+
 # ===========================================================================
 # relational core (SURVEY §2.1, §2.2, §2.3, §2.6)
 # ===========================================================================
@@ -78,8 +89,13 @@ def q_const_project(spark: SparkSession, sf: str) -> DataFrame:
 def q_group_agg(spark: SparkSession, sf: str) -> DataFrame:
     """GroupAggrerationNode: TPC-H Q1-shaped group aggregate."""
     li = load_table(spark, sf, "lineitem")
+    # r13: the filter is written on the raw NTZ column so it reaches the
+    # parquet scan (PushedFilters) — `unix_millis(cast(..)) <= X` wrapped
+    # the column and disabled pushdown. unix_millis floors to ms, so
+    # `ms <= 904694400000` (1998-09-02T00:00:00Z) == `ts < ..00.001`.
+    cutoff = F.lit("1998-09-02 00:00:00.001").cast("timestamp_ntz")
     return R.group_agg(
-        li.where(_ts_ms("l_shipdate") <= 904694400000),  # <= 1998-09-02
+        li.where(F.col("l_shipdate") < cutoff),  # <= 1998-09-02 in epoch-ms
         ["l_returnflag", "l_linestatus"],
         {
             "sum_qty": F.round(F.sum("l_quantity"), 4),
@@ -717,7 +733,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         pick_representatives,
     )
 
-    d = S._spread(load_table(spark, sf, "documents"), 32)
+    d = S._spread(load_table(spark, sf, "documents"), _nspread(spark))
     pairs = D.overlap_jaccard_pairs(
         d, "doc_id", "text",
         shingle_n=3, min_overlap=5, threshold=0.2, max_token_df=50,
@@ -766,7 +782,7 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
         F.lit("image/fake").alias("mime"),
         F.encode("text", "utf-8").alias("payload"),
     )
-    d = S._spread(d, 32)  # CPU-bound Arrow batches; no Exchange when the scan is parallel
+    d = S._spread(d, _nspread(spark))  # CPU-bound Arrow batches; no Exchange when the scan is parallel
     out = M.extract_image_features(d)
     return out.select("media_id", "mime", "n_bytes")
 
@@ -808,7 +824,7 @@ def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
     The small-SF parquet arrives as one split; the regex-heavy projection
     is CPU-bound, so spread it conditionally (at real scale the file count
     does this and no Exchange is added)."""
-    d = S._spread(load_table(spark, sf, "documents"), 32)
+    d = S._spread(load_table(spark, sf, "documents"), _nspread(spark))
     injected = d.withColumn(
         "text2",
         F.concat(
@@ -848,7 +864,7 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     tests/test_text_extras.py); the O(n log n) sorted-run top-count keeps
     book-length docs safe. The explode-strategy sibling is equality-pinned
     against this one in the same test file."""
-    d = S._spread(load_table(spark, sf, "documents"), 32)
+    d = S._spread(load_table(spark, sf, "documents"), _nspread(spark))
     out = T.repetition_features(d, ngram=2)
     return out.select(
         "doc_id", "n_tokens", "dup_token_ratio", "top_token_ratio",
@@ -865,7 +881,7 @@ def q_contamination_ngram(spark: SparkSession, sf: str) -> DataFrame:
     spread it conditionally like the other document queries (at real
     scale the file count parallelizes the scan and no Exchange is
     added; unspread, the whole explode ran on one core: 4.5s -> ~0.4s)."""
-    d = S._spread(load_table(spark, sf, "documents"), 32)
+    d = S._spread(load_table(spark, sf, "documents"), _nspread(spark))
     bench = d.where(F.col("doc_id") % 20 == 0)
     out = C.ngram_contamination(d, bench, n=5)
     return out.select(

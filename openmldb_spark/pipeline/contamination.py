@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
-from .dedup import shingles
+from .dedup import _hash_shingles_array, shingles
 
 
 def benchmark_shingles(
@@ -35,6 +35,19 @@ def benchmark_shingles(
     return (
         benchmark.select(F.explode(shingles(F.col(text_col), n)).alias("__bm_s"))
         .distinct()
+    )
+
+
+def _hashed_doc_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, exploded distinct 64-bit shingle hash) — the zero-string shingle
+    pipeline shared with the dedup ops (multiply-shift combine of word
+    xxhash64s; short docs fall back to one whole-text shingle, same as
+    :func:`openmldb_spark.pipeline.dedup.shingles`)."""
+    return _hash_shingles_array(docs, id_col, text_col, n).select(
+        F.col("__dd_id").alias(id_col),
+        F.explode(F.array_distinct("__dd_sh")).alias("__s"),
     )
 
 
@@ -56,11 +69,23 @@ def ngram_contamination(
     ``is_contaminated``  ratio >= ``flag_threshold``
 
     One shuffle (on ``id_col``); the benchmark shingle set is broadcast.
+
+    r13 (guide §4.2/§2.3 applied to the JVM side): both sides shingle in
+    64-bit HASH space — the dedup ops' multiply-shift pipeline — instead
+    of materializing, exploding, broadcasting and hash-probing shingle
+    STRINGS (~n words of text per shingle per occurrence). Membership
+    counts are identical up to the house set-over-hash convention
+    (~2^-64/pair collisions, the same contract ``jaccard_dedup`` and
+    ``stream_decontaminate`` already carry); the DuckDB oracle keeps
+    recomputing the string form and the gate stays value-hash green.
     """
-    bm = broadcast(benchmark_shingles(benchmark, bench_text_col, n=n))
-    ex = docs.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("__s")
+    bench = benchmark.select(F.lit(0).alias("__bm_id"), F.col(bench_text_col))
+    bm = broadcast(
+        _hashed_doc_shingles(bench, "__bm_id", bench_text_col, n)
+        .select(F.col("__s").alias("__bm_s"))
+        .distinct()
     )
+    ex = _hashed_doc_shingles(docs, id_col, text_col, n)
     marked = ex.join(bm, ex["__s"] == bm["__bm_s"], "left")
     stats = marked.groupBy(id_col).agg(
         F.count("*").alias("n_shingles"),

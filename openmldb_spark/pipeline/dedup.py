@@ -110,7 +110,7 @@ def shingles(text: Column, n: int = 5, *, words: bool = True) -> Column:
 
 
 def _hash_shingles_array(
-    df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: int
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: Optional[int] = None
 ) -> DataFrame:
     """Per-row (``__dd_id``, ``__dd_sh`` array<bigint>) hash-space word
     shingles: hash words once into an array, then combine n SHIFTED SLICES
@@ -123,7 +123,9 @@ def _hash_shingles_array(
     default would raise the HOF lambda's arity so pyspark binds the element
     INDEX to it — use a closure factory.)
     """
-    base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col)).repartition(n_part)
+    base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
+    if n_part is not None:
+        base = base.repartition(n_part)
     toks = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda x: x != "")
     wh = base.select("__dd_id", F.transform(toks, lambda w: F.xxhash64(w)).alias("__dd_wh"))
     hs = F.col("__dd_wh")
