@@ -71,9 +71,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     toks = tokens(t)
     n_chars = F.length(t)
     n_tokens = F.size(toks)
-    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
-    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
-    uppers = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    # regexp_count of a single-char class == chars removed by the old
+    # length-diff-of-regexp_replace form, without materializing a replaced
+    # copy of the document per signal (guide §1.2 per-task work)
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]"))
+    digits = F.regexp_count(t, F.lit(r"[0-9]"))
+    uppers = F.regexp_count(t, F.lit(r"[A-Z]"))
     stop_hits = _stopword_hits(toks, _LANG_STOPWORDS["en"])
 
     nz = F.when(n_chars > 0, n_chars.cast("double")).otherwise(F.lit(1.0))
