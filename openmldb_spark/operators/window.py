@@ -295,9 +295,20 @@ def window_agg(
         struct_fields: list[Column] = [F.col(_ORD).alias("o"), F.col(_RID).alias("r")]
         if instance_not_in_window:
             struct_fields.append(F.col(_FLAG).alias("g"))
+        # r13: aggregates sharing a field EXPRESSION share one struct slot —
+        # *_cate specs over the same (value, category) otherwise duplicate
+        # both fields per agg, widening every collected element AND giving
+        # each agg's reduction a textually different input tree (defeating
+        # common-subexpression sharing of the eligible-filter/distinct work)
+        field_slot: dict[str, str] = {}
+        slot_of: dict[tuple[int, str], str] = {}
         for i, (name, spec) in enumerate(array_specs.items()):
             for fk, fexpr in spec.fields.items():
-                struct_fields.append(fexpr.alias(f"f{i}_{fk}"))
+                key = str(fexpr)
+                if key not in field_slot:
+                    field_slot[key] = f"f{i}_{fk}"
+                    struct_fields.append(fexpr.alias(field_slot[key]))
+                slot_of[(i, fk)] = field_slot[key]
         struct_col = F.struct(*struct_fields)
         if instance_not_in_window:
             # collect ONLY union-side rows (collect_list skips the nulls),
@@ -393,7 +404,7 @@ def window_agg(
             elems = _take_last(elems, F.lit(wdef.maxsize))
 
         for i, (name, spec) in enumerate(array_specs.items()):
-            getter = lambda fk, i=i: (lambda s: s[f"f{i}_{fk}"])
+            getter = lambda fk, i=i: (lambda s: s[slot_of[(i, fk)]])
             native_cols[name] = spec.array(elems, getter)
 
     # select("*") (not a by-name re-projection) so joined inputs keep their
