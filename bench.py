@@ -165,6 +165,8 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     reps_out: dict[str, list[float]] = {}
+    noop_timings: dict[str, float] = {}
+    noop_reps_out: dict[str, list[float]] = {}
     for name in BENCH_QUERIES:
         # min-of-N: the host (shared microVM) shows transient 10-30x
         # stalls and a stochastic JIT tier that can hit whichever query is
@@ -188,6 +190,27 @@ def main() -> None:
         # adjudication: cached-block GC pressure was the cross-round tier)
         spark.catalog.clearCache()
 
+        # r13 measurement-bug fix (declared in OPTIMIZATION_r13.md, guide
+        # §1.4): DataFrame.count() lets the optimizer PRUNE unused columns
+        # — a pure-projection query (text_features, scalar_*, ...) times as
+        # an empty-schema scan (ReadSchema: struct<>), not its computation.
+        # The noop sink evaluates EVERY column of every row. The legacy
+        # count-timed series above stays the headline ("value"/"queries",
+        # comparable to r1-r12 and the r2 reference point); the noop series
+        # is published alongside as queries_noop/value_noop.
+        nbest = None
+        nreps: list[float] = []
+        for _ in range(max(MIN_REPS, REPS.get(name, 0))):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = time.perf_counter() - t0
+            nreps.append(round(dt, 3))
+            nbest = dt if nbest is None else min(nbest, dt)
+        noop_timings[name] = round(nbest, 3)
+        noop_reps_out[name] = nreps
+        print(f"# {name} [noop]: {noop_timings[name]:.3f}s {nreps}", file=sys.stderr)
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -198,6 +221,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "reps": reps_out,
+                "queries_noop": noop_timings,
+                "value_noop": round(sum(noop_timings.values()), 3),
+                "reps_noop": noop_reps_out,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
