@@ -326,16 +326,23 @@ def window_agg(
             ).otherwise(elems)
         else:
             elems = F.collect_list(struct_col).over(_collect_window(wdef, parts))
-        # pin (ord, rid) element order — RANGE-frame collects otherwise leave
-        # same-ts peers in shuffle order (nondeterministic across runs)
-        elems = F.array_sort(
-            elems,
-            lambda a, b: F.when(a["o"] < b["o"], -1)
-            .when(a["o"] > b["o"], 1)
-            .when(a["r"] < b["r"], -1)
-            .when(a["r"] > b["r"], 1)
-            .otherwise(0),
-        )
+        # pin (ord, rid) element order. ROWS/unbounded collects run over a
+        # window ORDERED BY (_ORD, _RID) — WindowExec feeds collect_list in
+        # frame order, so the array is already (o, r)-ascending (and the
+        # INSTANCE_NOT_IN_WINDOW concat appends the current row, the frame
+        # maximum, keeping it ascending). Only the RANGE collect (ordered by
+        # _ORD alone) leaves same-ts peers in shuffle order and pays the
+        # per-comparison interpreted sort (r13 — the sort was ~35% of the
+        # udaf_window_cate stage).
+        if wdef.rows_range is not None:
+            elems = F.array_sort(
+                elems,
+                lambda a, b: F.when(a["o"] < b["o"], -1)
+                .when(a["o"] > b["o"], 1)
+                .when(a["r"] < b["r"], -1)
+                .when(a["r"] > b["r"], 1)
+                .otherwise(0),
+            )
 
         if (
             wdef.exclude_current_time
@@ -453,17 +460,12 @@ def _lag_col(
                 .orderBy(F.col(_ORD).asc(), F.col(_RID).asc())
                 .rowsBetween(Window.unboundedPreceding, Window.currentRow)
             )
+            # lag_rows_w is ORDERED BY (_ORD, _RID): collect_list gathers in
+            # frame order, so the array is already (o, r)-ascending (r13 —
+            # dropped the redundant interpreted-comparator array_sort)
             elems = F.collect_list(
                 F.struct(F.col(_ORD).alias("o"), F.col(_RID).alias("r"), v.alias("v"))
             ).over(lag_rows_w)
-            elems = F.array_sort(
-                elems,
-                lambda a, b: F.when(a["o"] < b["o"], -1)
-                .when(a["o"] > b["o"], 1)
-                .when(a["r"] < b["r"], -1)
-                .when(a["r"] > b["r"], 1)
-                .otherwise(0),
-            )
             run_rn = F.row_number().over(
                 Window.partitionBy(*parts, F.col(_ORD)).orderBy(F.col(_RID))
             )
