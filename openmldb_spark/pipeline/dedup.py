@@ -634,12 +634,21 @@ def simhash(
     hashes = F.transform(toks, lambda t: token_hash(t))
 
     zero = F.array_repeat(F.lit(0), bits)
+    positions = F.array(*[F.lit(j) for j in range(bits)])
 
     def _fold(acc: Column, h: Column) -> Column:
-        # LSB-first char array of the 64-bit two's-complement representation
-        bit_chars = F.slice(F.split(F.reverse(F.lpad(F.bin(h), 64, "0")), ""), 1, bits)
+        # vote(bit j) += 2*((h >> j) & 1) - 1 — pure long arithmetic per
+        # slot (r13: replaced the bin/lpad/reverse/split char-array fold,
+        # which allocated 64 single-char strings and did 64 string
+        # comparisons per token; arithmetic halves the stage)
         return F.zip_with(
-            acc, bit_chars, lambda a, c: a + F.when(c == "1", 1).otherwise(-1)
+            acc,
+            positions,
+            lambda a, j: a
+            + (
+                F.call_function("shiftright", h, j).bitwiseAND(F.lit(1)) * F.lit(2)
+                - F.lit(1)
+            ).cast("int"),
         )
 
     votes = F.aggregate(hashes, zero, _fold)
