@@ -125,11 +125,14 @@ def _word_ngrams(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
-def _top_run_count(arr: Column) -> Column:
-    """Highest multiplicity of any element in ``arr``: sort, then one
-    O(n) fold counting the longest run of equal adjacent elements.
-    O(n log n) per row vs the naive O(n*distinct) count-each-element scan
-    — the difference between fine and pathological on book-length docs."""
+def _run_stats(arr: Column) -> Column:
+    """``struct(best, nd)`` of ``arr``: the highest multiplicity of any
+    element (longest run of equal adjacent elements after a sort) and the
+    distinct-element count (number of runs) — both from ONE O(n log n)
+    sort + O(n) fold per row, vs the naive O(n*distinct) count-each-element
+    scan — the difference between fine and pathological on book-length
+    docs. Counting distincts as runs replaces a separate per-row
+    ``array_distinct`` hash-set build (r13)."""
     srt = F.array_sort(arr)
     st = F.aggregate(
         srt,
@@ -137,6 +140,7 @@ def _top_run_count(arr: Column) -> Column:
             F.lit(None).cast("string").alias("prev"),
             F.lit(0).alias("run"),
             F.lit(0).alias("best"),
+            F.lit(0).alias("nd"),
         ),
         lambda acc, x: F.struct(
             x.alias("prev"),
@@ -145,9 +149,14 @@ def _top_run_count(arr: Column) -> Column:
                 acc.best,
                 F.when(x.eqNullSafe(acc.prev), acc.run + 1).otherwise(F.lit(1)),
             ).alias("best"),
+            (acc.nd + F.when(x.eqNullSafe(acc.prev), 0).otherwise(1)).alias("nd"),
         ),
     )
-    return st.best
+    # return the raw fold state (NOT re-wrapped in F.struct): extraction
+    # over a CreateNamedStruct is rewritten by SimplifyExtractValueOps into
+    # one copy of the aggregate per extracted field — the raw fold behind a
+    # multiply-referenced alias stays a single evaluation
+    return st
 
 
 def repetition_features(
@@ -186,33 +195,50 @@ def repetition_features(
     t = F.lower(F.col(text_col))
     toks = F.filter(F.split(t, r"\s+"), lambda x: x != "")
     if method == "array":
-        grams = _word_ngrams(toks, ngram)
-        n_tok = F.size(toks)
-        n_gr = F.size(grams)
+        # Stage the expensive arrays as real columns so each is built ONCE
+        # per row (r13). A single collapsed Project would textually
+        # duplicate the split/ngram trees into every output column (HOFs
+        # are CodegenFallback — no subexpression sharing), and the old
+        # withColumn chain re-built the token array ~4x and the gram array
+        # ~3x per row. CollapseProject keeps a Project boundary when an
+        # alias is non-cheap and referenced more than once, which every
+        # stage below guarantees.
+        base = df.withColumn("__rf_toks", toks)
+        tk = F.col("__rf_toks")
+        base = base.withColumn("__rf_grams", _word_ngrams(tk, ngram)).withColumn(
+            "__rf_ntok", F.size(tk)
+        )
+        gr = F.col("__rf_grams")
+        base = base.withColumn("__rf_st_t", _run_stats(tk)).withColumn(
+            "__rf_st_g", _run_stats(gr)
+        ).withColumn("__rf_ngr", F.size(gr))
+        n_tok, n_gr = F.col("__rf_ntok"), F.col("__rf_ngr")
+        st_t, st_g = F.col("__rf_st_t"), F.col("__rf_st_g")
         ntz = F.when(n_tok > 0, n_tok.cast("double")).otherwise(F.lit(1.0))
         ngz = F.when(n_gr > 0, n_gr.cast("double")).otherwise(F.lit(1.0))
         return (
-            df.withColumn("n_tokens", n_tok.cast("long"))
+            base.withColumn("n_tokens", n_tok.cast("long"))
             .withColumn(
                 "dup_token_ratio",
                 F.round(
-                    F.when(n_tok > 0, 1.0 - F.size(F.array_distinct(toks)) / ntz).otherwise(0.0), 4
+                    F.when(n_tok > 0, 1.0 - st_t["nd"] / ntz).otherwise(0.0), 4
                 ),
             )
             .withColumn(
                 "top_token_ratio",
-                F.round(_top_run_count(toks).cast("double") / ntz, 4),
+                F.round(st_t["best"].cast("double") / ntz, 4),
             )
             .withColumn(
                 "dup_ngram_ratio",
                 F.round(
-                    F.when(n_gr > 0, 1.0 - F.size(F.array_distinct(grams)) / ngz).otherwise(0.0), 4
+                    F.when(n_gr > 0, 1.0 - st_g["nd"] / ngz).otherwise(0.0), 4
                 ),
             )
             .withColumn(
                 "top_ngram_ratio",
-                F.round(_top_run_count(_word_ngrams(toks, ngram)).cast("double") / ngz, 4),
+                F.round(st_g["best"].cast("double") / ngz, 4),
             )
+            .drop("__rf_toks", "__rf_grams", "__rf_ntok", "__rf_ngr", "__rf_st_t", "__rf_st_g")
         )
     if method != "explode":
         raise ValueError(f"repetition_features: unknown method {method!r}")
