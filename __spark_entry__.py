@@ -838,7 +838,12 @@ def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("doc_id") * 7) % 256).cast("string"),
         ),
     )
-    out = T.pii_scrub(T.quality_features(injected), "text2")
+    # stage the token split ONCE — quality_features and lang_id otherwise
+    # each rebuild it (lang_id references it per language)
+    injected = injected.withColumn("__tf_toks", T.tokens(F.col("text")))
+    out = T.pii_scrub(
+        T.quality_features(injected, toks=F.col("__tf_toks")), "text2"
+    )
     return out.select(
         "doc_id",
         "n_tokens",
@@ -848,7 +853,7 @@ def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
         "stopword_ratio",
         "quality_score",
         "lang",
-        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.lang_id(F.col("text"), toks=F.col("__tf_toks")).alias("lang_guess"),
         T.fingerprint(F.col("text")).alias("fp"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\w+|[^\w\s]"), 0)).cast("long").alias("n_bpeish"),
         "n_email",

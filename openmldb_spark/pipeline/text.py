@@ -47,28 +47,52 @@ def _stopword_hits(toks: Column, words: list[str]) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))
 
 
-def lang_id(text: Column) -> Column:
+def lang_id(text: Column, *, toks: Column | None = None) -> Column:
     """Stopword-vote language guess over {en,de,fr,es}; 'und' (undetermined)
-    when nothing matches."""
-    toks = tokens(text)
-    scores = [(lang, _stopword_hits(toks, ws)) for lang, ws in _LANG_STOPWORDS.items()]
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores:
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    when nothing matches.
+
+    One ``array_max`` over ``(score, tie_rank)`` structs (r13): the previous
+    when-cascade referenced the running best twice per language, doubling
+    the expression tree each step — the en score (a full tokenize+filter)
+    appeared 8x in the final plan. Ties keep the earlier language, and a
+    rank-1 ``(0, 'und')`` sentinel wins exactly when every score is 0 —
+    identical to the cascade's strict ``>``. Pass a pre-tokenized ``toks``
+    column to share one split with sibling projections."""
+    toks = tokens(text) if toks is None else toks
+    langs = list(_LANG_STOPWORDS)
+    entries = [
+        F.struct(
+            _stopword_hits(toks, _LANG_STOPWORDS[lang]).alias("s"),
+            F.lit(-i).alias("ni"),  # ties -> max(-i) == earliest lang
+        )
+        for i, lang in enumerate(langs)
+    ]
+    entries.append(F.struct(F.lit(0).alias("s"), F.lit(1).alias("ni")))
+    best = F.array_max(F.array(*entries))
+    # ni=1 -> position 1 ('und'); lang i (ni=-i) -> position i+2
+    lang_arr = F.array(F.lit("und"), *[F.lit(lang) for lang in langs])
+    return F.element_at(lang_arr, F.lit(2) - best["ni"])
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", *, toks: Column | None = None
+) -> DataFrame:
     """Append the standard quality-signal columns:
 
     n_chars, n_tokens, avg_token_len, punct_ratio, digit_ratio,
     upper_ratio, stopword_ratio (en), quality_score in [0,1].
+
+    ``toks``: optionally a pre-staged token-array COLUMN (from
+    :func:`tokens`) to share one split with sibling projections.
     """
     t = F.col(text_col)
-    toks = tokens(t)
+    if toks is None:
+        # stage the token array as a real column: referenced by three
+        # signals below, a collapsed Project would otherwise re-split the
+        # document per signal (HOFs are CodegenFallback — no subexpression
+        # sharing; r13)
+        df = df.withColumn("__qf_toks", tokens(t))
+        toks = F.col("__qf_toks")
     n_chars = F.length(t)
     n_tokens = F.size(toks)
     # regexp_count of a single-char class == chars removed by the old
@@ -107,7 +131,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((F.col("digit_ratio") <= 0.3), 0.1).otherwise(0.0)
         + F.when(F.col("stopword_ratio") >= 0.05, 0.3).otherwise(0.0)
     )
-    return out.withColumn("quality_score", F.round(score, 4))
+    return out.withColumn("quality_score", F.round(score, 4)).drop("__qf_toks")
 
 
 def _word_ngrams(toks: Column, n: int) -> Column:
