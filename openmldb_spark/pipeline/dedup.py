@@ -66,6 +66,24 @@ _SHINGLE_C = [
 ]
 
 
+def _set_jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two distinct-element arrays via the integer
+    identity ``|A∪B| = |A|+|B|-|A∩B|`` — one array_intersect pass instead
+    of intersect+union (r13). The intersect size is bound ONCE as a lambda
+    variable through a single-element transform: HOFs are CodegenFallback,
+    so each *textual* occurrence re-evaluates, and a plain two-reference
+    spelling would rebuild the intersection. The division operands are
+    bit-identical to ``size(intersect)/size(union)`` (integer denominator
+    is exact), so every downstream comparison is unchanged."""
+    return F.element_at(
+        F.transform(
+            F.array(F.size(F.array_intersect(a, b))),
+            lambda i: i.cast("double") / (F.size(a) + F.size(b) - i),
+        ),
+        1,
+    )
+
+
 def exact_dedup(
     df: DataFrame,
     cols: Sequence[str],
@@ -583,9 +601,7 @@ def jaccard_dedup(
         cand.join(ha, "a")
         .join(hb, "b")
         .filter(
-            F.size(F.array_intersect("__ha", "__hb")).cast("double")
-            / F.size(F.array_union("__ha", "__hb"))
-            >= F.lit(float(threshold))
+            _set_jaccard(F.col("__ha"), F.col("__hb")) >= F.lit(float(threshold))
         )
         .select(F.col("b").alias(id_col))
         .distinct()
@@ -701,10 +717,7 @@ def ngram_jaccard_pairs(
         .select(
             "a",
             "b",
-            (
-                F.size(F.array_intersect("sha", "shb")).cast("double")
-                / F.size(F.array_union("sha", "shb"))
-            ).alias("jaccard"),
+            _set_jaccard(F.col("sha"), F.col("shb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -807,10 +820,7 @@ def overlap_jaccard_pairs(
         .select(
             "a",
             "b",
-            (
-                F.size(F.array_intersect("__fa", "__fb")).cast("double")
-                / F.size(F.array_union("__fa", "__fb"))
-            ).alias("jaccard"),
+            _set_jaccard(F.col("__fa"), F.col("__fb")).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= F.lit(t))
     )
