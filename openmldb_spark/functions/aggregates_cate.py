@@ -43,6 +43,16 @@ _CATE_AGGS: dict[str, Callable[[Column], Column]] = {
 }
 
 
+def _bind(col: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``fn`` as a bound lambda
+    variable (single-element transform + element_at). HOFs are
+    CodegenFallback: every *textual* reference to a subtree re-evaluates
+    it, so the eligible-row filter below would otherwise run once per
+    category key plus once per distinct-key scan — O(K·frame) re-filtering
+    per row (r13)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _fmt_num(x: Column) -> Column:
     """Format an aggregate value the way the reference prints it
     (std::to_string): fractional types as '%f' with 6 decimals
@@ -69,39 +79,43 @@ def _cate_arr(
     agg_fn = _CATE_AGGS[agg]
 
     def arr(e: Column, f: Callable) -> Column:
-        eligible = F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull())
-        ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
-        groups = F.transform(
-            ks,
-            lambda k: F.struct(
-                k.alias("k"),
-                agg_fn(
-                    F.transform(F.filter(eligible, lambda s: f("k")(s) == k), f("v"))
-                ).alias("v"),
-            ),
-        )
-        if order == "key_desc":
-            groups = F.reverse(groups)
-        elif order == "value_desc":
-            # reference outputs the top-n set by reverse-iterating a set
-            # ordered (value asc, key asc) — so ties print key DESCENDING
-            # (containers.h OutputTopNByValue + DefaultPairCmp)
-            groups = F.array_sort(
-                groups,
-                lambda a, b: F.when(a["v"] > b["v"], -1)
-                .when(a["v"] < b["v"], 1)
-                .when(a["k"] > b["k"], -1)
-                .when(a["k"] < b["k"], 1)
-                .otherwise(0),
+        def body(eligible: Column) -> Column:
+            ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
+            groups = F.transform(
+                ks,
+                lambda k: F.struct(
+                    k.alias("k"),
+                    agg_fn(
+                        F.transform(F.filter(eligible, lambda s: f("k")(s) == k), f("v"))
+                    ).alias("v"),
+                ),
             )
-        if n is not None:
-            groups = F.slice(groups, 1, n)
-        return F.array_join(
-            F.transform(
-                groups,
-                lambda s: F.concat(s["k"].cast("string"), F.lit(":"), _fmt_num(s["v"])),
-            ),
-            ",",
+            if order == "key_desc":
+                groups = F.reverse(groups)
+            elif order == "value_desc":
+                # reference outputs the top-n set by reverse-iterating a set
+                # ordered (value asc, key asc) — so ties print key DESCENDING
+                # (containers.h OutputTopNByValue + DefaultPairCmp)
+                groups = F.array_sort(
+                    groups,
+                    lambda a, b: F.when(a["v"] > b["v"], -1)
+                    .when(a["v"] < b["v"], 1)
+                    .when(a["k"] > b["k"], -1)
+                    .when(a["k"] < b["k"], 1)
+                    .otherwise(0),
+                )
+            if n is not None:
+                groups = F.slice(groups, 1, n)
+            return F.array_join(
+                F.transform(
+                    groups,
+                    lambda s: F.concat(s["k"].cast("string"), F.lit(":"), _fmt_num(s["v"])),
+                ),
+                ",",
+            )
+
+        return _bind(
+            F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull()), body
         )
 
     return arr
@@ -227,41 +241,57 @@ def _ratio_cate_arr(n: int, by_value: bool) -> Callable[[Column, Callable], Colu
     cases/function/function/test_udaf_function.yaml:2724-2766)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        eligible = F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull())
-        ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
+        def body(eligible: Column) -> Column:
+            ks = F.array_sort(F.array_distinct(F.transform(eligible, f("k"))))
 
-        def ratio(k: Column) -> Column:
-            grp = F.filter(eligible, lambda s: f("k")(s) == k)
-            # F.filter keeps only rows whose predicate is true — a NULL
-            # condition is excluded from the numerator, as in the reference
-            hits = F.filter(grp, lambda s: f("c")(s))
-            return F.size(hits).cast("double") / F.size(grp)
+            def ratio(k: Column) -> Column:
+                # F.filter keeps only rows whose predicate is true — a NULL
+                # condition is excluded from the numerator, as in the
+                # reference. The per-key group is bound once: it feeds both
+                # the hit count and the denominator.
+                return _bind(
+                    F.filter(eligible, lambda s: f("k")(s) == k),
+                    lambda grp: F.size(F.filter(grp, lambda s: f("c")(s))).cast(
+                        "double"
+                    )
+                    / F.size(grp),
+                )
 
-        groups = F.transform(ks, lambda k: F.struct(k.alias("k"), ratio(k).alias("v")))
-        if by_value:
-            groups = F.array_sort(
-                groups,
-                lambda a, b: F.when(a["v"] > b["v"], -1)
-                .when(a["v"] < b["v"], 1)
-                .when(a["k"] > b["k"], -1)
-                .when(a["k"] < b["k"], 1)
-                .otherwise(0),
+            groups = F.transform(
+                ks, lambda k: F.struct(k.alias("k"), ratio(k).alias("v"))
             )
-        else:
-            groups = F.reverse(groups)
-        if n >= 0:
-            groups = F.slice(groups, 1, n)
-        return F.array_join(
-            F.transform(
-                groups,
-                lambda s: F.concat(
-                    s["k"].cast("string"), F.lit(":"), F.format_string("%f", s["v"])
-                ),
-            ),
-            ",",
+            return _ratio_fmt(groups, n, by_value)
+
+        return _bind(
+            F.filter(e, lambda s: f("k")(s).isNotNull() & f("v")(s).isNotNull()), body
         )
 
     return arr
+
+
+def _ratio_fmt(groups: Column, n: int, by_value: bool) -> Column:
+    if by_value:
+        groups = F.array_sort(
+            groups,
+            lambda a, b: F.when(a["v"] > b["v"], -1)
+            .when(a["v"] < b["v"], 1)
+            .when(a["k"] > b["k"], -1)
+            .when(a["k"] < b["k"], 1)
+            .otherwise(0),
+        )
+    else:
+        groups = F.reverse(groups)
+    if n >= 0:
+        groups = F.slice(groups, 1, n)
+    return F.array_join(
+        F.transform(
+            groups,
+            lambda s: F.concat(
+                s["k"].cast("string"), F.lit(":"), F.format_string("%f", s["v"])
+            ),
+        ),
+        ",",
+    )
 
 
 def _ratio_cate_spec(name: str, value: ColumnOrName, cond: Column, cat: ColumnOrName, n: int, by_value: bool) -> AggSpec:
