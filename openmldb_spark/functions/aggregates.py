@@ -49,6 +49,16 @@ def _nn(arr: Column) -> Column:
     return F.filter(arr, lambda x: x.isNotNull())
 
 
+def _bind(col: Column, fn: Callable[[Column], Column]) -> Column:
+    """Evaluate ``col`` ONCE and pass it to ``fn`` as a bound lambda
+    variable (single-element transform + element_at). HOFs are
+    CodegenFallback: every *textual* reference to a subtree re-evaluates it
+    at runtime — including subtrees captured inside another HOF's lambda,
+    which re-evaluate PER ELEMENT. Binding turns both into a single
+    evaluation (r13)."""
+    return F.element_at(F.transform(F.array(col), fn), 1)
+
+
 def _empty_null(arr: Column, out: Column) -> Column:
     """NULL when no non-null input (reference UDAF convention)."""
     return F.when(F.size(arr) > 0, out)
@@ -58,9 +68,11 @@ def _arr_sum(arr: Column) -> Column:
     # zero = first_elem * 0 preserves the element's numeric type (long sums
     # stay long, double sums stay double) so the array path agrees with the
     # caller-declared type rather than silently widening.
-    nn = _nn(arr)
-    return _empty_null(
-        nn, F.aggregate(nn, F.element_at(nn, 1) * 0, lambda a, x: a + x)
+    return _bind(
+        _nn(arr),
+        lambda nn: _empty_null(
+            nn, F.aggregate(nn, F.element_at(nn, 1) * 0, lambda a, x: a + x)
+        ),
     )
 
 
@@ -69,10 +81,13 @@ def _arr_count(arr: Column) -> Column:
 
 
 def _arr_avg(arr: Column) -> Column:
-    nn = _nn(arr)
-    return _empty_null(
-        nn,
-        F.aggregate(nn, F.lit(0.0), lambda a, x: a + x.cast("double")) / F.size(nn),
+    return _bind(
+        _nn(arr),
+        lambda nn: _empty_null(
+            nn,
+            F.aggregate(nn, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            / F.size(nn),
+        ),
     )
 
 
@@ -184,18 +199,27 @@ def avg_(value: ColumnOrName) -> AggSpec:
 
 
 def _moment_array(e: Column, f: Callable, kind: str) -> Column:
-    vals = _nn(F.transform(e, f("v")))
-    n = F.size(vals)
-    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
-    mean = s / n
-    ss = F.aggregate(vals, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean))
-    if kind in ("var_samp", "stddev_samp"):
-        out = F.when(n > 1, ss / (n - 1))
-    else:
-        out = F.when(n > 0, ss / n)
-    if kind.startswith("stddev"):
-        out = F.sqrt(out)
-    return out
+    # both vals and mean are BOUND lambda variables: `mean` previously sat
+    # inside the ss-fold's merge lambda, and interpreted HOF evaluation
+    # re-ran the full sum fold once PER ELEMENT — O(n^2) per row (r13)
+    def with_vals(vals: Column) -> Column:
+        n = F.size(vals)
+
+        def with_mean(mean: Column) -> Column:
+            ss = F.aggregate(
+                vals, F.lit(0.0), lambda a, x: a + (x - mean) * (x - mean)
+            )
+            if kind in ("var_samp", "stddev_samp"):
+                out = F.when(n > 1, ss / (n - 1))
+            else:
+                out = F.when(n > 0, ss / n)
+            if kind.startswith("stddev"):
+                out = F.sqrt(out)
+            return out
+
+        return _bind(F.aggregate(vals, F.lit(0.0), lambda a, x: a + x) / n, with_mean)
+
+    return _bind(_nn(F.transform(e, f("v"))), with_vals)
 
 
 def stddev_(value: ColumnOrName) -> AggSpec:
@@ -264,14 +288,17 @@ def median_(value: ColumnOrName) -> AggSpec:
     """median — interpolated for even counts (ref: default_udf_library.cc:3052)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        vals = F.array_sort(_nn(F.transform(e, f("v"))))
-        n = F.size(vals)
-        half = F.floor(n / 2).cast("int")
-        odd = F.element_at(vals, half + 1)
-        even = (F.element_at(vals, half) + F.element_at(vals, half + 1)) / 2.0
-        return F.when(n == 0, F.lit(None).cast("double")).when(
-            n % 2 == 1, odd.cast("double")
-        ).otherwise(even)
+        def body(vals: Column) -> Column:
+            n = F.size(vals)
+            half = F.floor(n / 2).cast("int")
+            odd = F.element_at(vals, half + 1)
+            even = (F.element_at(vals, half) + F.element_at(vals, half + 1)) / 2.0
+            return F.when(n == 0, F.lit(None).cast("double")).when(
+                n % 2 == 1, odd.cast("double")
+            ).otherwise(even)
+
+        # the sorted array is referenced up to five times — bind it once
+        return _bind(F.array_sort(_nn(F.transform(e, f("v")))), body)
 
     return AggSpec(
         "median",
@@ -349,21 +376,30 @@ def top(value: ColumnOrName, k: int) -> AggSpec:
 
 
 def _key_counts(keys: Column) -> Column:
-    """array<struct<k, cnt>> of distinct non-null keys with counts."""
-    nn = _nn(keys)
-    ks = F.array_distinct(nn)
-    return F.transform(
-        ks, lambda k: F.struct(k.alias("k"), F.size(F.filter(nn, lambda x: x == k)).alias("cnt"))
+    """array<struct<k, cnt>> of distinct non-null keys with counts.
+    The null-filtered array is bound once — it is probed once per distinct
+    key and would otherwise be re-filtered per key."""
+    return _bind(
+        _nn(keys),
+        lambda nn: F.transform(
+            F.array_distinct(nn),
+            lambda k: F.struct(
+                k.alias("k"), F.size(F.filter(nn, lambda x: x == k)).alias("cnt")
+            ),
+        ),
     )
 
 
 def _top1_ratio_fold(keys: Column) -> Column:
     """top1_ratio over an element array (nulls already filtered)."""
-    counts = _key_counts(keys)
-    mx = F.array_max(F.transform(counts, lambda s: s["cnt"]))
-    return F.when(F.size(keys) == 0, F.lit(0.0)).otherwise(
-        mx.cast("double") / F.size(keys)
-    )
+
+    def body(ks: Column) -> Column:
+        mx = F.array_max(F.transform(_key_counts(ks), lambda s: s["cnt"]))
+        return F.when(F.size(ks) == 0, F.lit(0.0)).otherwise(
+            mx.cast("double") / F.size(ks)
+        )
+
+    return _bind(keys, body)
 
 
 def _topn_frequency_fold(all_keys: Column, n: int) -> Column:
@@ -374,17 +410,6 @@ def _topn_frequency_fold(all_keys: Column, n: int) -> Column:
     only a zero-update state (empty frame / empty split list, where top_n
     was never recorded) emits "". NULL key values update the state (so
     padding applies) but are never counted."""
-    keys = _nn(all_keys)
-    counts = _key_counts(keys)
-    ordered = F.array_sort(
-        counts,
-        lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
-        .when(a["cnt"] < b["cnt"], 1)
-        .when(a["k"] < b["k"], -1)
-        .when(a["k"] > b["k"], 1)
-        .otherwise(0),
-    )
-
     def _fmt(k: Column) -> Column:
         # the reference renders float/double keys with %f ("1.100000" —
         # v1::format_string); typeof() is constant-folded per column type
@@ -392,13 +417,26 @@ def _topn_frequency_fold(all_keys: Column, n: int) -> Column:
             F.typeof(k).isin("float", "double"), F.format_string("%f", k)
         ).otherwise(k.cast("string"))
 
-    topn = F.transform(F.slice(ordered, 1, n), lambda s: _fmt(s["k"]))
-    padded = F.concat(
-        topn, F.array_repeat(F.lit("NULL"), F.lit(n) - F.size(topn))
-    )
-    return F.when(F.size(all_keys) == 0, F.lit("")).otherwise(
-        F.array_join(padded, ",")
-    )
+    def body(ak: Column) -> Column:
+        ordered = F.array_sort(
+            _key_counts(ak),  # _key_counts drops the NULL keys from counts
+            lambda a, b: F.when(a["cnt"] > b["cnt"], -1)
+            .when(a["cnt"] < b["cnt"], 1)
+            .when(a["k"] < b["k"], -1)
+            .when(a["k"] > b["k"], 1)
+            .otherwise(0),
+        )
+        topn = F.transform(F.slice(ordered, 1, n), lambda s: _fmt(s["k"]))
+        joined = _bind(
+            topn,
+            lambda tn: F.array_join(
+                F.concat(tn, F.array_repeat(F.lit("NULL"), F.lit(n) - F.size(tn))),
+                ",",
+            ),
+        )
+        return F.when(F.size(ak) == 0, F.lit("")).otherwise(joined)
+
+    return _bind(all_keys, body)
 
 
 def top1_ratio(key: ColumnOrName) -> AggSpec:
@@ -527,25 +565,27 @@ def drawdown(value: ColumnOrName) -> AggSpec:
     negative values ignored (ref: default_udf_library.cc:3074-3105)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        vals = F.filter(
-            F.transform(e, f("v")), lambda x: x.isNotNull() & (x >= 0)
+        def body(vals: Column) -> Column:
+            acc0 = F.struct(F.lit(0.0).alias("peak"), F.lit(0.0).alias("dd"))
+            res = F.aggregate(
+                vals,
+                acc0,
+                lambda a, x: F.struct(
+                    F.greatest(a["peak"], x).alias("peak"),
+                    F.when(
+                        (a["peak"] > 0) & ((a["peak"] - x) / a["peak"] > a["dd"]),
+                        (a["peak"] - x) / a["peak"],
+                    )
+                    .otherwise(a["dd"])
+                    .alias("dd"),
+                ),
+                lambda a: a["dd"],
+            )
+            return _empty_null(vals, res)
+
+        return _bind(
+            F.filter(F.transform(e, f("v")), lambda x: x.isNotNull() & (x >= 0)), body
         )
-        acc0 = F.struct(F.lit(0.0).alias("peak"), F.lit(0.0).alias("dd"))
-        res = F.aggregate(
-            vals,
-            acc0,
-            lambda a, x: F.struct(
-                F.greatest(a["peak"], x).alias("peak"),
-                F.when(
-                    (a["peak"] > 0) & ((a["peak"] - x) / a["peak"] > a["dd"]),
-                    (a["peak"] - x) / a["peak"],
-                )
-                .otherwise(a["dd"])
-                .alias("dd"),
-            ),
-            lambda a: a["dd"],
-        )
-        return _empty_null(vals, res)
 
     return AggSpec(
         "drawdown",
@@ -562,16 +602,17 @@ def entropy(value: ColumnOrName) -> AggSpec:
     (ref: aggregate_def.cc:110-130, registered :386)."""
 
     def arr(e: Column, f: Callable) -> Column:
-        keys = _nn(F.transform(e, f("v")))
-        total = F.size(keys)
-        counts = _key_counts(keys)
-        h = F.aggregate(
-            counts,
-            F.lit(0.0),
-            lambda a, s: a
-            - (s["cnt"] / total) * F.log2(s["cnt"].cast("double") / total),
-        )
-        return F.when(total > 0, h)
+        def body(keys: Column) -> Column:
+            total = F.size(keys)
+            h = F.aggregate(
+                _key_counts(keys),
+                F.lit(0.0),
+                lambda a, s: a
+                - (s["cnt"] / total) * F.log2(s["cnt"].cast("double") / total),
+            )
+            return F.when(total > 0, h)
+
+        return _bind(_nn(F.transform(e, f("v"))), body)
 
     return AggSpec(
         "entropy",
@@ -641,7 +682,9 @@ def last_value(value: ColumnOrName, ignore_nulls: bool = False) -> AggSpec:
             vals = _nn(vals)
         # empty frame (bounded upper end / all-null + ignore_nulls):
         # element_at index 0 is invalid in Spark — guard to NULL
-        return F.when(F.size(vals) > 0, F.element_at(vals, F.size(vals)))
+        return _bind(
+            vals, lambda v: F.when(F.size(v) > 0, F.element_at(v, F.size(v)))
+        )
 
     return AggSpec(
         "last_value",
@@ -659,9 +702,14 @@ def nth_value_where(value: ColumnOrName, idx: int, cond: Column) -> AggSpec:
 
     def arr(e: Column, f: Callable) -> Column:
         matching = F.filter(e, lambda s: F.coalesce(f("c")(s), F.lit(False)))
-        vals = F.transform(matching, f("v"))
-        pos = F.lit(idx) if idx > 0 else F.size(vals) + 1 + idx
-        return F.when((pos >= 1) & (pos <= F.size(vals)), F.element_at(vals, pos))
+
+        def body(vals: Column) -> Column:
+            pos = F.lit(idx) if idx > 0 else F.size(vals) + 1 + idx
+            return F.when(
+                (pos >= 1) & (pos <= F.size(vals)), F.element_at(vals, pos)
+            )
+
+        return _bind(F.transform(matching, f("v")), body)
 
     return AggSpec(
         "nth_value_where",

@@ -24,6 +24,7 @@ from openmldb_spark.functions.aggregates import (
     _arr_max,
     _arr_min,
     _arr_sum,
+    _bind,
     _c,
     _group_via_collect,
     _nn,
@@ -43,14 +44,8 @@ _CATE_AGGS: dict[str, Callable[[Column], Column]] = {
 }
 
 
-def _bind(col: Column, fn: Callable[[Column], Column]) -> Column:
-    """Evaluate ``col`` ONCE and pass it to ``fn`` as a bound lambda
-    variable (single-element transform + element_at). HOFs are
-    CodegenFallback: every *textual* reference to a subtree re-evaluates
-    it, so the eligible-row filter below would otherwise run once per
-    category key plus once per distinct-key scan — O(K·frame) re-filtering
-    per row (r13)."""
-    return F.element_at(F.transform(F.array(col), fn), 1)
+# _bind (imported above): the eligible-row filter would otherwise run once
+# per category key plus once per distinct-key scan — O(K·frame) per row
 
 
 def _fmt_num(x: Column) -> Column:
