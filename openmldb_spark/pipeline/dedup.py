@@ -841,9 +841,16 @@ def embedding_dedup(
 
     Hyperplanes are derived deterministically from ``seed`` via xxhash64 of
     (seed, plane, dim) — no RNG state, reproducible on any cluster.
-    """
-    from openmldb_spark.pipeline.similarity import cosine
 
+    r13 (guide §4.2, §8.4): in-bucket verification is ONE normalized Gram
+    matmul per bucket (``applyInPandas`` over the bucket key) instead of a
+    bucket self-join + interpreted higher-order-function cosine per pair —
+    the old shape materialized |B|^2 joined rows and evaluated ~320
+    interpreted lambda nodes per pair (zip_with+fold dot, two per-pair
+    norms); the matmul touches each vector once and emits only the loser
+    ids. Bucket size is capped by ``max_bucket``, so per-task state is
+    bounded (cap^2 doubles at worst, row-chunked below).
+    """
     proj = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     if planes <= 0:
         # exact mode: single bucket -> all-pairs verification
@@ -888,13 +895,52 @@ def embedding_dedup(
         .select("__bucket")
     )
     sized = withb.join(F.broadcast(big), "__bucket", "left_anti")
-    a = sized.select(F.col("__bucket"), F.col("__id").alias("a"), F.col("__v").alias("va"))
-    b = sized.select(F.col("__bucket"), F.col("__id").alias("b"), F.col("__v").alias("vb"))
-    pairs = (
-        a.join(b, "__bucket")
-        .filter(F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+
+    id_out_t = dict(proj.dtypes)["__id"]
+    thr = float(threshold)
+
+    def verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"__loser": pd.Series([], dtype=object)})
+        if len(pdf) < 2:
+            return empty
+        vs = pdf["__v"].to_list()
+        ids = pdf["__id"].to_numpy()
+        # rows whose vector is missing / has missing elements can neither
+        # drop nor be dropped (the pairwise cosine was NULL -> filter false)
+        ok = np.array(
+            [v is not None and not pd.isna(np.asarray(v, dtype=np.float64)).any() for v in vs]
+        )
+        if ok.sum() < 2:
+            return empty
+        ids = ids[ok]
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        V = np.asarray([vs[i] for i in np.flatnonzero(ok)[order]], dtype=np.float64)
+        n = np.linalg.norm(V, axis=1)
+        losers: set = set()
+        # row-chunked Gram matrix: cos(i, j) = (V V^T) / (n n^T); with ids
+        # ascending, the strict upper triangle has id[i] < id[j], so every
+        # hit's LARGER id is the column's. Zero-norm rows divide to NaN,
+        # which fails >= exactly like the NULL cosine did.
+        step = 1024
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for i0 in range(0, len(ids), step):
+                i1 = min(i0 + step, len(ids))
+                G = (V[i0:i1] @ V.T) / np.outer(n[i0:i1], n)
+                r, c = np.nonzero(G >= thr)
+                hit = c > (r + i0)  # strict upper triangle only
+                losers.update(ids[c[hit]].tolist())
+        if not losers:
+            return empty
+        return pd.DataFrame({"__loser": sorted(losers)})
+
+    losers_df = (
+        sized.groupBy("__bucket")
+        .applyInPandas(verify, schema=f"__loser {id_out_t}")
+        .select(F.col("__loser").alias(id_col))
+        .distinct()
     )
-    losers = pairs.select(F.col("b").alias(id_col)).distinct()
-    return df.join(losers, id_col, "left_anti")
+    return df.join(losers_df, id_col, "left_anti")

@@ -112,6 +112,35 @@ def test_embedding_dedup(spark):
     assert ids == {1, 3}
 
 
+def test_embedding_dedup_matmul_verify_matches_pairwise(spark):
+    """r13: the per-bucket Gram-matmul verify must equal the old pairwise
+    HOF-cosine verify — including NULL vectors / NULL elements (never drop,
+    never dropped) and the zero vector (cosine NaN -> never >= t)."""
+    import math
+
+    from openmldb_spark.pipeline.similarity import cosine as hof_cosine
+
+    vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.25 * (i % 4)]) for i in range(40)]
+    vecs += [(100, vecs[5][1]), (101, vecs[7][1])]      # exact dups
+    vecs += [(102, None), (103, [1.0, None, 0.0]), (104, [0.0, 0.0, 0.0])]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+
+    out = {r["vec_id"] for r in D.embedding_dedup(df, "vec_id", "v", threshold=0.98, planes=0).collect()}
+
+    # old formulation: all-pairs self-join + interpreted HOF cosine
+    a = df.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = df.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    losers = {
+        r["b"]
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .filter(hof_cosine(F.col("va"), F.col("vb")) >= 0.98)
+        .collect()
+    }
+    assert out == {i for i, _ in vecs} - losers
+    assert {102, 103, 104} <= out
+
+
 def test_text_quality_features(spark, docs):
     out = T.quality_features(docs).collect()
     r1 = next(r for r in out if r["doc_id"] == 1)
