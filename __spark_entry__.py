@@ -738,6 +738,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         d, "doc_id", "text",
         shingle_n=3, min_overlap=5, threshold=0.2, max_token_df=50,
     )
+    # r13 (guide §1.2 step 1): the pair set feeds BOTH the cluster loop
+    # (via its edge checkpoint) and the final labeled join — without this
+    # the whole candidate+verify pipeline executed twice per run
+    pairs = pairs.localCheckpoint(eager=False)
     # r12 arm (same entry — the driver gate caps at 50 rows): duplicate-
     # CLUSTER assignment + quality-aware representatives over these exact
     # pairs (pipeline/clusters.py: min-label propagation to the fixpoint,

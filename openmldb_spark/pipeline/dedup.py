@@ -733,6 +733,7 @@ def overlap_jaccard_pairs(
     min_overlap: int = 5,
     threshold: float = 0.2,
     max_token_df: int = 50,
+    eager_materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs gated on a minimum RARE-shingle overlap —
     the SSJoin-shaped formulation of the boilerplate-filtered pair search
@@ -762,27 +763,47 @@ def overlap_jaccard_pairs(
     hash equivalence (:func:`jaccard_dedup`). At 100 TB: candidate volume
     is bounded by ``max_token_df`` x shingle rows (linear in corpus), and
     every aggregate here has map-side partial combine.
+
+    r13 (guide §2.3, §2.4, §5): the per-doc distinct shingle-hash set is a
+    pure PROJECTION (multiply-shift hash-space shingles via
+    :func:`_hash_shingles_array` + ``array_sort(array_distinct(..))``)
+    instead of explode + ``groupBy(collect_set)`` — the widest shuffle of
+    the pipeline (one row per shingle OCCURRENCE) is gone, and no shingle
+    string ever materializes. The hash function changed (combined word-hash
+    instead of xxhash64 of the shingle string), which cannot change the
+    output: every downstream decision depends only on set cardinalities
+    and distinct document frequencies, both hash-invariant under the house
+    set-over-hash convention. ``per_doc``/``rare``/``pref`` are staged
+    (persist/localCheckpoint) because they feed 2-4 branches each — the
+    uncached spelling re-executed the dfreq join up to 5x
+    (``eager_materialize=False`` for the 100 TB path: checkpoint to
+    storage instead, as in :func:`jaccard_dedup`).
     """
     t = float(threshold)
     c = int(min_overlap)
-    ex = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(shingles(F.col(text_col), shingle_n))
-        ).alias("__s"),
-    ).select("__id", F.xxhash64("__s").alias("__h"))
-    # full distinct shingle-hash set per doc (the Jaccard verify side)
-    per_doc = ex.groupBy("__id").agg(
-        F.array_sort(F.collect_set("__h")).alias("__hs")
+    # per-doc distinct shingle-hash set (the Jaccard verify side)
+    per_doc = (
+        _hash_shingles_array(df, id_col, text_col, shingle_n)
+        .select(
+            F.col("__dd_id").alias("__id"),
+            F.array_sort(F.array_distinct("__dd_sh")).alias("__hs"),
+        )
+        .persist()
     )
+    if eager_materialize:
+        per_doc.count()
     exd = per_doc.select("__id", F.explode("__hs").alias("__h"))
     dfreq = exd.groupBy("__h").agg(F.count(F.lit(1)).alias("__df"))
+    # rare feeds the prefix window AND the rare-set rebuild — persist so the
+    # explode+dfreq join runs once, not once per consumer
     rare = exd.join(
         dfreq.filter(
             (F.col("__df") <= F.lit(int(max_token_df))) & (F.col("__df") > 1)
         ),
         "__h",
-    )
+    ).persist()
+    if eager_materialize:
+        rare.count()
     wid = Window.partitionBy("__id")
     rare_rn = (
         rare.withColumn("__nr", F.count(F.lit(1)).over(wid))
@@ -797,6 +818,10 @@ def overlap_jaccard_pairs(
     pref = rare_rn.filter(
         (F.col("__nr") >= c) & (F.col("__rn") <= F.col("__nr") - c + 1)
     ).select("__id", "__h")
+    if eager_materialize:
+        # both candidate-join sides read pref; without a checkpoint each
+        # side re-runs the rank window (jaccard_dedup's r10 finding)
+        pref = pref.localCheckpoint(eager=True)
     cand = (
         pref.select(F.col("__id").alias("a"), "__h")
         .join(pref.select(F.col("__id").alias("b"), "__h"), "__h")
