@@ -110,8 +110,23 @@ def test_dedup_ngram_candidate_gen_partial_agg(spark, qs):
     boilerplate shingle to one reducer before the df filter can drop it.
     (The r10 overlap-prefix formulation ranks prefix membership with
     windows partitioned by DOC id — bounded per document, fine — but df
-    counting itself must never become a shingle-partitioned window.)"""
-    plan = _plan(qs["dedup_ngram_jaccard"](spark, SF))
+    counting itself must never become a shingle-partitioned window.)
+
+    r13: the gate query now stages the pair set (localCheckpoint) and the
+    operator stages per_doc/rare/pref, so — like the minhash pin below —
+    the shape is inspected on the fully-lazy spelling
+    (eager_materialize=False), where candidate generation is still in the
+    plan string."""
+    from openmldb_spark.pipeline import dedup as D
+    from openmldb_spark.session import load_table
+
+    d = load_table(spark, SF, "documents")
+    pairs = D.overlap_jaccard_pairs(
+        d, "doc_id", "text",
+        shingle_n=3, min_overlap=5, threshold=0.2, max_token_df=50,
+        eager_materialize=False,
+    )
+    plan = _plan(pairs)
     assert "partial_count" in plan, plan
     # no window partitioned on the shingle-hash stream anywhere: every
     # windowspecdefinition in the plan keys on the doc id
