@@ -518,12 +518,59 @@ def q_udaf_cate(spark: SparkSession, sf: str) -> DataFrame:
     """*_cate family: per-category aggregate as 'k:v,...' keys ascending
     (sum_by_category_def.cc:223-246)."""
     li = load_table(spark, sf, "lineitem").withColumn("qty", F.col("l_quantity").cast("long"))
-    return li.groupBy("l_returnflag").agg(
-        A.sum_cate("qty", "l_linestatus").as_group().alias("sum_cate"),
-        A.count_cate("qty", "l_linestatus").as_group().alias("cnt_cate"),
-        A.min_cate("qty", "l_linestatus").as_group().alias("min_cate"),
-        A.max_cate("qty", "l_linestatus").as_group().alias("max_cate"),
-        A.sum_cate_where("qty", F.col("l_quantity") > 25, "l_linestatus").as_group().alias("sum_cate_w"),
+    # r13 (guide §2.3, §5): two-level native aggregation — per-(group, key)
+    # partial+final hash aggregates, then the 'k:v,...' strings assembled
+    # from the K-row-per-group count table — instead of collect_list of
+    # every group member (200k-element agg buffers at sf0.1, unbounded at
+    # 100 TB) re-scanned once per distinct key by interpreted HOFs. All
+    # aggregates here are integer (long), so the rendered strings are
+    # exactly equal; verified against the old spelling and the oracle.
+    # The *_cate AggSpecs (window path + direct group use) are unchanged.
+    per = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("__s"),
+        # count_cate's eligibility is 'some non-null value for this key' —
+        # gate the count to NULL so the assembly filter drops empty keys
+        # exactly like the old per-key eligible set did
+        F.when(F.count("qty") > 0, F.count("qty")).alias("__c"),
+        F.min("qty").alias("__mn"),
+        F.max("qty").alias("__mx"),
+        F.sum(F.when(F.col("l_quantity") > 25, F.col("qty"))).alias("__sw"),
+    )
+    asm = per.groupBy("l_returnflag").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("l_linestatus").alias("k"),
+                    "__s", "__c", "__mn", "__mx", "__sw",
+                )
+            )
+        ).alias("__e")
+    )
+
+    def _render(field: str):
+        # keys ascending (array_sort on the unique first struct field); a
+        # key is present iff it is non-null and its aggregate is non-null
+        # (for __sw: iff the key has a condition-true row — the
+        # *_cate_where eligibility rule); long values render plainly,
+        # exactly as _fmt_num does for integral types
+        return F.array_join(
+            F.transform(
+                F.filter(
+                    F.col("__e"),
+                    lambda s: s["k"].isNotNull() & s[field].isNotNull(),
+                ),
+                lambda s: F.concat(s["k"].cast("string"), F.lit(":"), s[field].cast("string")),
+            ),
+            ",",
+        )
+
+    return asm.select(
+        "l_returnflag",
+        _render("__s").alias("sum_cate"),
+        _render("__c").alias("cnt_cate"),
+        _render("__mn").alias("min_cate"),
+        _render("__mx").alias("max_cate"),
+        _render("__sw").alias("sum_cate_w"),
     )
 
 
@@ -610,15 +657,63 @@ def q_feature_zero_lists(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_udaf_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """median / entropy / distinct_count / stddev / variance in GROUP BY."""
+    """median / entropy / distinct_count / stddev / variance in GROUP BY.
+
+    r13 (guide §2.3 — aggregate before you shuffle): entropy is computed
+    two-level — count per (group, key) with map-side partial aggregation,
+    then the K-element Shannon fold over the tiny count table — instead of
+    ``collect_list`` of every group member into one agg buffer (200k-element
+    arrays per group at sf0.1; unbounded per-task state at 100 TB) followed
+    by an O(K·n) interpreted re-scan per distinct key. Identical formula
+    term-by-term; float addition order within a group was already
+    collect-order-dependent, and equality of the rounded output is
+    verified against the old spelling and the DuckDB oracle. The
+    single-agg ``A.entropy`` spec (window path + direct group use) is
+    unchanged."""
     li = load_table(spark, sf, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    main = li.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 4).alias("med_qty"),
-        F.round(A.entropy("l_linestatus").group({"v": F.col("l_linestatus")}), 4).alias("ls_entropy"),
-        F.count_distinct("l_partkey").alias("nd_parts"),
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_pop("l_quantity"), 4).alias("vp_qty"),
         F.round(F.var_samp("l_quantity"), 4).alias("vs_qty"),
+    )
+    # count(DISTINCT) is split out: mixed with the TypedImperative median
+    # it forced the distinct-Expand rewrite through a sort aggregate
+    # (measured 2.0s vs 0.6+0.7 separately); the two-level spelling
+    # partial-aggregates map-side and costs 0.4s
+    nd = (
+        li.groupBy("l_returnflag", "l_partkey")
+        .agg(F.first(F.lit(1)).alias("__x"))
+        .groupBy("l_returnflag")
+        .agg(F.count("l_partkey").alias("nd_parts"))
+    )
+    cnts = (
+        li.where(F.col("l_linestatus").isNotNull())
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    ent = (
+        cnts.groupBy("l_returnflag")
+        .agg(F.sum("__c").alias("__n"), F.collect_list("__c").alias("__cs"))
+        .select(
+            "l_returnflag",
+            F.round(
+                F.aggregate(
+                    "__cs",
+                    F.lit(0.0),
+                    lambda a, c: a
+                    - (c / F.col("__n")) * F.log2(c.cast("double") / F.col("__n")),
+                ),
+                4,
+            ).alias("ls_entropy"),
+        )
+    )
+    return (
+        main.join(F.broadcast(ent), "l_returnflag", "left")
+        .join(F.broadcast(nd), "l_returnflag", "left")
+        .select(
+            "l_returnflag", "med_qty", "ls_entropy", "nd_parts", "sd_qty", "vp_qty", "vs_qty"
+        )
     )
 
 
