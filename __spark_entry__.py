@@ -1057,7 +1057,14 @@ def q_embedding_ivf_topk_join(spark: SparkSession, sf: str) -> DataFrame:
         emb, corpus_id="vec_id", corpus_vec="embedding",
         n_centroids=16, seed=42,
     )
+    # r13 (guide §1.2 step 1): the centroid table and the assigned corpus
+    # index feed BOTH the probe arm and the drift arm — stage them once
+    # (16 rows / one corpus pass) instead of re-running the argmax
+    # assignment per consumer. In the persisted-index deployment this
+    # materialization IS the parquet index write.
+    cent = cent.localCheckpoint(eager=False)
     idx = ivf_corpus_index(emb, cent, corpus_id="vec_id", corpus_vec="embedding")
+    idx = idx.localCheckpoint(eager=False)
     probe = ivf_probe(
         emb.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 50)),
         idx, cent, query_id="vec_id", query_vec="embedding", k=4, nprobe=3,

@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .similarity import _assign_by_centroids, _centroid_array, cosine
+from .similarity import _assign_by_centroids, _centroid_array, dot, l2_norm
 
 
 def ivf_centroids(
@@ -143,9 +143,14 @@ def ivf_probe(
     # bucket missing from the frozen IN-list and silently under-return.
     # F.slice caps at the array length, so nprobe > n_centroids needs no
     # count() probe.
-    qa = _assign_by_centroids(
-        queries, query_id, query_vec, "query_id", int(nprobe), cent_arr
-    ).withColumnRenamed("__v", "__qv").localCheckpoint()
+    qa = (
+        _assign_by_centroids(
+            queries, query_id, query_vec, "query_id", int(nprobe), cent_arr
+        )
+        .withColumnRenamed("__v", "__qv")
+        .withColumnRenamed("__vn", "__qvn")
+        .localCheckpoint()
+    )
     # serving shape: queries are the bounded side; their probed buckets
     # become plan literals so the index scan partition-prunes
     probed = sorted(r["__cidx"] for r in qa.select("__cidx").distinct().collect())
@@ -154,6 +159,9 @@ def ivf_probe(
         .select(
             F.col("id").alias("neighbor_id"),
             F.col("vec").alias("__cv"),
+            # r13: fold each candidate's norm ONCE per index row (it was
+            # re-folded per (query, candidate) pair inside cosine)
+            l2_norm(F.col("vec")).alias("__cvn"),
             F.col("cidx").alias("__cidx"),
         )
     )
@@ -164,10 +172,11 @@ def ivf_probe(
             .filter(F.col("__bsize") <= max_bucket)
             .drop("__bsize")
         )
+    # operand order of `cosine` preserved: dot / (q_norm * c_norm)
     scored = ca.join(F.broadcast(qa), "__cidx").select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("__qv"), F.col("__cv")).alias("cos"),
+        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qvn") * F.col("__cvn"))).alias("cos"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
@@ -298,15 +307,24 @@ def ivf_assignment_stats(indexed: DataFrame, centroids: DataFrame) -> DataFrame:
     (:meth:`IvfIndexStore.drift_stats`) — a batch whose mean cosine to
     its assigned centroids falls well below the build-time mean is
     drifting out of the trained partitioning."""
-    c = centroids.select("cidx", "centroid")
-    cosv = cosine(F.col("vec"), F.col("centroid"))
+    # r13: the cosine is projected ONCE per row (it sat inside both the
+    # avg and the min aggregate expressions — two full folds per row), and
+    # each centroid's norm is precomputed on the ≤n_centroids broadcast
+    # side; operand order of `cosine` preserved, values bit-identical
+    c = centroids.select(
+        "cidx", "centroid", l2_norm(F.col("centroid")).alias("__cn")
+    )
+    cosv = dot(F.col("vec"), F.col("centroid")) / (
+        l2_norm(F.col("vec")) * F.col("__cn")
+    )
     return (
         indexed.join(F.broadcast(c), "cidx")
+        .select("cidx", cosv.alias("__cos"))
         .groupBy("cidx")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.avg(cosv).alias("mean_cos"),
-            F.min(cosv).alias("min_cos"),
+            F.avg("__cos").alias("mean_cos"),
+            F.min("__cos").alias("min_cos"),
         )
     )
 

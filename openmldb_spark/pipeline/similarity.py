@@ -754,7 +754,16 @@ def _centroid_array(cent: DataFrame) -> DataFrame:
     path (:mod:`openmldb_spark.pipeline.annindex`)."""
     return cent.agg(
         F.array_sort(
-            F.collect_list(F.struct(F.col("__cidx").alias("i"), F.col("__cent_v").alias("v")))
+            F.collect_list(
+                F.struct(
+                    F.col("__cidx").alias("i"),
+                    F.col("__cent_v").alias("v"),
+                    # r13: centroid norm precomputed once per centroid —
+                    # the same l2_norm fold the per-row cosine evaluated
+                    # per (row, centroid), so scores stay bit-identical
+                    l2_norm(F.col("__cent_v")).alias("n"),
+                )
+            )
         ).alias("__cents")
     )
 
@@ -763,15 +772,28 @@ def _assign_by_centroids(
     df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int,
     cent_arr: DataFrame,
 ) -> DataFrame:
-    """``(out_id, __v, __cidx)`` — each row's ``keep`` nearest centroids by
-    (cos desc, centroid index asc), the same total order the old
-    row_number window used, so picks and ties are unchanged."""
-    proj = df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"))
+    """``(out_id, __v, __vn, __cidx)`` — each row's ``keep`` nearest
+    centroids by (cos desc, centroid index asc), the same total order the
+    old row_number window used, so picks and ties are unchanged.
+
+    r13 (guide §1.2 step 2): the row's own l2 norm is computed ONCE and
+    bound as a lambda variable (it was re-folded per centroid — 16x per
+    row), and each centroid's norm rides precomputed in the broadcast
+    array; cos = dot / (row_norm * cent_norm) keeps the exact operand
+    order of :func:`cosine`, so every score is bit-identical. ``__vn`` is
+    returned so downstream pair scoring can reuse it instead of
+    re-folding the norm per candidate pair."""
+    proj = df.select(
+        F.col(id_col).alias(out_id),
+        F.col(vec_col).alias("__v"),
+        l2_norm(F.col(vec_col)).alias("__vn"),
+    )
     ranked = F.array_sort(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                cosine(F.col("__v"), c["v"]).alias("c"), c["i"].alias("i")
+                (dot(F.col("__v"), c["v"]) / (F.col("__vn") * c["n"])).alias("c"),
+                c["i"].alias("i"),
             ),
         ),
         lambda x, y: F.when(x["c"] > y["c"], F.lit(-1))
@@ -780,8 +802,8 @@ def _assign_by_centroids(
     )
     return (
         proj.crossJoin(F.broadcast(cent_arr))
-        .select(out_id, "__v", F.explode(F.slice(ranked, 1, keep)).alias("__pick"))
-        .select(out_id, "__v", F.col("__pick.i").alias("__cidx"))
+        .select(out_id, "__v", "__vn", F.explode(F.slice(ranked, 1, keep)).alias("__pick"))
+        .select(out_id, "__v", "__vn", F.col("__pick.i").alias("__cidx"))
     )
 
 
@@ -858,9 +880,13 @@ def ivf_topk_join(
     def assign(df: DataFrame, id_col: str, vec_col: str, out_id: str, keep: int) -> DataFrame:
         return _assign_by_centroids(df, id_col, vec_col, out_id, keep, cent_arr)
 
-    ca = assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1).withColumnRenamed("__v", "__cv")
+    ca = (
+        assign(corpus, corpus_id, corpus_vec, "neighbor_id", 1)
+        .withColumnRenamed("__v", "__cv")
+        .withColumnRenamed("__vn", "__cvn")
+    )
     qa = assign(queries, query_id, query_vec, "query_id", min(int(nprobe), int(n_centroids)))
-    qa = qa.withColumnRenamed("__v", "__qv")
+    qa = qa.withColumnRenamed("__v", "__qv").withColumnRenamed("__vn", "__qvn")
     if max_bucket is not None:
         # bucket sizes via partial-agg (map-side combine shuffles only
         # ≤ n_centroids count rows) + broadcast join back — not a window
@@ -873,9 +899,13 @@ def ivf_topk_join(
         )
 
     # queries are the small side (serving shape) — broadcast them so the
-    # corpus assignment never shuffles on __cidx either.
+    # corpus assignment never shuffles on __cidx either. Pair cosines
+    # reuse the per-row norms the assignment already folded (operand
+    # order of `cosine` preserved: dot / (q_norm * c_norm)).
     scored = ca.join(F.broadcast(qa), "__cidx").select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qvn") * F.col("__cvn"))).alias("cos"),
     )
     if exclude_self:
         scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
