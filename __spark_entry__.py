@@ -719,13 +719,56 @@ def q_udaf_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_udaf_top_freq(spark: SparkSession, sf: str) -> DataFrame:
     """top(k) / top1_ratio / topn_frequency in GROUP BY
-    (feature_zero_def.cc:390-560)."""
+    (feature_zero_def.cc:390-560).
+
+    r13 (guide §2.3): the frequency pair (top1_ratio / topn_frequency) is
+    computed two-level — count per (user, key) with map-side partial
+    aggregation, then max/sum/sort over the tiny per-user count list —
+    instead of collecting every member and re-scanning per distinct key
+    (O(K·n) interpreted). Ratios divide the same integers, the top-n list
+    sorts by the same (count desc, key asc) order with the same NULL
+    padding, so outputs are exactly equal (verified vs the old spelling
+    and the oracle). top(v, 3) keeps the collect path (top VALUES with
+    duplicates). The AggSpecs themselves are unchanged."""
     e = load_table(spark, sf, "events").withColumn("v", F.round("value", 0).cast("long"))
-    return e.groupBy("user_id").agg(
-        A.top("v", 3).group({"v": F.col("v")}).alias("top3"),
-        F.round(A.top1_ratio("event_type").group({"v": F.col("event_type")}), 4).alias("t1r"),
-        A.topn_frequency("event_type", 2).group({"v": F.col("event_type")}).alias("top2f"),
+    top3 = e.groupBy("user_id").agg(
+        A.top("v", 3).group({"v": F.col("v")}).alias("top3")
     )
+    per = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("__c"))
+    et_ok = F.col("event_type").isNotNull()
+    byu = per.groupBy("user_id").agg(
+        F.max(F.when(et_ok, F.col("__c"))).alias("__mx"),
+        F.sum(F.when(et_ok, F.col("__c"))).alias("__tot"),
+        # collect_list skips the null-key entry; natural struct sort =
+        # (count desc, key asc) — topn_frequency's exact order
+        F.array_sort(
+            F.collect_list(
+                F.when(et_ok, F.struct((-F.col("__c")).alias("nc"), F.col("event_type").alias("k")))
+            )
+        ).alias("__ord"),
+    )
+    freq = byu.select(
+        "user_id",
+        F.round(
+            F.when(F.col("__tot").isNull(), F.lit(0.0)).otherwise(
+                F.col("__mx").cast("double") / F.col("__tot")
+            ),
+            4,
+        ).alias("t1r"),
+        F.array_join(
+            F.element_at(
+                F.transform(
+                    F.array(F.transform(F.slice(F.col("__ord"), 1, 2), lambda s: s["k"])),
+                    lambda tn: F.concat(
+                        tn, F.array_repeat(F.lit("NULL"), F.lit(2) - F.size(tn))
+                    ),
+                ),
+                1,
+            ),
+            ",",
+        ).alias("top2f"),
+    )
+    return top3.join(freq, "user_id").select("user_id", "top3", "t1r", "top2f")
 
 
 def q_udaf_window_exotic(spark: SparkSession, sf: str) -> DataFrame:
