@@ -127,6 +127,19 @@ BENCH_QUERIES = [
     "embedding_lsh_topk_join",
 ]
 
+# Adjudication of a full-run host tier (round 13, optimization): one bench
+# run read 36.9s total with window_frame_bounds at 9.9s x3 reps (35x its
+# r12 line) while interleaved queries with different plans ran at normal
+# speed. Standalone re-measurement minutes later: 0.65s on a byte-identical
+# plan; a second full bench run read 11.42s total; jcmd sampling during
+# that run showed the 512m code cache at ~105 MB used. Verdict: the
+# documented stochastic tier can strike ALL reps of adjacent queries in
+# one run (per-generated-class JIT state — other plans' classes keep
+# running fast), so single-run totals are only trustworthy when a re-run
+# or standalone probes corroborate them. No code or protocol change —
+# min-of-N within one run cannot defend against a multi-minute tier, and
+# reordering reps across queries would break the per-query JIT-warm
+# methodology the r5/r7 adjudications established.
 #: every query runs at least this many reps (r7 verdict: the stochastic
 #: 2-10x host/JIT tier documented in the adjudications above can hit BOTH
 #: reps of a best-of-2 — four r7 artifact numbers landed 2-4x above their

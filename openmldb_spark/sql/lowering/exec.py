@@ -633,6 +633,13 @@ class Lowerer:
         indistinguishable in the output, so the pick stays deterministic
         and observationally identical."""
         ralias = j.table.bind_name
+        # WINDOW ... UNION requires the union tables to MATCH the main
+        # (post-join) schema — flagged_union reconciles them positionally
+        # for request-mode joins with duplicate output names — so pruning
+        # the join's right side would desynchronize the schemas (r13 fix:
+        # ported batch-request cases 4-5, window-union over a LAST JOIN)
+        if any(w.union_tables for w in sel.windows.values()):
+            return None
         lower_map: dict[str, str] = {}
         for c in rcols:
             lower_map.setdefault(c.lower(), c)
