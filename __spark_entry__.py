@@ -889,14 +889,19 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     clusters = dedup_clusters(pairs)
     docs = d.select("doc_id", F.col("n_chars").cast("double").alias("q"))
     reps = pick_representatives(docs, clusters, "doc_id", score_col="q")
-    rep_per_cluster = clusters.join(
+    # r13: clusters / rep_per_cluster are PAIRS-bounded (one row per id in
+    # any near-dup pair) — broadcast them so the corpus-sized reps union
+    # and the pair set never shuffle for these joins (3 SMJ -> 3 BHJ;
+    # drops the reps-side Exchange, the scale-bearing one)
+    rep_per_cluster = F.broadcast(clusters).join(
         reps.select("doc_id"), clusters["id"] == reps["doc_id"]
     ).select(F.col("cluster_id"), F.col("id").alias("rep_id"))
     labeled = (
         pairs.join(
-            clusters.select(F.col("id").alias("a"), "cluster_id"), "a"
+            F.broadcast(clusters.select(F.col("id").alias("a"), "cluster_id")),
+            "a",
         )
-        .join(rep_per_cluster, "cluster_id")
+        .join(F.broadcast(rep_per_cluster), "cluster_id")
     )
     return labeled.select(
         "a", "b", F.round("jaccard", 4).alias("jaccard"),

@@ -41,6 +41,15 @@ def dedup_clusters(
     edges = pairs.select(
         F.col(a_col).alias("__src"), F.col(b_col).alias("__dst")
     ).where(F.col("__src") != F.col("__dst")).distinct().localCheckpoint()
+    # bidirectional adjacency, built ONCE: each round then propagates with
+    # a single (adj JOIN labels) instead of two per-direction edge joins
+    adj = (
+        edges.select(F.col("__src").alias("__nid"), F.col("__dst").alias("__nbr"))
+        .union(
+            edges.select(F.col("__dst").alias("__nid"), F.col("__src").alias("__nbr"))
+        )
+        .localCheckpoint()
+    )
     labels = (
         edges.select(F.col("__src").alias("id"))
         .union(edges.select(F.col("__dst").alias("id")))
@@ -50,30 +59,30 @@ def dedup_clusters(
     )
     for _ in range(max_iters):
         prop = (
-            edges.join(labels, edges["__src"] == labels["id"])
-            .select(F.col("__dst").alias("id"), "cluster_id")
-            .union(
-                edges.join(labels, edges["__dst"] == labels["id"]).select(
-                    F.col("__src").alias("id"), "cluster_id"
-                )
-            )
+            adj.join(labels.select("id", "cluster_id"), adj["__nbr"] == F.col("id"))
+            .select(F.col("__nid").alias("id"), "cluster_id")
         )
+        # the previous label rides through the min-aggregate (each id has
+        # exactly one old row, so max(__old) recovers it and min over
+        # (old UNION propagated) is the same new label) — the convergence
+        # check is then a narrow scan of the checkpointed result instead
+        # of a labels-vs-labels shuffle join per round
         new_labels = (
-            labels.select("id", "cluster_id")
-            .union(prop)
+            labels.select("id", "cluster_id", F.col("cluster_id").alias("__old"))
+            .unionByName(prop.withColumn("__old", F.lit(None).cast(prop.schema["cluster_id"].dataType)))
             .groupBy("id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
+            .agg(
+                F.min("cluster_id").alias("cluster_id"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        changed = new_labels.where(
+            F.col("cluster_id") != F.col("__old")
+        ).count()
         labels = new_labels
         if changed == 0:
-            return labels
+            return labels.select("id", "cluster_id")
     raise RuntimeError(
         f"dedup_clusters: no convergence after {max_iters} rounds "
         "(component diameter too large for a near-dup graph)"
