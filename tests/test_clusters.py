@@ -125,3 +125,21 @@ def test_representatives_join_broadcasts_clusters(spark):
 
     for ex in re.findall(r"Exchange hashpartitioning\((\w+)", plan):
         assert ex.startswith("__dc_cid"), plan
+
+
+def test_convergence_round_count_and_output_schema(spark):
+    """r13 internals pin (single-join propagation with the previous label
+    carried through the min-aggregate): a diameter-4 chain needs exactly
+    4 label-changing rounds plus 1 confirming round, and the converged
+    output exposes ONLY (id, cluster_id) -- the internal __old carry
+    column must not leak."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
+    )
+    got = dedup_clusters(pairs, max_iters=5)
+    assert got.columns == ["id", "cluster_id"]
+    assert _clusters(got) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+    # one round short of the confirming pass: must raise, not return a
+    # half-propagated labeling
+    with pytest.raises(RuntimeError, match="convergence"):
+        dedup_clusters(pairs, max_iters=4)
