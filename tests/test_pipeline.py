@@ -27,6 +27,28 @@ def test_exact_dedup(spark, docs):
     assert 4 not in ids and 1 in ids and len(ids) == 4
 
 
+def test_exact_dedup_partition_pin_is_size_aware(spark, docs):
+    """r14 (guide §2): the AQE-coalescing guard pins the dedupe exchange
+    with an input-size-derived partition count — multi-partition always
+    (>= 2, never the 1-partition collapse the pin exists to prevent) but
+    bounded by the shuffle-partitions knob instead of always equal to it
+    (a tiny input must not pay a knob-wide fan-out of near-empty tasks)."""
+    out = D.exact_dedup(docs, ["text"], id_col="doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"hashpartitioning\(text#\d+, (\d+)\), REPARTITION_BY_NUM", plan)
+    assert m, f"expected a pinned REPARTITION_BY_NUM exchange, got:\n{plan}"
+    n = int(m.group(1))
+    knob = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert 2 <= n <= knob
+    # exactly the documented derivation: ceil(estimated bytes / 64 KiB),
+    # floored at 2, capped at the knob (the input's own estimate, so the
+    # assertion holds whatever the local-relation size heuristic says)
+    est = int(str(docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    assert n == min(knob, max(2, -(-est // (64 << 10))))
+
+
 def test_minhash_signature_deterministic(spark, docs):
     s1 = D.minhash_signatures(docs, "text", num_hashes=16).collect()
     s2 = D.minhash_signatures(docs, "text", num_hashes=16).collect()
