@@ -10,12 +10,20 @@ smallest id. ``minhash_dedup``'s own docstring defers transitive closure
 ("run iteratively if full closure is needed") — this module is that
 closure, done properly.
 
-Algorithm: min-label propagation (the hash-to-min family — Rastogi et
-al., "Finding Connected Components in Map-Reduce in Logarithmic Rounds").
-Each iteration is ONE shuffle round (edge-join + min-aggregate); the
-driver loop runs until no label changes, bounded by the component
-diameter — near-dup graphs are overwhelmingly star/clique shaped
-(diameter 2-3), so 3-4 rounds in practice. Labels are
+Algorithm: min-label propagation with per-round pointer doubling (the
+hash-to-min family — Rastogi et al., "Finding Connected Components in
+Map-Reduce in Logarithmic Rounds"). Each iteration propagates the min
+label over the adjacency (edge-join + min-aggregate, as before) and then
+SHORTCUTS every label to its label's label (labels self-join on
+``cluster_id = id`` — every label value is a node id, so the parent row
+always exists). Min labels therefore travel ``O(2^r)`` hops by round
+``r`` and the driver loop converges in **O(log diameter)** rounds instead
+of O(diameter) (r14, VERDICT r13 item 4: each round is a full job
+barrier — minutes at 100 TB — so round count is the scale lever; a
+diameter-8 chain is pinned at <= 4 rounds in tests). Near-dup graphs are
+overwhelmingly star/clique shaped (diameter 2-3), where the doubling
+step joins a labels table that is already converged — one cheap extra
+pairs-sized join per round buys the worst case. Labels are
 ``localCheckpoint``ed per round to cut the lineage (iterative plans
 otherwise grow exponentially). At 100 TB the edge set is the small side
 (pairs above threshold), not the corpus.
@@ -67,7 +75,7 @@ def dedup_clusters(
         # (old UNION propagated) is the same new label) — the convergence
         # check is then a narrow scan of the checkpointed result instead
         # of a labels-vs-labels shuffle join per round
-        new_labels = (
+        stepped = (
             labels.select("id", "cluster_id", F.col("cluster_id").alias("__old"))
             .unionByName(prop.withColumn("__old", F.lit(None).cast(prop.schema["cluster_id"].dataType)))
             .groupBy("id")
@@ -75,6 +83,18 @@ def dedup_clusters(
                 F.min("cluster_id").alias("cluster_id"),
                 F.max("__old").alias("__old"),
             )
+        )
+        # pointer doubling (r14): cluster_id <- cluster_id's own new label.
+        # Every label value is a node id (min over ids), labels hold every
+        # node, and labels only decrease — so the inner join matches every
+        # row and the shortcut is monotone-safe. Min labels now travel
+        # exponentially many hops per round: O(log d) rounds total.
+        parent = stepped.select(
+            F.col("id").alias("__pid"), F.col("cluster_id").alias("__pcid")
+        )
+        new_labels = (
+            stepped.join(parent, stepped["cluster_id"] == parent["__pid"])
+            .select("id", F.col("__pcid").alias("cluster_id"), "__old")
             .localCheckpoint()
         )
         changed = new_labels.where(

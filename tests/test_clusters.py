@@ -128,18 +128,29 @@ def test_representatives_join_broadcasts_clusters(spark):
 
 
 def test_convergence_round_count_and_output_schema(spark):
-    """r13 internals pin (single-join propagation with the previous label
-    carried through the min-aggregate): a diameter-4 chain needs exactly
-    4 label-changing rounds plus 1 confirming round, and the converged
-    output exposes ONLY (id, cluster_id) -- the internal __old carry
-    column must not leak."""
+    """r14 internals pin (min-propagation + pointer doubling): a
+    diameter-4 chain needs exactly 2 label-changing rounds plus 1
+    confirming round (labels travel ~2^r hops by round r), and the
+    converged output exposes ONLY (id, cluster_id) -- the internal __old
+    carry column must not leak."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (4, 5)], "a long, b long"
     )
-    got = dedup_clusters(pairs, max_iters=5)
+    got = dedup_clusters(pairs, max_iters=3)
     assert got.columns == ["id", "cluster_id"]
     assert _clusters(got) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
     # one round short of the confirming pass: must raise, not return a
     # half-propagated labeling
     with pytest.raises(RuntimeError, match="convergence"):
-        dedup_clusters(pairs, max_iters=4)
+        dedup_clusters(pairs, max_iters=2)
+
+
+def test_log_diameter_rounds_on_diameter_8_chain(spark):
+    """VERDICT r13 item 4 acceptance pin: a diameter-8 chain (ids 1..9)
+    converges within 4 driver-blocking rounds (O(log d) via pointer
+    doubling) -- plain one-hop propagation would need 9."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 9)], "a long, b long"
+    )
+    got = _clusters(dedup_clusters(pairs, max_iters=4))
+    assert got == {i: 1 for i in range(1, 10)}
