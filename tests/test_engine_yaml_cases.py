@@ -17,7 +17,7 @@ try:
 except ImportError:
     yaml = None
 
-from test_yaml_cases import _eq, _parse_rows, _parse_schema, shard_files
+from test_yaml_cases import _eq, _parse_rows, _parse_schema, shard_files, smoke_stride
 
 CASE_DIR = os.path.join(os.path.dirname(__file__), "engine_cases")
 
@@ -28,9 +28,12 @@ def _load_cases():
     paths = sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml")))
     docs = {p: yaml.safe_load(open(p)) for p in paths}
     paths = shard_files(paths, [len(docs[p]["cases"]) for p in paths])
+    stride = smoke_stride(4)
     out = []
     for path in paths:
-        for case in docs[path]["cases"]:
+        for i, case in enumerate(docs[path]["cases"]):
+            if i % stride:
+                continue
             out.append(pytest.param(path, case, id=f"{os.path.basename(path)}:{case['id']}"))
     return out
 

@@ -73,6 +73,23 @@ def _parse_rows(data: str, schema: list[tuple[str, str]]):
     return rows
 
 
+def smoke_stride(default_stride: int) -> int:
+    """r14 test-gate budget (VERDICT r13 item 1): the full ported-case
+    corpus is ~2,400 Spark-bound tests and the complete suite (~59 min
+    wall) no longer fits the driver's verify window, so the DEFAULT run
+    keeps a deterministic smoke subset — every ``default_stride``-th case
+    of each yaml file, always including the file's first case (selection
+    by stable in-file position, never random). ``SPARK_GRAFT_FULL_TESTS=1``
+    restores the complete corpus (builders run it before declaring a round
+    done), and an explicit ``SPARK_GRAFT_YAML_SHARD`` spec implies the
+    full set within the shard."""
+    if os.environ.get("SPARK_GRAFT_FULL_TESTS") or os.environ.get(
+        "SPARK_GRAFT_YAML_SHARD"
+    ):
+        return 1
+    return default_stride
+
+
 def shard_files(paths: list[str], counts: list[int]) -> list[str]:
     """Deterministic shard selection: ``SPARK_GRAFT_YAML_SHARD=i/n`` keeps
     roughly 1/n of the cases (greedy balance by per-file case count, so each
@@ -98,9 +115,12 @@ def _load_cases():
     paths = sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml")))
     docs = {p: yaml.safe_load(open(p)) for p in paths}
     paths = shard_files(paths, [len(docs[p]["cases"]) for p in paths])
+    stride = smoke_stride(6)
     out = []
     for path in paths:
-        for case in docs[path]["cases"]:
+        for i, case in enumerate(docs[path]["cases"]):
+            if i % stride:
+                continue
             out.append(pytest.param(path, case, id=f"{os.path.basename(path)}:{case['id']}"))
     return out
 
