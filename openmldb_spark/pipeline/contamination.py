@@ -76,8 +76,19 @@ def ngram_contamination(
     STRINGS (~n words of text per shingle per occurrence). Membership
     counts are identical up to the house set-over-hash convention
     (~2^-64/pair collisions, the same contract ``jaccard_dedup`` and
-    ``stream_decontaminate`` already carry); the DuckDB oracle keeps
-    recomputing the string form and the gate stays value-hash green.
+    ``stream_decontaminate`` already carry).
+
+    Empty-document contract (adjudicated r14, ADVICE r13 #1): documents
+    whose text is NULL/empty/whitespace-only produce an empty shingle
+    array, explode to zero rows, and do NOT appear in the output — unlike
+    the pre-r13 string path, whose short-doc fallback emitted one
+    whole-text shingle (n_shingles=1) for every doc. The r13 change moved
+    query + DuckDB oracle together (both sides derive stats from the
+    exploded hash form), the gate has been green on it for two rounds,
+    and "a document with no shingles has no contamination row" is the
+    defensible audit semantics; restoring per-empty-doc rows now would
+    change declared-query output. Callers needing every doc represented
+    left-join the stats back onto the corpus ids.
     """
     bench = benchmark.select(F.lit(0).alias("__bm_id"), F.col(bench_text_col))
     bm = broadcast(

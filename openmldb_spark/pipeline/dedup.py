@@ -689,7 +689,12 @@ def simhash(
     :func:`portable_token_hash` for fingerprints reproducible in other SQL
     engines (oracle checks).
     """
-    assert bits % 4 == 0, "SWAR simhash packs 4 lanes per long"
+    # r14 (ADVICE r13 #3): the pack/unpack lane geometry (lane q counts
+    # hash bits q, q+16, q+32, q+48; unpack reads bit j%lanes + 16*(j//lanes))
+    # maps fingerprint bit j to hash bit j ONLY when lanes == 16 — any other
+    # width would silently select a different bit subset than the pre-SWAR
+    # low-`bits` implementation. No caller passes anything else; fail loudly.
+    assert bits == 64, "SWAR simhash lane geometry is only valid for bits=64"
     if token_hash is None:
         token_hash = F.xxhash64
     lanes = bits // 4
@@ -987,6 +992,8 @@ def embedding_dedup(
     thr = float(threshold)
 
     def verify(pdf):
+        from collections import defaultdict
+
         import numpy as np
         import pandas as pd
 
@@ -994,32 +1001,48 @@ def embedding_dedup(
         if len(pdf) < 2:
             return empty
         vs = pdf["__v"].to_list()
-        ids = pdf["__id"].to_numpy()
-        # rows whose vector is missing / has missing elements can neither
-        # drop nor be dropped (the pairwise cosine was NULL -> filter false)
-        ok = np.array(
-            [v is not None and not pd.isna(np.asarray(v, dtype=np.float64)).any() for v in vs]
-        )
-        if ok.sum() < 2:
-            return empty
-        ids = ids[ok]
-        order = np.argsort(ids, kind="stable")
-        ids = ids[order]
-        V = np.asarray([vs[i] for i in np.flatnonzero(ok)[order]], dtype=np.float64)
-        n = np.linalg.norm(V, axis=1)
+        all_ids = pdf["__id"].to_numpy()
+        # r14 (ADVICE r13 #4): a bucket mixing vector LENGTHS made
+        # np.asarray raise on the inhomogeneous shape and failed the whole
+        # job, where the pre-r13 pairwise zip_with cosine yielded NULL and
+        # just skipped the cross-length pair — compare within same-length
+        # groups instead. Missing-element policy, now explicit: a null
+        # ELEMENT arrives as NaN through Arrow, so null and NaN elements
+        # are indistinguishable at this boundary; vectors containing
+        # either neither drop nor get dropped (the r13-shipped, test-
+        # pinned choice; the pre-r13 Spark evaluation would have dropped
+        # NaN-element pairs — NaN >= t is true under Spark's NaN-greatest
+        # ordering — but skipped null-element ones, a distinction this
+        # boundary cannot express).
+        by_len: dict = defaultdict(list)
+        for i, v in enumerate(vs):
+            if v is None:
+                continue
+            arr = np.asarray(v, dtype=np.float64)
+            if np.isnan(arr).any():
+                continue
+            by_len[len(v)].append(i)
         losers: set = set()
-        # row-chunked Gram matrix: cos(i, j) = (V V^T) / (n n^T); with ids
-        # ascending, the strict upper triangle has id[i] < id[j], so every
-        # hit's LARGER id is the column's. Zero-norm rows divide to NaN,
-        # which fails >= exactly like the NULL cosine did.
         step = 1024
-        with np.errstate(divide="ignore", invalid="ignore"):
-            for i0 in range(0, len(ids), step):
-                i1 = min(i0 + step, len(ids))
-                G = (V[i0:i1] @ V.T) / np.outer(n[i0:i1], n)
-                r, c = np.nonzero(G >= thr)
-                hit = c > (r + i0)  # strict upper triangle only
-                losers.update(ids[c[hit]].tolist())
+        for length, idxs in by_len.items():
+            if len(idxs) < 2 or length == 0:
+                continue
+            ids = all_ids[idxs]
+            order = np.argsort(ids, kind="stable")
+            ids = ids[order]
+            V = np.asarray([vs[i] for i in np.asarray(idxs)[order]], dtype=np.float64)
+            n = np.linalg.norm(V, axis=1)
+            # row-chunked Gram: cos(i, j) = (V V^T)/(n n^T); with ids
+            # ascending, the strict upper triangle has id[i] < id[j], so
+            # every hit's LARGER id is the column's. Zero-norm rows divide
+            # to NaN, which fails >= exactly like the NULL cosine did.
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for i0 in range(0, len(ids), step):
+                    i1 = min(i0 + step, len(ids))
+                    G = (V[i0:i1] @ V.T) / np.outer(n[i0:i1], n)
+                    r, c = np.nonzero(G >= thr)
+                    up = c > (r + i0)  # strict upper triangle only
+                    losers.update(ids[c[up]].tolist())
         if not losers:
             return empty
         return pd.DataFrame({"__loser": sorted(losers)})

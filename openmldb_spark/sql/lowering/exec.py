@@ -628,10 +628,15 @@ class Lowerer:
         stream of the Select for bare or ``alias.col`` references is
         conservative: a same-named LEFT column keeps the right twin alive,
         which only costs pruning opportunity, never correctness. The
-        unsorted-tie hash tiebreak is computed over the pruned row; rows
+        unsorted-tie hash tiebreak is computed over the PRUNED row: rows
         tying on every ORDER BY column AND every observable column are
-        indistinguishable in the output, so the pick stays deterministic
-        and observationally identical."""
+        output-indistinguishable, so for them the pick is observationally
+        identical; rows tying on ORDER BY but differing on observable
+        columns get a deterministic pick that may differ from the
+        full-row hash's (and from a differently-pruning query's) —
+        adjudicated in DIVERGENCES #2 (r14): the reference's storage-
+        order pick is equally environment-dependent, and hashing the
+        full row would re-read every right column at the scan."""
         ralias = j.table.bind_name
         # WINDOW ... UNION requires the union tables to MATCH the main
         # (post-join) schema — flagged_union reconciles them positionally

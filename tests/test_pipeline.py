@@ -163,6 +163,28 @@ def test_embedding_dedup_matmul_verify_matches_pairwise(spark):
     assert {102, 103, 104} <= out
 
 
+def test_embedding_dedup_mixed_length_bucket_does_not_crash(spark):
+    """r14 (ADVICE r13 #4): a bucket holding vectors of DIFFERENT lengths
+    previously raised inside np.asarray (inhomogeneous shape) and failed
+    the job; the pairwise zip_with cosine just skipped the cross-length
+    pair. Same-length pairs must still verify; cross-length pairs never
+    match; NaN-element vectors neither drop nor get dropped (the pinned
+    missing-element policy — null and NaN are indistinguishable through
+    Arrow)."""
+    vecs = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),          # dup of 1 (same length)
+        (3, [1.0, 0.0]),               # shorter: never pairs with 1/2
+        (4, [1.0, 0.0]),               # dup of 3 within its length group
+        (5, [float("nan"), 1.0, 0.0]),  # NaN element: inert
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, v array<double>")
+    # planes=0 puts everything in one bucket: the crash shape
+    out = {r["vec_id"] for r in
+           D.embedding_dedup(df, "vec_id", "v", threshold=0.99, planes=0).collect()}
+    assert out == {1, 3, 5}
+
+
 def test_text_quality_features(spark, docs):
     out = T.quality_features(docs).collect()
     r1 = next(r for r in out if r["doc_id"] == 1)
