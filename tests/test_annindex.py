@@ -5,6 +5,7 @@ exactly, so the persisted-index path inherits the join sibling's DuckDB
 oracle transitively; plus the scale property the layout exists for —
 probes PARTITION-PRUNE a cidx-partitioned parquet index."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from openmldb_spark.pipeline import similarity as S
@@ -254,6 +255,7 @@ def test_ivf_index_store_lifecycle(spark, tmp_path):
     assert parts and store.index().count() == emb.count()
 
 
+@pytest.mark.slow
 def test_drift_stats_baseline_and_identical_batch(spark, tmp_path):
     """r13 (r12 verdict #6): drift observability. Build persists the
     per-bucket assignment-quality baseline; a batch drawn from the SAME
@@ -415,6 +417,7 @@ def test_ivf_pq_probe_matches_python_oracle(spark):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_ivf_pq_store_lifecycle_and_pruning(spark, tmp_path):
     """build_pq -> probe_pq == direct ivf_pq_probe; ingest_pq append ==
     rebuilt index; the code-only probe partition-prunes at the file

@@ -98,6 +98,7 @@ def test_execute_script(eng):
     assert results[3].collect()[0]["s"] == "a;b"
 
 
+@pytest.mark.slow
 def test_deploy_long_windows_preagg(eng, spark):
     """OPTIONS(long_windows=...): pre-agg-served request mode must equal
     the standard RequestUnion path exactly."""

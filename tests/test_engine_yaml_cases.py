@@ -28,7 +28,7 @@ def _load_cases():
     paths = sorted(glob.glob(os.path.join(CASE_DIR, "*.yaml")))
     docs = {p: yaml.safe_load(open(p)) for p in paths}
     paths = shard_files(paths, [len(docs[p]["cases"]) for p in paths])
-    stride = smoke_stride(4)
+    stride = smoke_stride(6)
     out = []
     for path in paths:
         for i, case in enumerate(docs[path]["cases"]):

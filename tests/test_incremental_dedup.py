@@ -105,6 +105,7 @@ def test_threshold_and_hot_bucket_guard(spark):
     assert none == []
 
 
+@pytest.mark.slow
 def test_hot_bucket_guard_counts_both_sides(spark):
     """The guard sizes buckets over old∪new exactly like the batch run:
     2 old copies + 2 new copies of one text = 4-row buckets, so at
@@ -141,6 +142,7 @@ def test_hot_bucket_guard_counts_both_sides(spark):
     assert inc == {(1, 11), (1, 12), (2, 11), (2, 12)}  # cap=4 keeps all
 
 
+@pytest.mark.slow
 def test_index_union_grows_incrementally(spark):
     """Ingesting a batch = union its own index rows (both tables); the
     NEXT batch then matches against the original corpus AND batch 1."""
@@ -160,6 +162,7 @@ def test_index_union_grows_incrementally(spark):
     assert got == {(21, 13)}, got
 
 
+@pytest.mark.slow
 def test_reingestion_compaction_idempotent(spark):
     """Replaying an ingestion (same index rows unioned twice) is repaired
     by compact_index: probe results equal the single-ingest results, and
@@ -185,6 +188,7 @@ def test_reingestion_compaction_idempotent(spark):
     assert once == again == {(11, 1), (12, 2)}
 
 
+@pytest.mark.slow
 def test_parameter_validation(spark):
     new = spark.createDataFrame(NEW, "doc_id int, text string")
     idx, sigs = _index_pair(spark, OLD)
@@ -212,6 +216,7 @@ def test_parameter_validation(spark):
     assert {(r["new_id"], r["corpus_id"]) for r in got} == {(11, 1), (12, 2)}
 
 
+@pytest.mark.slow
 def test_collision_join_shuffles_no_arrays(spark):
     """Plan pin for the ids-only discipline: every Exchange that feeds
     the band/bucket collision join or the pair dedup carries NO array
@@ -244,6 +249,7 @@ def test_collision_join_shuffles_no_arrays(spark):
         )
 
 
+@pytest.mark.slow
 def test_empty_batch_and_empty_index(spark):
     """Degenerate inputs stay well-formed: an empty new batch or an empty
     index produce zero pairs without erroring (the metadata validator
@@ -262,6 +268,7 @@ def test_empty_batch_and_empty_index(spark):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_index_store_lifecycle(spark, tmp_path):
     """MinhashIndexStore: build -> ingest (detect BEFORE append) ->
     next batch matches the previous one -> compact repairs a replay."""
@@ -310,6 +317,7 @@ def test_index_store_lifecycle(spark, tmp_path):
         wrong.near_dups(b1, "doc_id", "text").collect()
 
 
+@pytest.mark.slow
 def test_store_hadoop_fs_lifecycle_and_compact_repairs_orphans(spark, tmp_path):
     """Lifecycle hardening (r13: Hadoop-FS lifecycle): a ``file:`` URI
     root — refused in r12 because the lifecycle was ``os.*`` — now runs
@@ -392,6 +400,7 @@ def test_torn_compact_self_heals_on_open(spark, tmp_path):
     assert not os.path.isdir(store.bands_path + ".compact.old")
 
 
+@pytest.mark.slow
 def test_replayed_uncompacted_probe_has_no_duplicate_pairs(spark, tmp_path):
     """r12 verdict #2: a replayed-but-uncompacted ingestion leaves
     duplicate (id) SIGNATURE rows, and the probe's estimate join then
@@ -453,6 +462,7 @@ def test_mixed_parameter_index_raises(spark):
         )
 
 
+@pytest.mark.slow
 def test_ingest_signs_the_batch_exactly_once(spark, tmp_path):
     """ADVICE r12 (medium): ingest used to run the shingle+MinHash stage
     twice — once for detection, once for the append — so a
@@ -538,6 +548,7 @@ def test_legacy_union_mixed_with_metadata_raises_cleanly(spark):
         )
 
 
+@pytest.mark.slow
 def test_store_validates_params_once(spark, tmp_path):
     """The store memoizes parameter validation (the distinct scan is
     cheap but not free per probe at the design point): N probes = one

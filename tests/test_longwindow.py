@@ -122,7 +122,11 @@ def test_bucket_partitioned_history_prunes_partitions(spark, tmp_path):
     assert pruned, "expected a static bucket IN partition filter on the history scan"
 
 
-@pytest.mark.parametrize("agg", ["sum", "avg", "min", "max", "count"])
+@pytest.mark.parametrize(
+    "agg",
+    ["sum"]
+    + [pytest.param(a, marks=pytest.mark.slow) for a in ("avg", "min", "max", "count")],
+)
 def test_ported_long_window_family_preagg_equals_request(spark, agg):
     """The ported long_window.yaml family (ids 1/5/6/7/8 shape: each
     aggregate over a bounded ROWS_RANGE window deployed with
@@ -170,7 +174,12 @@ def test_ported_long_window_family_preagg_equals_request(spark, agg):
     assert dep._preagg, "preagg path did not engage"
 
 
-@pytest.mark.parametrize("agg", ["sum_where", "avg_where", "min_where", "max_where", "count_where"])
+@pytest.mark.parametrize(
+    "agg",
+    ["sum_where"]
+    + [pytest.param(a, marks=pytest.mark.slow)
+       for a in ("avg_where", "min_where", "max_where", "count_where")],
+)
 def test_long_window_xxx_where_preagg_equals_request(spark, agg):
     """Long-window *_where (reference integration_test/long_window/
     test_xxx_where.yaml): the filter-keyed pre-agg path must equal the

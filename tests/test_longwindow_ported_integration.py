@@ -386,6 +386,7 @@ def test_id12_count_where_long_window(spark):
 
 
 # -- the r8 verdict's direct staleness repros (beyond the corpus) ----------
+@pytest.mark.slow
 def test_insert_invalidates_preagg(spark):
     eng = _engine(spark, ROWS_2S)
     sql = (
@@ -425,6 +426,7 @@ def test_unchanged_table_reuses_preagg_cache(spark):
     assert first is second
 
 
+@pytest.mark.slow
 def test_explicit_history_switch_invalidates_preagg(spark):
     """r9 review finding: the cache token for an explicit history was
     id(history) — CPython can reuse the id after GC, inheriting a stale

@@ -224,6 +224,7 @@ def test_frame_sample_plan(spark):
     assert {r["frame_ts_ms"] for r in out} == {0, 1000, 2000, 3000, 4000}
 
 
+@pytest.mark.slow
 def test_lsh_topk_join_matches_broadcast_path(spark):
     import math
     vecs = [(i, [math.cos(i * 0.37), math.sin(i * 0.37), 0.2 * (i % 7)]) for i in range(60)]
@@ -273,6 +274,7 @@ def test_lsh_topk_join_plan_builds_without_driver_actions(spark, monkeypatch):
     assert set(["query_id", "neighbor_id", "cos", "rank"]) <= set(out.columns)
 
 
+@pytest.mark.slow
 def test_lsh_topk_portable_matches_join_sibling(spark):
     # the r8 portable arm: broadcast-queries lsh_topk(portable=True) is
     # the same md5-plane + JVM-fold computation as
@@ -308,6 +310,7 @@ def test_lsh_banded_portable_matches_join_sibling(spark):
     assert len(pairs) == len(set(pairs))
 
 
+@pytest.mark.slow
 def test_lsh_bands_1_is_exactly_the_legacy_single_table(spark):
     # explicit bands=1 must keep the legacy {seed}|{p}|{d} plane
     # derivation bit-identical (the correctness-gate oracles pin that
@@ -1163,6 +1166,7 @@ def test_ivf_topk_join_with_trained_centroids(spark):
         assert r["neighbor_id"] % 4 == r["query_id"] % 4
 
 
+@pytest.mark.slow
 def test_ann_recall_on_real_testdata(spark):
     """Recall pins on the driver's embeddings table (sf0.001): LSH and
     IVF retrieval vs exact brute force — a bucketing regression (plane
@@ -1213,6 +1217,7 @@ def test_ann_recall_on_real_testdata(spark):
     assert len(ivf_t & exact) / n >= 0.5, len(ivf_t & exact) / n
 
 
+@pytest.mark.slow
 def test_lsh_band_amplified_recall_on_real_testdata(spark):
     """OR-of-bands amplification (r8 verdict item #2) on the driver's real
     (isotropic) embeddings: planes=4, bands=8 measures 0.62 recall@5 for

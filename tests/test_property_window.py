@@ -85,6 +85,7 @@ def test_rows_range_frames_match_python(sp, data, rng, fn):
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=ROWS, nrows=st.integers(0, 6))
+@pytest.mark.slow
 def test_rows_frames_match_python(sp, data, nrows):
     rows = [(k, t, v, i) for i, (k, t, v) in enumerate(data)]
     df = sp.createDataFrame(rows, "k string, ts long, v long, uid long")
@@ -96,6 +97,7 @@ def test_rows_frames_match_python(sp, data, nrows):
 
 @settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=ROWS, rng=st.integers(2, 8), maxsize=st.integers(1, 4), excl=st.booleans())
+@pytest.mark.slow
 def test_maxsize_exclude_match_python(sp, data, rng, maxsize, excl):
     rows = [(k, t, v, i) for i, (k, t, v) in enumerate(data)]
     df = sp.createDataFrame(rows, "k string, ts long, v long, uid long")
@@ -121,6 +123,7 @@ def test_maxsize_exclude_match_python(sp, data, rng, maxsize, excl):
                              st.integers(0, 100)),
                    min_size=0, max_size=12),
 )
+@pytest.mark.slow
 def test_last_join_matches_python(sp, left, right):
     lrows = [(k, t, i) for i, (k, t) in enumerate(left)]
     rrows = [(k, rts, v, i) for i, (k, rts, v) in enumerate(right)]
@@ -159,6 +162,7 @@ NN_ROWS = st.lists(
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 @given(NN_ROWS, st.integers(min_value=1, max_value=6))
+@pytest.mark.slow
 def test_property_frame_nested_sum_count(spark, rows, nrows):
     # sum(c1 - count(c1)) over a bounded ROWS frame == per the reference:
     # for each row, K = count of frame rows, result = sum(c1_i - K)
@@ -244,6 +248,7 @@ def test_property_fused_list_aggs(spark, rows):
     nrows=st.integers(0, 6),
     buckets=st.integers(2, 5),
 )
+@pytest.mark.slow
 def test_rows_skew_split_matches_python(sp, data, nrows, buckets):
     """r13 ROWS-frame skew splitting vs the pure-Python oracle: random
     dense-ts data (heavy ties), random frame length and bucket count —
@@ -263,6 +268,7 @@ def test_rows_skew_split_matches_python(sp, data, nrows, buckets):
 
 @settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
 @given(data=ROWS, rng=st.integers(1, 8), buckets=st.integers(2, 5))
+@pytest.mark.slow
 def test_range_skew_split_matches_python(sp, data, rng, buckets):
     """ROWS_RANGE skew splitting vs the pure-Python oracle on random
     tie-heavy data (the hand-written family pins equality vs window_agg;

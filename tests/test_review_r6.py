@@ -90,6 +90,7 @@ def test_subquery_from_history_is_filtered(spark, eng):
     assert row["sv"] == 7  # 5 (history, kept) + 2 (request); 1000 excluded
 
 
+@pytest.mark.slow
 def test_request_mode_history_respects_ttl(spark, eng):
     eng.execute(
         "create table t3 (id int, cc string, v int, ts timestamp, "
@@ -125,6 +126,7 @@ def test_select_into_coalesce(spark, eng, tmp_path):
     assert len(parts) == 1
 
 
+@pytest.mark.slow
 def test_long_window_where_negative_constant(spark, eng):
     eng.execute(
         "create table t4 (id int, cc string, v int, c2 int, ts timestamp, "

@@ -70,12 +70,14 @@ def test_cross_batch_near_dup_and_exact_copy(spark, tmp_path):
     assert not any("3" in p for p in pairs), pairs
 
 
+@pytest.mark.slow
 def test_emits_only_against_earlier_docs(spark, tmp_path):
     got = _run(spark, tmp_path, [[(1, BASE)], [(2, BASE)]])
     pairs = {(r["doc_id"], r["match_id"]) for r in got}
     assert pairs == {("2", "1")}, pairs  # never the reverse direction
 
 
+@pytest.mark.slow
 def test_state_fifo_cap(spark, tmp_path):
     """max_per_bucket=1: doc 1 is evicted from every bucket once doc 2
     lands, so the later exact copy of doc 1 can only match doc 2."""
@@ -100,6 +102,7 @@ def test_bands_must_divide(spark, tmp_path):
         stream_minhash_dedup(stream, num_hashes=64, bands=7)
 
 
+@pytest.mark.slow
 def test_redelivered_doc_id_does_not_inflate_state(spark, tmp_path):
     """ADVICE r10: a re-delivered doc_id must refresh its bucket entry, not
     append a copy — with max_per_bucket=2, three deliveries of doc 1 would
@@ -119,6 +122,7 @@ def test_redelivered_doc_id_does_not_inflate_state(spark, tmp_path):
     assert "1" not in by_doc.get("1", set()), by_doc
 
 
+@pytest.mark.slow
 def test_stream_pairs_equal_batch_lsh_pairs(spark, tmp_path):
     """Mode-consistency pin (SURVEY §0 north star): the same corpus through
     the STREAM op (one doc per micro-batch) and the BATCH LSH pipeline with

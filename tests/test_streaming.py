@@ -183,6 +183,7 @@ def test_long_window_serving_stream_matches_batch(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_long_window_serving_stream_bounded_state(spark, tmp_path):
     """r5 verdict item: >=20 micro-batches through the DURABLE state shape
     (bucket-partitioned parquet history + alternating pre-agg files) must

@@ -56,6 +56,7 @@ def _run_stream(spark, tmp_path, batches, *, mode, watermark="5 seconds"):
     return got
 
 
+@pytest.mark.slow
 def test_tumbling_update_mode_folds_late_in_watermark_rows(spark, tmp_path):
     batches = [
         [("a", 1_000, 1.0), ("a", 4_000, 2.0)],       # window [0,10s): 3
@@ -70,6 +71,7 @@ def test_tumbling_update_mode_folds_late_in_watermark_rows(spark, tmp_path):
     assert final[("a", 10_000)] == (5.0, 1)
 
 
+@pytest.mark.slow
 def test_tumbling_append_mode_drops_beyond_watermark(spark, tmp_path):
     batches = [
         [("a", 1_000, 1.0)],
@@ -162,6 +164,7 @@ def _run_session_stream(spark, tmp_path, batches, *, mode, gap="5 seconds",
     return got
 
 
+@pytest.mark.slow
 def test_session_window_gap_merge_and_split(spark, tmp_path):
     # gap 5s: rows at 1s/4s chain into one session; 20s starts another
     batches = [
@@ -180,6 +183,7 @@ def test_session_window_gap_merge_and_split(spark, tmp_path):
     assert final[("a", 20_000)] == (25_000, 4.0, 1)
 
 
+@pytest.mark.slow
 def test_session_window_late_row_bridges_sessions(spark, tmp_path):
     # two sessions 1s and 9s (8s apart > gap 5s keeps them separate), then
     # a late 5s row inside the watermark is within gap of BOTH: the state
@@ -198,6 +202,7 @@ def test_session_window_late_row_bridges_sessions(spark, tmp_path):
     assert rows == {(1_000, 14_000): (7.0, 3)}
 
 
+@pytest.mark.slow
 def test_session_window_drops_beyond_watermark(spark, tmp_path):
     batches = [
         [("a", 1_000, 1.0)],

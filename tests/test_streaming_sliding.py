@@ -14,6 +14,7 @@ from openmldb_spark.streaming.sliding import stream_window_agg
 RANGE_MS = 2500
 
 
+@pytest.mark.slow
 def test_stream_sliding_matches_batch(spark, tmp_path):
     rows_b0 = [("a", 1000, 1.0), ("a", 2000, 2.0), ("b", 1000, 5.0)]
     rows_b1 = [("a", 3000, 3.0), ("a", 6000, 4.0), ("b", 2000, None)]

@@ -24,7 +24,17 @@ def _load():
     if yaml is None:
         return []
     doc = yaml.safe_load(open(CASES_PATH))
-    return [pytest.param(c, id=c["id"]) for c in doc["cases"]]
+    # the two heaviest stream cases (~10s of micro-batch waits each) are
+    # slow-marked for the default gate (r14 test-gate budget)
+    heavy = {"tumble_append_drops_beyond_watermark", "tumble_sum_per_key"}
+    return [
+        pytest.param(
+            c,
+            id=c["id"],
+            marks=[pytest.mark.slow] if c["id"] in heavy else [],
+        )
+        for c in doc["cases"]
+    ]
 
 
 def _drain(q, seconds=20):
